@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Window functions (SURVEY.md §2.C): ranking, analytic, row/range frames,
+  * top-k per group. Determinism rules: row_number only over a unique sort
+  * key; moving averages computed as exact integer SUM/COUNT then one double
+  * division (bit-identical across engines). */
+object Windows {
+
+  // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem;
+  // (.., l_partkey, l_suppkey, l_quantity, l_extendedprice) is. Window
+  // ORDER BYs use the full tie-break so row_number/frames are
+  // deterministic, and final sorts are total over the output.
+  private val liTieAsc = Seq(col("l_linenumber").asc, col("l_partkey").asc,
+    col("l_suppkey").asc, col("l_quantity").asc, col("l_extendedprice").asc)
+
+  private def qWinRank(s: SparkSession, d: String): DataFrame = {
+    val wU = Window.partitionBy(col("l_orderkey")).orderBy(liTieAsc: _*)
+    val wQ = Window.partitionBy(col("l_orderkey"))
+      .orderBy((col("l_quantity").desc +: liTieAsc): _*)
+    t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+      row_number().over(wU).as("rn"),
+      rank().over(wQ).as("rnk"),
+      dense_rank().over(wQ).as("drnk"),
+      ntile(4).over(wU).as("quartile"))
+      .orderBy("l_orderkey", "rn")
+  }
+
+  private def qWinAnalytic(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+      col("o_totalprice"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      first(col("o_orderkey"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("first_ok"),
+      last(col("o_orderkey"))
+        .over(w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)).as("last_ok"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private def qWinFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(liTieAsc: _*)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wMov = w.rowsBetween(-2, Window.currentRow)
+    t(s, d, "lineitem")
+      .withColumn("xq", col("l_quantity").cast("bigint"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        sum(col("xq")).over(wRun).as("run_qty"),
+        (sum(col("xq")).over(wMov).cast("double") /
+          count(lit(1)).over(wMov)).as("mov_avg"))
+      .orderBy("l_orderkey", "run_qty", "l_linenumber", "mov_avg")
+  }
+
+  /** Range frame: trailing-30-day order count/total per customer, keyed on
+    * an integer day number so the frame bound is engine-portable. */
+  private def qWinRange(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders").withColumn("day_no",
+      datediff(col("o_orderdate").cast("date"),
+        lit(java.sql.Date.valueOf("1995-01-01"))))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_no"))
+      .rangeBetween(-30, Window.currentRow)
+    o.select(col("o_custkey"), col("o_orderkey"), col("day_no"),
+      count(lit(1)).over(w).as("n_30d"),
+      dec(sum(dec(col("o_totalprice"))).over(w)).as("sum_30d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private def qTopkPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy((col("l_quantity").desc +: liTieAsc): _*)
+    t(s, d, "lineitem").withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("rn"))
+      .orderBy("l_orderkey", "rn")
+  }
+
+  val defs: Map[String, Relational.Q] = Map(
+    "q_win_rank" -> (qWinRank _),
+    "q_win_analytic" -> (qWinAnalytic _),
+    "q_win_frame" -> (qWinFrame _),
+    "q_win_range" -> (qWinRange _),
+    "q_topk_per_group" -> (qTopkPerGroup _),
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_win_rank" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(ROW_NUMBER() OVER wu AS INT) AS rn,
+        |  CAST(RANK() OVER wq AS INT) AS rnk,
+        |  CAST(DENSE_RANK() OVER wq AS INT) AS drnk,
+        |  CAST(NTILE(4) OVER wu AS INT) AS quartile
+        |FROM lineitem
+        |WINDOW wu AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice),
+        |       wq AS (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice)
+        |ORDER BY l_orderkey, rn""".stripMargin,
+    "q_win_analytic" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  LEAD(o_totalprice, 1) OVER w AS next_price,
+        |  FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_ok,
+        |  LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_win_frame" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) OVER w1 AS BIGINT) AS run_qty,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) OVER w2 AS DOUBLE) / COUNT(*) OVER w2 AS mov_avg
+        |FROM lineitem
+        |WINDOW w1 AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |       w2 AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY l_orderkey, run_qty, l_linenumber, mov_avg""".stripMargin,
+    "q_win_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS day_no,
+        |  COUNT(*) OVER w AS n_30d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4)) AS sum_30d
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, rn FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_quantity DESC, l_linenumber, l_partkey, l_suppkey, l_extendedprice) AS INT) AS rn
+        |  FROM lineitem) z
+        |WHERE rn <= 3 ORDER BY l_orderkey, rn""".stripMargin,
+  )
+}
