@@ -1,0 +1,239 @@
+package graft.avro
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileStream
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 reader for Avro Object Container Files, built directly on
+  * avro-core (`/opt/spark/jars` ships no spark-avro connector — SURVEY.md
+  * §7.0). Registered as `graft-avro`:
+  *
+  * {{{ spark.read.format("graft-avro").option("samplerate", 0.01).load(dir) }}}
+  *
+  * Design (SURVEY §4.B): one `InputPartition` per container file — repair
+  * and validation are file-granular, embarrassingly parallel, no shuffle.
+  * Column pruning is pushed into the Avro decoder as a reader-schema
+  * projection; limit pushdown stops each partition early. The reference's
+  * validation knobs (`--offset/--limit/--samplerate`,
+  * `/root/reference/src/services/repair-avro.ts:131` and
+  * `resources/application.yml:6-7`) are exposed as options with a fixed
+  * seed so sampling is reproducible (B7).
+  *
+  * Options: `mode` = failfast (default) | permissive (drop the rest of a
+  * corrupt file), `samplerate` ∈ (0,1], `offset`, `limit`, `seed`.
+  */
+class AvroContainerSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-avro"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val paths = AvroContainerSource.listFiles(options)
+    require(paths.nonEmpty, s"no avro files under ${options.get("path")}")
+    val conf = AvroContainerSource.hadoopConf()
+    val fs = new Path(paths.head._1).getFileSystem(conf)
+    val in = fs.open(new Path(paths.head._1))
+    try {
+      val s = new DataFileStream[GenericRecord](in,
+        new GenericDatumReader[GenericRecord]())
+      try SchemaConverter.toSparkStruct(s.getSchema) finally s.close()
+    } finally in.close()
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    AvroTable(schema, properties.asScala.toMap)
+}
+
+object AvroContainerSource {
+  /** (path, length) of every .avro file under the path option (recursive,
+    * fully paginated via RemoteIterator — unlike the reference's single
+    * listObjects page capped at 1000 keys, `repair-avro.ts:37-40`). */
+  def listFiles(options: CaseInsensitiveStringMap): Seq[(String, Long)] = {
+    val root = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("path option required"))
+    listFiles(root)
+  }
+
+  def listFiles(root: String): Seq[(String, Long)] = {
+    val conf = hadoopConf()
+    val p = new Path(root)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Seq.empty
+    val it = fs.listFiles(p, true)
+    val out = Seq.newBuilder[(String, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && !f.getPath.getName.startsWith(".") &&
+          !f.getPath.getName.startsWith("_"))
+        out += ((f.getPath.toString, f.getLen))
+    }
+    out.result().sortBy(_._1)
+  }
+
+  /** Driver-side Hadoop conf; executors rebuild from serialized entries. */
+  def hadoopConf(): Configuration = SparkSession.getActiveSession
+    .map(_.sessionState.newHadoopConf())
+    .getOrElse(new Configuration())
+
+  /** The conf entries worth shipping to executors (fs bindings + creds). */
+  def serializableConfEntries(): Map[String, String] = {
+    val conf = hadoopConf()
+    conf.iterator().asScala
+      .map(e => e.getKey -> e.getValue)
+      .filter { case (k, _) =>
+        k.startsWith("fs.") || k.startsWith("io.") || k.startsWith("hadoop.")
+      }.toMap
+  }
+
+  def confFrom(entries: Map[String, String]): Configuration = {
+    val c = new Configuration()
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+}
+
+case class AvroTable(tableSchema: StructType, props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-avro:${props.getOrElse("path", "?")}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    AvroScanBuilder(tableSchema, options)
+}
+
+case class AvroScanBuilder(fullSchema: StructType,
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
+
+  private var required: StructType = fullSchema
+  private var limit: Int = -1
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // keep original field order; an empty projection (count(*)) keeps zero
+    // fields and the reader emits empty rows
+    val keep = requiredSchema.fieldNames.toSet
+    required = StructType(fullSchema.fields.filter(f => keep(f.name)))
+  }
+
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def isPartiallyPushed: Boolean = true
+
+  override def build(): Scan = {
+    val opts = options.asCaseSensitiveMap().asScala.toMap
+    AvroScan(fullSchema, required, opts, limit,
+      AvroContainerSource.serializableConfEntries())
+  }
+}
+
+case class AvroFilePartition(path: String, length: Long) extends InputPartition
+
+case class AvroScan(fullSchema: StructType, required: StructType,
+    options: Map[String, String], limit: Int, confEntries: Map[String, String])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val cols = required.fieldNames.mkString(",")
+    s"graft-avro cols=[$cols] limit=$limit"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = AvroContainerSource.listFiles(
+      new CaseInsensitiveStringMap(options.asJava))
+    files.map { case (p, len) => AvroFilePartition(p, len) }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    AvroReaderFactory(required, options, limit, confEntries)
+}
+
+case class AvroReaderFactory(required: StructType,
+    options: Map[String, String], limit: Int, confEntries: Map[String, String])
+    extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[AvroFilePartition]
+    new AvroPartitionReader(part.path, required, options, limit, confEntries)
+  }
+}
+
+/** Streams one container file: header parse (B1), block iteration +
+  * decompression + datum decode (B2-B4) all inside avro's DataFileStream;
+  * applies offset (B5), limit (B6), and seeded Bernoulli sampling (B7). */
+class AvroPartitionReader(path: String, required: StructType,
+    options: Map[String, String], pushedLimit: Int,
+    confEntries: Map[String, String])
+    extends PartitionReader[InternalRow] {
+
+  private val conf = AvroContainerSource.confFrom(confEntries)
+  private val offset = options.getOrElse("offset", "0").toLong
+  private val optLimit = options.get("limit").map(_.toLong).getOrElse(Long.MaxValue)
+  private val maxRows =
+    if (pushedLimit >= 0) math.min(pushedLimit.toLong, optLimit) else optLimit
+  private val samplerate = options.getOrElse("samplerate", "1.0").toDouble
+  private val failfast =
+    options.getOrElse("mode", "failfast").toLowerCase != "permissive"
+  private val rng = new java.util.Random(
+    options.getOrElse("seed", "42").toLong ^
+      scala.util.hashing.MurmurHash3.stringHash(path).toLong)
+
+  private val in = {
+    val hp = new Path(path)
+    hp.getFileSystem(conf).open(hp)
+  }
+  private val datumReader = new GenericDatumReader[GenericRecord]()
+  private val stream = new DataFileStream[GenericRecord](in, datumReader)
+  // Reader-schema projection = column pruning inside the decoder.
+  private val projected: Schema =
+    if (required.fieldNames.length == stream.getSchema.getFields.size())
+      stream.getSchema
+    else SchemaConverter.prune(stream.getSchema, required.fieldNames.toSeq)
+  datumReader.setExpected(projected)
+  private val convert = AvroDatum.rowReader(projected, required)
+
+  private var current: InternalRow = _
+  private var emitted = 0L
+  private var skipped = 0L
+  private var dead = false
+
+  override def next(): Boolean = {
+    if (dead || emitted >= maxRows) return false
+    try {
+      while (stream.hasNext) {
+        val rec = stream.next()
+        if (skipped < offset) { skipped += 1 }
+        else if (samplerate >= 1.0 || rng.nextDouble() < samplerate) {
+          current = convert(rec)
+          emitted += 1
+          return true
+        }
+      }
+      false
+    } catch {
+      case e: Exception if !failfast => dead = true; false
+      case e: java.io.IOException => throw new java.io.IOException(
+        s"corrupt avro container $path: ${e.getMessage}", e)
+    }
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = { try stream.close() finally in.close() }
+}

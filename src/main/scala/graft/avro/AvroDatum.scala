@@ -1,0 +1,196 @@
+package graft.avro
+
+import java.nio.ByteBuffer
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalTypes, Schema}
+import org.apache.avro.Schema.Type._
+import org.apache.avro.generic.{GenericData, GenericEnumSymbol, GenericFixed, GenericRecord}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Avro datum ↔ Catalyst value converters (the native path — no Row
+  * round-trip, mirroring how a production Spark connector decodes).
+  * Deserialization follows the SURVEY §1.C type mapping. */
+object AvroDatum {
+
+  type Conv = Any => Any
+
+  /** Build a converter from an (already union-resolved) avro schema +
+    * the matching Spark type to a Catalyst value. */
+  def reader(schema: Schema, dt: DataType): Conv = {
+    val s = SchemaConverter.resolve(schema)
+    (s.getType, dt) match {
+      case (_, NullType) => _ => null
+      case (BOOLEAN, BooleanType) => identity
+      case (INT, DateType) => identity // days since epoch
+      case (INT, IntegerType) => identity
+      case (LONG, TimestampType) | (LONG, TimestampNTZType) =>
+        s.getLogicalType match {
+          case _: LogicalTypes.TimestampMillis |
+               _: LogicalTypes.LocalTimestampMillis =>
+            v => v.asInstanceOf[Long] * 1000L // ms → µs
+          case _ => identity
+        }
+      case (LONG, LongType) => identity
+      case (FLOAT, FloatType) => identity
+      case (DOUBLE, DoubleType) => identity
+      case (STRING, StringType) => v => UTF8String.fromString(v.toString)
+      case (ENUM, StringType) =>
+        v => UTF8String.fromString(v.asInstanceOf[GenericEnumSymbol[_]].toString)
+      case (BYTES, d: DecimalType) =>
+        v => {
+          val bb = v.asInstanceOf[ByteBuffer]
+          val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes)
+          Decimal(BigDecimal(new java.math.BigInteger(bytes), d.scale), d.precision, d.scale)
+        }
+      case (FIXED, d: DecimalType) =>
+        v => {
+          val bytes = v.asInstanceOf[GenericFixed].bytes()
+          Decimal(BigDecimal(new java.math.BigInteger(bytes), d.scale), d.precision, d.scale)
+        }
+      case (BYTES, BinaryType) =>
+        v => {
+          val bb = v.asInstanceOf[ByteBuffer]
+          val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes)
+          bytes
+        }
+      case (FIXED, BinaryType) => v => v.asInstanceOf[GenericFixed].bytes().clone()
+      case (ARRAY, ArrayType(et, _)) =>
+        val elem = reader(s.getElementType, et)
+        v => {
+          val in = v.asInstanceOf[java.util.Collection[Any]].asScala
+          new GenericArrayData(in.map(x => if (x == null) null else elem(x)).toArray)
+        }
+      case (MAP, MapType(StringType, vt, _)) =>
+        val value = reader(s.getValueType, vt)
+        v => {
+          val in = v.asInstanceOf[java.util.Map[Any, Any]].asScala.toSeq
+          ArrayBasedMapData(
+            keys = in.map(kv => UTF8String.fromString(kv._1.toString)).toArray,
+            values = in.map(kv => if (kv._2 == null) null else value(kv._2)).toArray)
+        }
+      case (RECORD, st: StructType) =>
+        val fieldConvs = st.fields.map { f =>
+          val af = s.getField(f.name)
+          (af.pos(), reader(af.schema(), f.dataType))
+        }
+        v => {
+          val rec = v.asInstanceOf[GenericRecord]
+          val out = new Array[Any](fieldConvs.length)
+          var i = 0
+          while (i < fieldConvs.length) {
+            val (pos, c) = fieldConvs(i)
+            val raw = rec.get(pos)
+            out(i) = if (raw == null) null else c(raw)
+            i += 1
+          }
+          new GenericInternalRow(out)
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unsupported avro→spark pair: $other")
+    }
+  }
+
+  def rowReader(schema: Schema, st: StructType): GenericRecord => InternalRow = {
+    val conv = reader(schema, st)
+    rec => conv(rec).asInstanceOf[InternalRow]
+  }
+
+  /** Catalyst value → avro datum, for the write path. */
+  def writer(dt: DataType, schema: Schema): (InternalRow, Int) => Any = {
+    val s = SchemaConverter.resolve(schema)
+    dt match {
+      case BooleanType => (r, i) => java.lang.Boolean.valueOf(r.getBoolean(i))
+      case IntegerType | DateType => (r, i) => java.lang.Integer.valueOf(r.getInt(i))
+      case LongType => (r, i) => java.lang.Long.valueOf(r.getLong(i))
+      case TimestampType | TimestampNTZType =>
+        (r, i) => java.lang.Long.valueOf(r.getLong(i)) // µs
+      case FloatType => (r, i) => java.lang.Float.valueOf(r.getFloat(i))
+      case DoubleType => (r, i) => java.lang.Double.valueOf(r.getDouble(i))
+      case StringType => (r, i) => r.getUTF8String(i).toString
+      case BinaryType => (r, i) => ByteBuffer.wrap(r.getBinary(i))
+      case d: DecimalType =>
+        (r, i) => ByteBuffer.wrap(
+          r.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
+            .unscaledValue().toByteArray)
+      case ArrayType(et, _) =>
+        val elemW = valueWriter(et, s.getElementType)
+        (r, i) => {
+          val arr = r.getArray(i)
+          val out = new java.util.ArrayList[Any](arr.numElements())
+          var j = 0
+          while (j < arr.numElements()) {
+            out.add(if (arr.isNullAt(j)) null else elemW(arr.get(j, et)))
+            j += 1
+          }
+          out
+        }
+      case MapType(StringType, vt, _) =>
+        val valW = valueWriter(vt, s.getValueType)
+        (r, i) => {
+          val m = r.getMap(i)
+          val out = new java.util.HashMap[String, Any](m.numElements())
+          val ks = m.keyArray(); val vs = m.valueArray()
+          var j = 0
+          while (j < m.numElements()) {
+            out.put(ks.getUTF8String(j).toString,
+              if (vs.isNullAt(j)) null else valW(vs.get(j, vt)))
+            j += 1
+          }
+          out
+        }
+      case st: StructType =>
+        val rw = recordWriter(st, s)
+        (r, i) => rw(r.getStruct(i, st.fields.length))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported spark→avro type: $other")
+    }
+  }
+
+  private def valueWriter(dt: DataType, schema: Schema): Any => Any = {
+    val s = SchemaConverter.resolve(schema)
+    dt match {
+      case BooleanType | IntegerType | LongType | FloatType | DoubleType |
+           DateType | TimestampType | TimestampNTZType => identity
+      case StringType => v => v.toString
+      case BinaryType => v => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case d: DecimalType => v => ByteBuffer.wrap(
+        v.asInstanceOf[Decimal].toJavaBigDecimal.unscaledValue().toByteArray)
+      case ArrayType(et, _) =>
+        val elemW = valueWriter(et, s.getElementType)
+        v => {
+          val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          val out = new java.util.ArrayList[Any](arr.numElements())
+          var j = 0
+          while (j < arr.numElements()) {
+            out.add(if (arr.isNullAt(j)) null else elemW(arr.get(j, et)))
+            j += 1
+          }
+          out
+        }
+      case st: StructType =>
+        val rw = recordWriter(st, s)
+        v => rw(v.asInstanceOf[InternalRow])
+      case other =>
+        throw new IllegalArgumentException(s"unsupported nested spark→avro: $other")
+    }
+  }
+
+  def recordWriter(st: StructType, schema: Schema): InternalRow => GenericRecord = {
+    val writers = st.fields.zipWithIndex.map { case (f, i) =>
+      (i, f.name, writer(f.dataType, schema.getField(f.name).schema()))
+    }
+    row => {
+      val rec = new GenericData.Record(schema)
+      writers.foreach { case (i, name, w) =>
+        rec.put(name, if (row.isNullAt(i)) null else w(row, i))
+      }
+      rec
+    }
+  }
+}

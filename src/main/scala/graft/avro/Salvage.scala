@@ -1,0 +1,186 @@
+package graft.avro
+
+import java.io.EOFException
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableInput}
+import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Per-file validation + block salvage over Avro container files — the
+  * engine-native reimplementation of what the reference delegates to
+  * `avro-tools cat` / `avro-tools repair` subprocesses
+  * (`/root/reference/src/services/repair-avro.ts:131,149`; semantics
+  * B1-B12 in SURVEY.md §2.B).
+  *
+  * Salvage core (B9): on a decode failure, scan forward for the file's
+  * 16-byte sync marker (`DataFileReader.sync`) and resume at the next
+  * block; records decoded cleanly before and after the corrupt region are
+  * kept (avro-tools' default recovery mode `all`, B10). A sync-marker
+  * byte sequence that happens to occur *inside* a record payload
+  * (FIXTURES.md `sync_collision`) just triggers another decode failure and
+  * another resync — candidate blocks are only accepted if they decode
+  * cleanly (SURVEY §7.3 risk 1).
+  */
+object Salvage {
+
+  /** Validation result for one file (reference A10: sampled decode). */
+  final case class ValidateResult(valid: Boolean, recordsScanned: Long,
+      error: String)
+
+  /** Salvage accounting (B12 — the counts avro-tools prints and the
+    * reference discards; we keep them as data). */
+  final case class SalvageResult(status: String, totalRecords: Long,
+      recordsRecovered: Long, resyncs: Long, error: String)
+
+  /** Sampled decode scan. Defaults mirror the reference's
+    * `application.yml:6-7` (limit 1,000,000, samplerate 1% — note every
+    * record is still *block-length* scanned by the decoder; sampling only
+    * skips the datum materialization, same as avro-tools cat). */
+  def validate(fs: FileSystem, path: Path, limit: Long = 1000000L,
+      samplerate: Double = 0.01, seed: Long = 42L): ValidateResult = {
+    var scanned = 0L
+    try {
+      val in = new HadoopSeekableInput(fs, path)
+      try {
+        val reader = new DataFileReader[GenericRecord](in,
+          new GenericDatumReader[GenericRecord]())
+        try {
+          val headerEnd = reader.previousSync() // position after header sync
+          val rng = new java.util.Random(
+            seed ^ scala.util.hashing.MurmurHash3.stringHash(path.toString).toLong)
+          var more = reader.hasNext
+          while (more && scanned < limit) {
+            // decode is what validates; sampling decides nothing here
+            // beyond matching the reference's record-materialization count
+            reader.next()
+            rng.nextDouble()
+            scanned += 1
+            more = reader.hasNext
+          }
+          // DataFileStream.hasNext swallows a mid-block EOF: a truncated
+          // tail reads as a clean end (and re-calling hasNext after that
+          // EOF even flips back to true). A well-formed container always
+          // ends with its sync marker, so check it (unless we hit limit).
+          if (!more && !trailingMarkerIntact(fs, path, headerEnd))
+            ValidateResult(valid = false, scanned, "truncated tail (missing trailing sync marker)")
+          else ValidateResult(valid = true, scanned, null)
+        } finally reader.close()
+      } finally in.close()
+    } catch {
+      case e: Exception =>
+        ValidateResult(valid = false, scanned, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+  }
+
+  /** True iff the file's last 16 bytes equal its sync marker (read from
+    * the 16 bytes preceding `headerEnd`, the first post-header position). */
+  private def trailingMarkerIntact(fs: FileSystem, path: Path,
+      headerEnd: Long): Boolean = {
+    val len = fs.getFileStatus(path).getLen
+    if (len < headerEnd || headerEnd < 16) return false
+    if (len == headerEnd) return true // empty container: ends at header sync
+    val in = fs.open(path)
+    try {
+      val marker = new Array[Byte](16)
+      in.readFully(headerEnd - 16, marker)
+      val tail = new Array[Byte](16)
+      in.readFully(len - 16, tail)
+      java.util.Arrays.equals(marker, tail)
+    } finally in.close()
+  }
+
+  /** Block salvage (modes `all` | `report`). Writes recovered records to
+    * `out` (temp name; caller commits) unless mode=report. */
+  def salvage(fs: FileSystem, path: Path, out: Option[Path],
+      codecOverride: Option[String] = None): SalvageResult = {
+    val header = try {
+      val in = new HadoopSeekableInput(fs, path)
+      try {
+        val r = new DataFileReader[GenericRecord](in,
+          new GenericDatumReader[GenericRecord]())
+        val h = (r.getSchema, Option(r.getMetaString("avro.codec")).getOrElse("null"))
+        r.close(); Some(h)
+      } finally in.close()
+    } catch {
+      case e: Exception =>
+        return SalvageResult("unrepairable", 0L, 0L, 0L,
+          s"header: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+    val (schema, codec) = header.get
+
+    val in = new HadoopSeekableInput(fs, path)
+    try {
+      val reader = new DataFileReader[GenericRecord](in,
+        new GenericDatumReader[GenericRecord]())
+      val recovered = ArrayBuffer.empty[GenericRecord]
+      val fileLen = fs.getFileStatus(path).getLen
+      var resyncs = 0L
+      var exhausted = false
+      val headerEnd = reader.previousSync()
+      // NB: reader.tell() reflects the buffered input's read-ahead (up to
+      // ~8 KiB past the current block) — resuming from tell() would skip
+      // good blocks. previousSync() is the corrupt block's start; the scan
+      // from start+1 lands on that block's own trailing marker, so only
+      // the bad block is dropped.
+      var lastSync = headerEnd
+      try {
+        while (!exhausted) {
+          try {
+            if (reader.hasNext) recovered += reader.next()
+            else exhausted = true
+          } catch {
+            case _: EOFException => exhausted = true
+            case _: Exception =>
+              resyncs += 1
+              val from = math.max(reader.previousSync(), lastSync) + 1
+              if (from >= fileLen) exhausted = true
+              else try {
+                reader.sync(from)
+                val advanced = reader.previousSync()
+                if (advanced < from) exhausted = true // no marker ahead
+                else lastSync = advanced
+              } catch { case _: Exception => exhausted = true }
+          }
+        }
+      } finally reader.close()
+
+      out match {
+        case Some(o) =>
+          val w = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](schema))
+          w.setCodec(AvroWrite.codecFactory(codecOverride.getOrElse(codec)))
+          val os = fs.create(o, true)
+          w.create(schema, os)
+          try recovered.foreach(w.append) finally w.close()
+        case None => () // mode=report (B10): count-only dry run
+      }
+      // A truncated tail is also corruption even though the block loop
+      // ends silently (same EOF-swallowing as in validate).
+      if (!trailingMarkerIntact(fs, path, headerEnd)) resyncs += 1
+      val status = if (resyncs == 0) "valid" else "repaired"
+      SalvageResult(status, recovered.length.toLong, recovered.length.toLong,
+        resyncs, null)
+    } catch {
+      case e: Exception =>
+        SalvageResult("unrepairable", 0L, 0L, 0L,
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    } finally in.close()
+  }
+}
+
+/** Hadoop FSDataInputStream as an avro SeekableInput — keeps every path
+  * behind the FileSystem API (file:// in tests, s3a:// in production;
+  * SURVEY §7.3 risk 3). */
+class HadoopSeekableInput(fs: FileSystem, path: Path) extends SeekableInput {
+  private val status = fs.getFileStatus(path)
+  private val in = fs.open(path)
+  override def seek(p: Long): Unit = in.seek(p)
+  override def tell(): Long = in.getPos
+  override def length(): Long = status.getLen
+  override def read(b: Array[Byte], off: Int, len: Int): Int = in.read(b, off, len)
+  def close(): Unit = in.close()
+}

@@ -1,0 +1,132 @@
+package graft.avro
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.Schema.Type._
+import org.apache.spark.sql.types._
+
+/** Avro schema ↔ Spark `StructType` conversion.
+  *
+  * Covers the full container-file surface the reference is transparently
+  * schema-agnostic over (it delegates decoding to avro-tools'
+  * GenericDatumReader, `/root/reference/src/services/repair-avro.ts:131`):
+  * primitives, records, enums, arrays, maps, `[null, T]` unions, fixed,
+  * and the logical types decimal / date / time / timestamp (SURVEY.md
+  * §1.B-§1.C mapping table).
+  */
+object SchemaConverter {
+
+  /** Avro → Spark. Unions other than `[null, T]` are rejected (they have
+    * no faithful relational shape); callers get a clear error. */
+  def toSpark(schema: Schema): DataType = schema.getType match {
+    case BOOLEAN => BooleanType
+    case INT =>
+      schema.getLogicalType match {
+        case _: LogicalTypes.Date => DateType
+        case _ => IntegerType // time-millis kept as raw int
+      }
+    case LONG =>
+      schema.getLogicalType match {
+        case _: LogicalTypes.TimestampMillis => TimestampType
+        case _: LogicalTypes.TimestampMicros => TimestampType
+        case _: LogicalTypes.LocalTimestampMillis => TimestampNTZType
+        case _: LogicalTypes.LocalTimestampMicros => TimestampNTZType
+        case _ => LongType // time-micros kept as raw long
+      }
+    case FLOAT => FloatType
+    case DOUBLE => DoubleType
+    case STRING => StringType
+    case ENUM => StringType
+    case BYTES | FIXED =>
+      schema.getLogicalType match {
+        case d: LogicalTypes.Decimal => DecimalType(d.getPrecision, d.getScale)
+        case _ => BinaryType
+      }
+    case NULL => NullType
+    case ARRAY => ArrayType(toSpark(schema.getElementType))
+    case MAP => MapType(StringType, toSpark(schema.getValueType))
+    case RECORD =>
+      StructType(schema.getFields.asScala.toSeq.map { f =>
+        StructField(f.name, toSpark(f.schema()), nullable = isNullable(f.schema()))
+      })
+    case UNION =>
+      nonNullBranch(schema) match {
+        case Some(b) => toSpark(b)
+        case None => throw new IllegalArgumentException(
+          s"unsupported non-nullable union: $schema")
+      }
+    case other => throw new IllegalArgumentException(s"unsupported avro type: $other")
+  }
+
+  def toSparkStruct(schema: Schema): StructType =
+    toSpark(schema).asInstanceOf[StructType]
+
+  def isNullable(s: Schema): Boolean =
+    s.getType == NULL ||
+      (s.getType == UNION && s.getTypes.asScala.exists(_.getType == NULL))
+
+  /** The non-null branch of a `[null, T]` (or `[T, null]`) union. */
+  def nonNullBranch(s: Schema): Option[Schema] = {
+    val branches = s.getTypes.asScala.filter(_.getType != NULL)
+    if (branches.size == 1) Some(branches.head) else None
+  }
+
+  /** Resolve a possibly-union schema to its effective value schema. */
+  def resolve(s: Schema): Schema =
+    if (s.getType == UNION) nonNullBranch(s).getOrElse(s) else s
+
+  /** Spark → Avro (for the write path). Nullable fields become
+    * `[null, T]` unions, timestamps become timestamp-micros. */
+  def toAvro(dt: DataType, name: String, nullable: Boolean): Schema = {
+    val base = dt match {
+      case BooleanType => Schema.create(BOOLEAN)
+      case ByteType | ShortType | IntegerType => Schema.create(INT)
+      case LongType => Schema.create(LONG)
+      case FloatType => Schema.create(FLOAT)
+      case DoubleType => Schema.create(DOUBLE)
+      case StringType => Schema.create(STRING)
+      case BinaryType => Schema.create(BYTES)
+      case DateType =>
+        LogicalTypes.date().addToSchema(Schema.create(INT))
+      case TimestampType =>
+        LogicalTypes.timestampMicros().addToSchema(Schema.create(LONG))
+      case TimestampNTZType =>
+        LogicalTypes.localTimestampMicros().addToSchema(Schema.create(LONG))
+      case d: DecimalType =>
+        LogicalTypes.decimal(d.precision, d.scale)
+          .addToSchema(Schema.create(BYTES))
+      case ArrayType(et, containsNull) =>
+        Schema.createArray(toAvro(et, s"${name}_item", containsNull))
+      case MapType(StringType, vt, valueContainsNull) =>
+        Schema.createMap(toAvro(vt, s"${name}_value", valueContainsNull))
+      case st: StructType => toAvroRecord(st, name)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported spark type: $other")
+    }
+    if (nullable && base.getType != UNION)
+      Schema.createUnion(java.util.List.of(Schema.create(NULL), base))
+    else base
+  }
+
+  def toAvroRecord(st: StructType, name: String): Schema = {
+    val rec = Schema.createRecord(name, null, "graft", false)
+    rec.setFields(st.fields.map { f =>
+      new Schema.Field(f.name, toAvro(f.dataType, s"${name}_${f.name}", f.nullable),
+        null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+    }.toList.asJava)
+    rec
+  }
+
+  /** Reader-schema projection: a record schema containing only `fields`
+    * (by name, original order) — Avro then skips the other columns during
+    * decode, which is the scan's column pruning (SURVEY §4.B). */
+  def prune(full: Schema, fields: Seq[String]): Schema = {
+    val keep = fields.toSet
+    val rec = Schema.createRecord(full.getName, full.getDoc, full.getNamespace, false)
+    rec.setFields(full.getFields.asScala.filter(f => keep(f.name)).map { f =>
+      new Schema.Field(f.name, f.schema(), f.doc(), f.defaultVal())
+    }.toList.asJava)
+    rec
+  }
+}

@@ -1,0 +1,114 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.avro.{AvroFixtures, AvroWrite}
+import graft.repair.RepairPipeline
+import Tables._
+
+/** Source/sink surface (SURVEY §2.C cat. scans/sources/sinks): the custom
+  * Avro container source round-trip, the reference-faithful
+  * validate/repair pipeline as queryable DataFrames, the binaryFile
+  * metadata listing (A4), and a parquet sink round-trip. */
+object AvroQueries {
+
+  private val workRoot = "/root/repo/target/qtmp"
+
+  private def freshDir(tag: String): String = {
+    val p = s"$workRoot/$tag"
+    val dir = new java.io.File(p)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+    dir.mkdirs()
+    p
+  }
+
+  /** events → graft-avro write → graft-avro read → project. Oracled as an
+    * identity query over `events` (the round trip must be lossless). */
+  private def qAvroRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = freshDir(s"avro_rt_${math.abs(d.hashCode)}")
+    val src = events(s, d).select(col("event_id"), col("event_type"),
+      col("value"), col("props"), col("us"))
+    AvroWrite.write(src, dir, codec = "deflate")
+    s.read.format("graft-avro").load(dir)
+      .select(col("event_id"), col("event_type"), col("value"), col("props"))
+      .orderBy("event_id")
+  }
+
+  /** Sampled validation over the corruption-taxonomy fixtures → report
+    * rows (reference A10; statuses are data, not log lines). */
+  private def qAvroValidate(s: SparkSession, d: String): DataFrame = {
+    val dir = fixturesDir()
+    val report = RepairPipeline.run(s, dir, replace = false,
+      quarantineDir = Some(freshDir("avro_quarantine_v")), samplerate = 1.0)
+    report.toDF()
+      .withColumn("name", regexp_extract(col("path"), "([^/]+)\\.avro$", 1))
+      .select(col("name"), col("status"), col("recordsScanned"),
+        col("recordsRecovered"), col("resyncs"))
+      .orderBy("name")
+  }
+
+  /** Repair with in-place replacement on a scratch copy of the fixtures →
+    * after-state report (every repaired file revalidates clean). */
+  private def qAvroRepair(s: SparkSession, d: String): DataFrame = {
+    val dir = freshDir("avro_repair_run")
+    AvroFixtures.writeAll(dir)
+    val report = RepairPipeline.run(s, dir, replace = true, samplerate = 1.0)
+    report.toDF()
+      .withColumn("name", regexp_extract(col("path"), "([^/]+)\\.avro$", 1))
+      .select(col("name"), col("status"), col("recordsRecovered"),
+        col("resyncs"))
+      .orderBy("name")
+  }
+
+  /** File-metadata scan (reference A4's S3 listing as a DataFrame).
+    * Relative names + sizes are deterministic; paths aren't → no oracle. */
+  private def qSourceBinary(s: SparkSession, d: String): DataFrame =
+    s.read.format("binaryFile").load(s"$d/*.parquet")
+      .select(regexp_extract(col("path"), "([^/]+)\\.parquet$", 1).as("name"),
+        col("length"))
+      .orderBy("name")
+
+  /** Parquet sink round-trip, oracled as identity over orders. */
+  private def qSinkParquet(s: SparkSession, d: String): DataFrame = {
+    val dir = freshDir(s"sink_pq_${math.abs(d.hashCode)}")
+    t(s, d, "orders").write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
+  private def fixturesDir(): String = {
+    val p = s"$workRoot/avro_fixtures"
+    if (!Files.exists(Paths.get(p, "sync_collision.avro"))) {
+      AvroFixtures.writeAll(p)
+    }
+    p
+  }
+
+  val defs: Map[String, Relational.Q] = Map(
+    "q_avro_roundtrip" -> (qAvroRoundtrip _),
+    "q_avro_validate" -> (qAvroValidate _),
+    "q_avro_repair" -> (qAvroRepair _),
+    "q_source_binary" -> (qSourceBinary _),
+    "q_sink_parquet" -> (qSinkParquet _),
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_avro_roundtrip" ->
+      """SELECT event_id, event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_sink_parquet" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+  )
+}

@@ -1,0 +1,179 @@
+package graft.avro
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.repair.RepairPipeline
+
+/** Avro subsystem: schema converter, DSv2 round-trip with pruning/limit,
+  * salvage over the FIXTURES.md corruption taxonomy, repair-pipeline
+  * invariants (SURVEY §5.B). */
+class AvroSubsystemSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpDir(tag: String): String = {
+    val p = Files.createTempDirectory(s"graft-$tag").toString
+    p
+  }
+
+  test("schema converter round-trips the all_types surface") {
+    import org.apache.spark.sql.types._
+    val st = StructType(Seq(
+      StructField("b", BooleanType), StructField("i", IntegerType),
+      StructField("l", LongType), StructField("f", FloatType),
+      StructField("d", DoubleType), StructField("s", StringType),
+      StructField("bin", BinaryType), StructField("dt", DateType),
+      StructField("ts", TimestampType), StructField("dec", DecimalType(18, 4)),
+      StructField("arr", ArrayType(LongType)),
+      StructField("m", MapType(StringType, DoubleType)),
+      StructField("rec", StructType(Seq(
+        StructField("x", LongType), StructField("y", StringType))))))
+    val avro = SchemaConverter.toAvroRecord(st, "t")
+    val back = SchemaConverter.toSparkStruct(avro)
+    assert(back.fieldNames.toSeq == st.fieldNames.toSeq)
+    assert(back("dec").dataType == DecimalType(18, 4))
+    assert(back("ts").dataType == TimestampType)
+    assert(back("arr").dataType.asInstanceOf[ArrayType].elementType == LongType)
+    assert(back("rec").dataType.isInstanceOf[StructType])
+  }
+
+  test("avro fixtures decode via DataFileReader and match seeded ids") {
+    val dir = tmpDir("fix")
+    val bytes = AvroFixtures.containerBytes(500, "deflate")
+    Files.write(Paths.get(dir, "ok.avro"), bytes)
+    val fs = new Path(dir).getFileSystem(AvroContainerSource.hadoopConf())
+    val v = Salvage.validate(fs, new Path(dir, "ok.avro"), samplerate = 1.0)
+    assert(v.valid && v.recordsScanned == 500)
+  }
+
+  test("DSv2 read round-trips what AvroWrite wrote") {
+    import spark.implicits._
+    val dir = tmpDir("rt")
+    val df = (1L to 300L).map(i => (i, s"name_$i", i * 1.5))
+      .toDF("id", "name", "v")
+    AvroWrite.write(df, dir, codec = "snappy")
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "name", "v"))
+    val rows = back.orderBy("id").collect()
+    assert(rows.length == 300)
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "name_1")
+    assert(rows(299).getDouble(2) == 450.0)
+  }
+
+  test("DSv2 column pruning and limit pushdown reach the scan") {
+    import spark.implicits._
+    val dir = tmpDir("prune")
+    AvroWrite.write((1L to 1000L).map(i => (i, s"s$i", i.toDouble))
+      .toDF("id", "name", "v"), dir)
+    val plan = spark.read.format("graft-avro").load(dir)
+      .select("id").limit(7).queryExecution.executedPlan.toString()
+    assert(plan.contains("cols=[id]"), s"pruning missing from: $plan")
+    assert(plan.contains("limit=7"), s"limit missing from: $plan")
+    assert(spark.read.format("graft-avro").load(dir).select("id").limit(7)
+      .count() == 7)
+  }
+
+  test("nested types round-trip (map + nullable + timestamp-millis)") {
+    val dir = tmpDir("nested")
+    Files.write(Paths.get(dir, "m.avro"),
+      AvroFixtures.containerBytes(50, "null"))
+    val df = spark.read.format("graft-avro").load(dir)
+    val r = df.orderBy("id").collect()
+    assert(r.length == 50)
+    val tags = r(0).getMap[String, String](r(0).fieldIndex("tags"))
+    assert(tags.keys.toSet == Set("host", "dc"))
+    // timestamp-millis logical type became a TimestampType with µs value
+    assert(df.schema("ts").dataType.typeName == "timestamp")
+  }
+
+  test("corruption taxonomy: validate verdicts match the manifest") {
+    val dir = tmpDir("tax")
+    val manifest = AvroFixtures.writeAll(dir)
+    val fs = new Path(dir).getFileSystem(AvroContainerSource.hadoopConf())
+    manifest.foreach { case (name, expectValid, _) =>
+      val v = Salvage.validate(fs, new Path(dir, s"$name.avro"),
+        samplerate = 1.0)
+      assert(v.valid == expectValid,
+        s"$name: expected valid=$expectValid got ${v.valid} (${v.error})")
+    }
+  }
+
+  test("salvage invariants: recovered ⊆ original, repaired output is valid, " +
+      "valid files are fixed points") {
+    val dir = tmpDir("salv")
+    val fs = new Path(dir).getFileSystem(AvroContainerSource.hadoopConf())
+    val originalIds = (0L until 1000L).toSet
+    AvroFixtures.taxonomy("deflate").foreach {
+      case (name, bytes, _, repairable) =>
+        val p = Paths.get(dir, s"$name.avro"); Files.write(p, bytes)
+        val outP = new Path(dir, s"$name.repaired.avro")
+        val res = Salvage.salvage(fs, new Path(p.toString), Some(outP))
+        if (!repairable) {
+          assert(res.status == "unrepairable", s"$name: ${res.status}")
+        } else {
+          assert(res.status == "valid" || res.status == "repaired", s"$name")
+          // repaired output passes full validation
+          val rv = Salvage.validate(fs, outP, samplerate = 1.0)
+          assert(rv.valid, s"$name repaired output invalid: ${rv.error}")
+          // recovered ids ⊆ original ids (decodes through our DSv2 source)
+          val ids = spark.read.format("graft-avro").load(outP.toString)
+            .select("id").collect().map(_.getLong(0)).toSet
+          assert(ids.subsetOf(originalIds), s"$name leaked ids")
+          if (name.startsWith("ok_")) assert(ids == originalIds,
+            "valid file must be a fixed point of repair")
+          if (name.startsWith("flip_payload"))
+            assert(ids.size < 1000 && ids.size > 800,
+              s"$name: lost exactly one block's records, got ${ids.size}")
+        }
+    }
+  }
+
+  test("sync_collision: no false resync inside a record payload") {
+    val dir = tmpDir("coll")
+    val (bytes, n) = AvroFixtures.syncCollision()
+    val p = Paths.get(dir, "sync_collision.avro"); Files.write(p, bytes)
+    val fs = new Path(dir).getFileSystem(AvroContainerSource.hadoopConf())
+    assert(!Salvage.validate(fs, new Path(p.toString), samplerate = 1.0).valid)
+    val outP = new Path(dir, "coll.repaired.avro")
+    val res = Salvage.salvage(fs, new Path(p.toString), Some(outP))
+    assert(res.status == "repaired")
+    val rv = Salvage.validate(fs, outP, samplerate = 1.0)
+    assert(rv.valid, s"collision repaired output invalid: ${rv.error}")
+    assert(res.recordsRecovered > 0 && res.recordsRecovered < n)
+  }
+
+  test("repair pipeline end-to-end: statuses, replacement, per-file errors") {
+    val dir = tmpDir("pipe")
+    AvroFixtures.writeAll(dir)
+    // also drop in a non-avro junk file: must become an error/unrepairable
+    // row, not abort the run (reference A18 is a defect)
+    Files.write(Paths.get(dir, "junk.avro"), "not avro at all".getBytes)
+    val report = RepairPipeline.run(spark, dir, replace = true,
+      samplerate = 1.0).collect()
+    val byName = report.map(r =>
+      r.path.split('/').last.stripSuffix(".avro") -> r).toMap
+    assert(byName("ok_deflate").status == "valid")
+    assert(byName("flip_payload_deflate").status == "repaired_replaced")
+    assert(byName("bad_header_null").status == "unrepairable")
+    assert(byName("junk").status == "unrepairable")
+    // replaced files now validate clean in place
+    val fs = new Path(dir).getFileSystem(AvroContainerSource.hadoopConf())
+    assert(Salvage.validate(fs,
+      new Path(dir, "flip_payload_deflate.avro"), samplerate = 1.0).valid)
+    // summary is queryable (B13)
+    val sm = RepairPipeline.summary(spark.createDataset(
+      report.toSeq)(org.apache.spark.sql.Encoders.product)).collect().toMap
+    assert(sm.values.sum == report.length)
+  }
+}
