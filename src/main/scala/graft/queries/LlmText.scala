@@ -1,0 +1,329 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.SimHash64
+import Tables._
+
+/** Text-analysis + dedup operators over `documents` (SURVEY §2.C LLM
+  * ops): exact dedup, minhash/simhash/n-gram near-dup, language ID,
+  * quality scoring, token counting, fingerprinting, multimodal-column
+  * plumbing. All shuffle-light: per-doc work is map-side; pair
+  * generation is always blocked (band/bucket/prefix) — never an
+  * unblocked O(n²) self-join, which is what survives a 100 TB corpus. */
+object LlmText {
+
+  private val enStop = Seq("the", "of", "and", "a", "to", "in", "is")
+  private val esStop = Seq("el", "la", "de", "que", "y", "los", "un")
+  private val deStop = Seq("der", "die", "und", "das", "ist", "ein", "zu")
+
+  private def words(c: Column): Column = split(c, " ")
+
+  private def stopHits(ws: Column, stops: Seq[String]): Column =
+    size(filter(ws, w => w.isInCollection(stops)))
+
+  // ------------------------------------------------------------- dedup
+
+  /** Exact dedup on normalized text, keep-lowest-doc_id (deterministic
+    * keep-first). */
+  private def qDedupExact(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("norm")).orderBy(col("doc_id"))
+    t(s, d, "documents")
+      .withColumn("norm", lower(trim(col("text"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** 3-word shingles, distinct (shared by minhash + ngram jaccard). */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .withColumn("shingles", array_distinct(expr(
+        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
+
+  /** MinHash+LSH near-dup candidates: 16 seeded minhashes (UDF-free —
+    * xxhash64 with the seed as a leading column), 4 bands × 4 rows,
+    * band-bucket join for candidates, signature agreement as the
+    * similarity estimate. Pair generation only inside buckets. */
+  private def qDedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val sigs = shingled(s, d).withColumn("sig", array(
+      (0 until 16).map(i =>
+        array_min(transform(col("shingles"), x => xxhash64(lit(i), x)))): _*))
+      .select(col("doc_id"), col("sig"))
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * 4 + 1, 4))): _*))
+        .as(Seq("band", "bkey")))
+    val a = bands.select(col("band"), col("bkey"), col("doc_id").as("a"),
+      col("sig").as("sig_a"))
+    val b = bands.select(col("band"), col("bkey"), col("doc_id").as("b"),
+      col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bkey")).filter(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+      .withColumn("est_sim",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          bb => bb)) / lit(16.0))
+      .filter(col("est_sim") >= 0.5)
+      .select(col("a"), col("b"), col("est_sim"))
+      .orderBy("a", "b")
+  }
+
+  /** Exact n-gram Jaccard over the minhash candidates (verify stage of
+    * the dedup funnel: cheap LSH candidates → exact similarity). */
+  private def qDedupNgram(s: SparkSession, d: String): DataFrame = {
+    val cand = qDedupMinhash(s, d).select(col("a"), col("b"))
+    val sh = shingled(s, d).select(col("doc_id"), col("shingles"))
+    cand
+      .join(sh.withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("shingles", "sh_a"), Seq("a"))
+      .join(sh.withColumnRenamed("doc_id", "b")
+        .withColumnRenamed("shingles", "sh_b"), Seq("b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("a", "b")
+  }
+
+  /** SimHash near-dup via the native Catalyst expression; pairs blocked
+    * on the top-16-bit prefix, kept at Hamming distance ≤ 6. */
+  private def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
+    SimHash64.register(s)
+    val h = t(s, d, "documents")
+      .select(col("doc_id"), words(lower(col("text"))).as("ws"))
+      .withColumn("sh", expr("simhash64(ws)"))
+      .withColumn("prefix", shiftrightunsigned(col("sh"), 48))
+      .select(col("doc_id"), col("sh"), col("prefix"))
+    val a = h.select(col("prefix"), col("doc_id").as("a"), col("sh").as("sh_a"))
+    val b = h.select(col("prefix"), col("doc_id").as("b"), col("sh").as("sh_b"))
+    a.join(b, Seq("prefix")).filter(col("a") < col("b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= 6)
+      .select(col("a"), col("b"), col("hamming"))
+      .orderBy("a", "b")
+  }
+
+  // ------------------------------------------------------ text analysis
+
+  private def qTextStats(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("toks", size(words(col("text"))).cast("bigint"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("toks")).cast("double") / count(lit(1))).as("avg_tokens"))
+      .orderBy("lang")
+
+  private def qTextFilter(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("toks", size(words(col("text"))).cast("bigint"))
+      .filter(col("n_chars").between(100, 400) &&
+        col("lang").isInCollection(Seq("en", "es", "de")) &&
+        (col("toks").cast("double") / col("n_chars")) > 0.1)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("toks"))
+      .orderBy("doc_id")
+
+  /** Stopword-lexicon language ID (n-gram heuristic class). The verdict
+    * is a deterministic function of the text — orthogonal to the stored
+    * `lang` label, which the query reports alongside for comparison. */
+  private def qTextLangid(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("ws", words(lower(col("text"))))
+      .withColumn("en_n", stopHits(col("ws"), enStop))
+      .withColumn("es_n", stopHits(col("ws"), esStop))
+      .withColumn("de_n", stopHits(col("ws"), deStop))
+      .withColumn("pred",
+        when(col("en_n") >= col("es_n") && col("en_n") >= col("de_n"), "en")
+          .when(col("es_n") >= col("de_n"), "es")
+          .otherwise("de"))
+      .select(col("doc_id"), col("lang"), col("pred"), col("en_n"),
+        col("es_n"), col("de_n"))
+      .orderBy("doc_id")
+
+  /** Quality score: length window + stopword density + mean word length
+    * (all integer-exact inputs → one deterministic double formula). */
+  private def qTextQuality(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("ws", words(lower(col("text"))))
+      .withColumn("toks", size(col("ws")).cast("bigint"))
+      .withColumn("stop_n", stopHits(col("ws"), enStop).cast("bigint"))
+      .withColumn("len_ok",
+        when(col("n_chars").between(150, 600), 1.0).otherwise(0.0))
+      .withColumn("stop_ratio",
+        col("stop_n").cast("double") / col("toks"))
+      .withColumn("mean_wlen",
+        (col("n_chars") - col("toks") + 1).cast("double") / col("toks"))
+      .withColumn("wlen_ok",
+        when(col("mean_wlen") >= 3.0 && col("mean_wlen") <= 8.0, 1.0)
+          .otherwise(0.0))
+      .withColumn("quality",
+        col("len_ok") * 0.4 + least(col("stop_ratio") * lit(5.0), lit(1.0)) * 0.3 +
+          col("wlen_ok") * 0.3)
+      .select(col("doc_id"), col("toks"), col("stop_n"), col("len_ok"),
+        round(col("stop_ratio"), 6).as("stop_ratio"), col("wlen_ok"),
+        round(col("quality"), 6).as("quality"))
+      .orderBy("doc_id")
+
+  /** Token counting: whitespace tokens + a BPE-ish alnum-run split. */
+  private def qTextTokens(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("ws_toks", size(words(col("text"))).cast("bigint"))
+      .withColumn("bpe_toks",
+        size(filter(split(col("text"), "[^a-zA-Z0-9]+"),
+          x => length(x) > 0)).cast("bigint"))
+      .select(col("doc_id"), col("ws_toks"), col("bpe_toks"),
+        (col("bpe_toks").cast("double") * 100.0 / col("n_chars"))
+          .as("toks_per_100c"))
+      .orderBy("doc_id")
+
+  /** Document fingerprints: order-sensitive rolling hash (xxhash64
+    * chain — ANSI-safe, no overflow) + min-shingle hash. xxhash64 has no
+    * DuckDB equivalent → ScalaTest-verified, no oracle. */
+  private def qTextFingerprint(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("ws", words(col("text")))
+      .withColumn("poly_fp", expr(
+        "aggregate(ws, 0L, (acc, w) -> xxhash64(acc, w))"))
+      .withColumn("min_fp",
+        array_min(transform(col("ws"), w => xxhash64(w))))
+      .select(col("doc_id"), col("poly_fp"), col("min_fp"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------- multimodal columns
+
+  /** Multimodal metadata over an opaque binary column (text bytes stand
+    * in for image/audio payloads — the container has no media libs). */
+  private def qMmMeta(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"),
+        octet_length(col("payload")).cast("bigint").as("n_bytes"),
+        md5(col("payload")).as("digest"))
+      .orderBy("doc_id")
+
+  /** STUB decode: the real implementation would decode image bytes in a
+    * vectorized batch UDF; the media codecs are not in this container, so
+    * the decode is a deterministic fake (dimensions derived from the
+    * payload hash). The Spark-side plumbing — binary column in, batched
+    * mapPartitions, typed metadata schema out — is the real, tested part. */
+  private def qMmDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    src.mapPartitions { batch =>
+      batch.map { case (id, bytes) =>
+        // ??? real decoder goes here; deterministic fake below
+        val h = SimHash64.fnv1a64(bytes)
+        val width = 64 + math.floorMod(h, 448L).toInt
+        val height = 64 + math.floorMod(h >>> 16, 448L).toInt
+        val fmt = if (math.floorMod(h, 2L) == 0L) "png" else "jpeg"
+        (id, fmt, width, height, width.toLong * height)
+      }
+    }.toDF("doc_id", "format", "width", "height", "n_pixels")
+      .orderBy("doc_id")
+  }
+
+  /** STUB frame sampling: treat the binary as fixed-size frames, keep
+    * every 4th — posexplode keeps it distributed and codegen-friendly. */
+  private def qMmFramesample(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("n_frames",
+        floor(octet_length(col("payload")) / lit(32)).cast("int"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("payload"),
+        posexplode(expr("sequence(0, n_frames - 1, 4)")).as(Seq("k", "frame_idx")))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(expr("substring(payload, frame_idx * 32 + 1, 32)")).as("frame_digest"))
+      .orderBy("doc_id", "frame_idx")
+
+  val defs: Map[String, Relational.Q] = Map(
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_ngram" -> (qDedupNgram _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_text_stats" -> (qTextStats _),
+    "q_text_filter" -> (qTextFilter _),
+    "q_text_langid" -> (qTextLangid _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_text_tokens" -> (qTextTokens _),
+    "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_mm_meta" -> (qMmMeta _),
+    "q_mm_decode" -> (qMmDecode _),
+    "q_mm_framesample" -> (qMmFramesample _),
+  )
+
+  private def stopSql(stops: Seq[String]): String =
+    stops.map(w => s"'$w'").mkString(", ")
+
+  val sql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn
+        |  FROM documents) z
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_text_filter" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |FROM documents
+        |WHERE n_chars BETWEEN 100 AND 400 AND lang IN ('en', 'es', 'de')
+        |  AND CAST(len(string_split(text, ' ')) AS DOUBLE) / n_chars > 0.1
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_langid" ->
+      s"""WITH z AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(ws, w -> w IN (${stopSql(enStop)}))) AS INT) AS en_n,
+        |  CAST(len(list_filter(ws, w -> w IN (${stopSql(esStop)}))) AS INT) AS es_n,
+        |  CAST(len(list_filter(ws, w -> w IN (${stopSql(deStop)}))) AS INT) AS de_n
+        |  FROM z)
+        |SELECT doc_id, lang,
+        |  CASE WHEN en_n >= es_n AND en_n >= de_n THEN 'en'
+        |       WHEN es_n >= de_n THEN 'es' ELSE 'de' END AS pred,
+        |  en_n, es_n, de_n
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH z AS (
+        |  SELECT doc_id, n_chars, string_split(lower(text), ' ') AS ws FROM documents),
+        |m AS (SELECT doc_id, n_chars,
+        |  CAST(len(ws) AS BIGINT) AS toks,
+        |  CAST(len(list_filter(ws, w -> w IN (${stopSql(enStop)}))) AS BIGINT) AS stop_n
+        |  FROM z),
+        |f AS (SELECT doc_id, toks, stop_n,
+        |  CASE WHEN n_chars BETWEEN 150 AND 600 THEN 1.0 ELSE 0.0 END AS len_ok,
+        |  CAST(stop_n AS DOUBLE) / toks AS stop_ratio,
+        |  CAST(n_chars - toks + 1 AS DOUBLE) / toks AS mean_wlen
+        |  FROM m)
+        |SELECT doc_id, toks, stop_n, len_ok, ROUND(stop_ratio, 6) AS stop_ratio,
+        |  CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 8.0 THEN 1.0 ELSE 0.0 END AS wlen_ok,
+        |  ROUND(len_ok * 0.4 + least(stop_ratio * 5.0, 1.0) * 0.3 +
+        |    (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 8.0 THEN 1.0 ELSE 0.0 END) * 0.3, 6) AS quality
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_toks,
+        |  CAST(len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS bpe_toks,
+        |  CAST(len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+        |    x -> len(x) > 0)) AS DOUBLE) * 100.0 / n_chars AS toks_per_100c
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mm_meta" ->
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -249,6 +249,16 @@ object Relational {
         col("n_name").asc_nulls_first)
   }
 
+  /** Sketch aggregates (HLL++ distinct, quantile sketch). Approximate by
+    * construction → ScalaTest error-bound checks, no oracle. */
+  private def qAggApprox(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("p50_qty"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000))
+          .as("p95_price"))
+      .orderBy("l_returnflag")
+
   /** Moment statistics recomputed from *exact* integer sums so the final
     * double formula is bit-identical across engines (IEEE ops on identical
     * inputs). l_quantity / l_linenumber are integer-valued. */
@@ -341,6 +351,7 @@ object Relational {
     "q_agg_rollup" -> (qAggRollup _),
     "q_agg_cube" -> (qAggCube _),
     "q_agg_gsets" -> (qAggGsets _),
+    "q_agg_approx" -> (qAggApprox _),
     "q_agg_stats" -> (qAggStats _),
     "q_sort_multi" -> (qSortMulti _),
     "q_limit_offset" -> (qLimitOffset _),

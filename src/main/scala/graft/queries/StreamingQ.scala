@@ -1,0 +1,167 @@
+package graft.queries
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import Tables._
+
+/** Streaming surface (SURVEY §2.C cat. S).
+  *
+  * Tumble/slide/session run the *same* `window()`/`session_window()`
+  * functions in batch mode (the functions are mode-agnostic), which makes
+  * them DuckDB-oracle-able; watermark/dedup/stateful run real
+  * micro-batch streaming queries over a MemoryStream feed with crafted
+  * late/duplicate events (FIXTURES §B.4) and are ScalaTest-verified.
+  * All event-time comparisons are in epoch micros on both engines
+  * (events.ts is nanosecond parquet). */
+object StreamingQ {
+
+  private def qStreamTumble(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dec(sum(dec(col("value")))).as("sum_v"))
+      .select(unix_micros(col("window.start")).as("w_start"),
+        col("event_type"), col("n"), col("sum_v"))
+      .orderBy("w_start", "event_type")
+
+  private def qStreamSlide(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts_utc"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("w_start"), col("n"))
+      .orderBy("w_start")
+
+  private def qStreamSession(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(session_window(col("ts_utc"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("s_start"),
+        unix_micros(col("session_window.end")).as("s_end"), col("n"))
+      .orderBy("user_id", "s_start")
+
+  // ---- real streaming over MemoryStream ------------------------------
+
+  /** Crafted feed (FIXTURES §B.4): base hour of events, out-of-order
+    * arrivals, one straggler beyond the watermark, duplicates. Times are
+    * epoch seconds from 2024-01-01T00:00Z. */
+  private[graft] val t0 = 1704067200L
+  private[graft] case class Ev(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, value: Double)
+  private[graft] def ev(id: Long, offSec: Long, uid: Long = 1L,
+      v: Double = 1.0): Ev =
+    Ev(id, new java.sql.Timestamp((t0 + offSec) * 1000L), uid, v)
+
+  /** Run a streaming transform over two crafted micro-batches and return
+    * the memory-sink contents as a DataFrame. */
+  private[graft] def runStream(s: SparkSession,
+      batch1: Seq[Ev], batch2: Seq[Ev],
+      transform: DataFrame => DataFrame,
+      mode: OutputMode): DataFrame = {
+    import s.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Ev](s)
+    val name = s"sink_${UUID.randomUUID().toString.replace("-", "")}"
+    val q = transform(input.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name)
+  }
+
+  /** Watermarked tumbling agg: the straggler (45 min late vs a 10-min
+    * watermark) must be dropped; on-time out-of-order events must land. */
+  private def qStreamWatermark(s: SparkSession, d: String): DataFrame = {
+    val batch1 = Seq(ev(1, 60), ev(2, 400), ev(3, 310), // window 0-5min ×2, 5-10 ×1
+      ev(4, 1000))                                      // 15-20min
+    val batch2 = Seq(ev(5, 3600),                       // advances watermark to 50min
+      ev(6, 70),                                        // 55+ min late → DROPPED
+      ev(7, 3650))
+    runStream(s, batch1, batch2,
+      df => df.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast("long")).as("sum_v"))
+        .select(unix_micros(col("window.start")).as("w_start"), col("n"),
+          col("sum_v")),
+      OutputMode.Append())
+      .orderBy("w_start")
+  }
+
+  /** Streaming dropDuplicates on event_id within the watermark. */
+  private def qStreamDedup(s: SparkSession, d: String): DataFrame = {
+    val batch1 = Seq(ev(1, 10), ev(2, 20), ev(1, 10), ev(3, 30))
+    val batch2 = Seq(ev(2, 20), ev(4, 3600), ev(4, 3600))
+    runStream(s, batch1, batch2,
+      df => df.withWatermark("ts", "10 minutes")
+        .dropDuplicates("event_id")
+        .select(col("event_id"), unix_micros(col("ts")).as("us")),
+      OutputMode.Append())
+      .orderBy("event_id")
+  }
+
+  /** Arbitrary stateful processing: per-user running event count via
+    * flatMapGroupsWithState (reference-class engines expose custom state;
+    * SURVEY §2.C q_stream_stateful). */
+  private def qStreamStateful(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val batch1 = Seq(ev(1, 10, uid = 1), ev(2, 20, uid = 2), ev(3, 30, uid = 1))
+    val batch2 = Seq(ev(4, 40, uid = 1), ev(5, 50, uid = 3))
+    runStream(s, batch1, batch2,
+      df => df.as[Ev].groupByKey(_.user_id)
+        .flatMapGroupsWithState[Long, (Long, Long, Long)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (uid: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+            val prev = state.getOption.getOrElse(0L)
+            val now = prev + evs.size
+            state.update(now)
+            Iterator((uid, prev, now))
+        }.toDF("user_id", "prev_count", "new_count"),
+      OutputMode.Append())
+      .orderBy("user_id", "new_count")
+  }
+
+  val defs: Map[String, Relational.Q] = Map(
+    "q_stream_tumble" -> (qStreamTumble _),
+    "q_stream_slide" -> (qStreamSlide _),
+    "q_stream_session" -> (qStreamSession _),
+    "q_stream_watermark" -> (qStreamWatermark _),
+    "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_stateful" -> (qStreamStateful _),
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_stream_tumble" ->
+      """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS w_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_v
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // sliding 1h/15min: every event belongs to exactly 4 epoch-aligned
+    // windows starting at floor15(ts) - k*15min, k ∈ 0..3
+    "q_stream_slide" ->
+      """SELECT (us - (us % 900000000)) - 900000000 * k AS w_start, COUNT(*) AS n
+        |FROM (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events) e
+        |CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1), (2), (3)) t(k)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // session windows = gaps-and-islands; a gap >= 30 min breaks the
+    // session, end = last event + gap (Spark session_window semantics)
+    "q_stream_session" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |m AS (SELECT user_id, us,
+        |  CASE WHEN LAG(us) OVER w IS NULL
+        |       OR us - LAG(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |g AS (SELECT user_id, us,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, MIN(us) AS s_start, MAX(us) + 1800000000 AS s_end,
+        |  COUNT(*) AS n
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+  )
+}

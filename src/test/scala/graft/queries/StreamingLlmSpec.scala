@@ -1,0 +1,150 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Non-oracled surface: real streaming semantics (watermark drops,
+  * streaming dedup, arbitrary state), near-dup detection on crafted
+  * fixtures, approximate aggregates' error bounds, sampling determinism
+  * (SURVEY §5.B / FIXTURES §B.4). */
+class StreamingLlmSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private val usBase = StreamingQ.t0 * 1000000L
+
+  test("watermark drops the 55-min-late straggler, keeps on-time rows") {
+    val rows = SparkEntry.queries("q_stream_watermark")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // window [0,5m): the late ev6 was dropped, so n=1 not 2
+    assert(rows.toSeq == Seq(
+      (usBase, 1L, 1L),
+      (usBase + 300000000L, 2L, 2L),
+      (usBase + 900000000L, 1L, 1L)))
+  }
+
+  test("streaming dedup emits each event_id once across batches") {
+    val rows = SparkEntry.queries("q_stream_dedup")(spark, sf)
+      .collect().map(_.getLong(0))
+    assert(rows.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("flatMapGroupsWithState keeps running per-user counts across batches") {
+    val rows = SparkEntry.queries("q_stream_stateful")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSet == Set((1L, 0L, 2L), (1L, 2L, 3L), (2L, 0L, 1L),
+      (3L, 0L, 1L)))
+  }
+
+  /** Crafted near-dup corpus: doc 1 = base, 2 = one word changed,
+    * 3 = exact duplicate of 1, 4 = unrelated. */
+  private lazy val craftedDir: String = {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i")
+      .mkString(" ")
+    val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    Seq(
+      (1L, base, "en", "srcA", base.length.toLong),
+      (2L, near, "en", "srcA", near.length.toLong),
+      (3L, base, "en", "srcB", base.length.toLong),
+      (4L, other, "en", "srcA", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("minhash LSH finds the near and exact dup, not the unrelated doc") {
+    val pairs = SparkEntry.queries("q_dedup_minhash")(spark, craftedDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)), "exact dup must collide")
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)),
+      "one-word-off near dup must collide")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated doc must not pair")
+  }
+
+  test("ngram jaccard confirms candidates exactly") {
+    val rows = SparkEntry.queries("q_dedup_ngram")(spark, craftedDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(rows(( 1L, 3L)) == 1.0)
+    assert(rows((1L, 2L)) > 0.8 && rows((1L, 2L)) < 1.0)
+  }
+
+  test("simhash hamming distance separates near-dups from unrelated") {
+    val rows = SparkEntry.queries("q_dedup_simhash")(spark, craftedDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2).toLong))
+      .toMap
+    assert(rows((1L, 3L)) == 0L, "exact dup → identical simhash")
+    assert(rows.get((1L, 2L)).forall(_ <= 6L))
+    assert(!rows.contains((1L, 4L)) && !rows.contains((3L, 4L)))
+  }
+
+  test("exact dedup keeps lowest doc_id per normalized text") {
+    val kept = SparkEntry.queries("q_dedup_exact")(spark, craftedDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L), s"got $kept") // 3 is the dup of 1
+  }
+
+  test("cosine top-k: rank 1 per label is the probe itself at sim 1.0") {
+    val rows = SparkEntry.queries("q_sim_cosine_topk")(spark, sf)
+      .collect().filter(_.getInt(3) == 1)
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 10)
+    assert(rows.forall(_._3 == 1.0), s"probe self-sim must be 1.0: ${rows.toSeq}")
+  }
+
+  test("IVF ANN: every cell's top hit is its own probe; results ⊆ exact") {
+    val ann = SparkEntry.queries("q_sim_ann_ivf")(spark, sf).collect()
+    val top1 = ann.filter(_.getInt(3) == 1).map(r => (r.getInt(0), r.getDouble(2)))
+    assert(top1.length == 10 && top1.forall(_._2 == 1.0))
+  }
+
+  test("approx_count_distinct within 10% of exact; quantiles in range") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("q_agg_approx")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.t(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("nd")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex < 0.1, s"$k: $ap vs $ex")
+    }
+  }
+
+  test("seeded sample is deterministic across runs") {
+    val a = SparkEntry.queries("q_sample")(spark, sf).collect().toSeq
+    val b = SparkEntry.queries("q_sample")(spark, sf).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("batch session windows merge at <30min gaps and split at >=30min") {
+    val rows = SparkEntry.queries("q_stream_session")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, sess) =>
+      val sorted = sess.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(s1, s2) =>
+          // next session starts at least 30 min after the previous end-30min
+          assert(s2.getLong(1) >= s1.getLong(2) - 1800000000L + 1800000000L)
+        case _ => ()
+      }
+      sorted.foreach(r => assert(r.getLong(2) - r.getLong(1) >= 1800000000L))
+    }
+  }
+}
