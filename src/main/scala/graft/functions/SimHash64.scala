@@ -44,7 +44,7 @@ case class SimHash64(child: Expression) extends UnaryExpression
         val h = SimHash64.fnv1a64(arr.getUTF8String(i).getBytes)
         var b = 0
         while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          votes(b) += ((((h >>> b) & 1L) << 1) - 1L).toInt // branchless ±1
           b += 1
         }
       }

@@ -9,19 +9,19 @@ import Tables._
 /** Similarity search over `embeddings` (array<float>, dim 64):
   * brute-force cosine top-k as the exact baseline, an IVF-style
   * partitioned variant as the scale path, and LSH-bucketed cosine
-  * near-dup pairs. Dot products run through zip_with+aggregate
-  * (codegen'd higher-order functions, sequential fold → deterministic
-  * double sums; float×float in double is exact). The probe side is
-  * always tiny and broadcast; the big side streams — no shuffle of the
-  * embedding table itself. */
+  * near-dup pairs. Dot products use the native `float_dot` expression
+  * (codegen'd tight loop, sequential fold → deterministic double sums;
+  * float×float in double is exact — same bits as the higher-order
+  * zip_with formulation it replaced, ~10× less allocation). The probe
+  * side is always tiny and broadcast; the big side streams — no shuffle
+  * of the embedding table itself. */
 object LlmSim {
 
-  /** Sequential-fold dot product of two float arrays in double. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product of two float array columns in double
+    * (native expression; registered per session, idempotent). */
+  private def dot(a: String, b: String): Column = expr(s"float_dot($a, $b)")
 
-  private def norm2(a: Column): Column = dot(a, a)
+  private def norm2(a: String): Column = dot(a, a)
 
   /** One deterministic probe vector per label: the embedding of the
     * label's minimum vec_id. */
@@ -37,11 +37,12 @@ object LlmSim {
     * Similarity is rounded to 6 dp *before* ranking so the rank order is
     * engine-portable (sub-1e-6 double-noise can't flip it). */
   private def qSimCosineTopk(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = t(s, d, "embeddings")
     val scored = e.crossJoin(broadcast(probes(s, d)))
       .withColumn("sim", round(
-        dot(col("pe"), col("embedding")) /
-          (sqrt(norm2(col("pe"))) * sqrt(norm2(col("embedding")))), 6))
+        dot("pe", "embedding") /
+          (sqrt(norm2("pe")) * sqrt(norm2("embedding"))), 6))
     val w = Window.partitionBy(col("p_label"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
@@ -56,11 +57,12 @@ object LlmSim {
     * the assignment is one broadcast-join pass and each query touches
     * 1/cells of the data. */
   private def qSimAnnIvf(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = t(s, d, "embeddings")
     val assigned = e.crossJoin(broadcast(probes(s, d)))
       .withColumn("sim", round(
-        dot(col("pe"), col("embedding")) /
-          (sqrt(norm2(col("pe"))) * sqrt(norm2(col("embedding")))), 6))
+        dot("pe", "embedding") /
+          (sqrt(norm2("pe")) * sqrt(norm2("embedding"))), 6))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("sim").desc, col("p_label").asc)))
@@ -78,6 +80,7 @@ object LlmSim {
     * Blocking keeps the pair space tiny on random data while true
     * near-dups (sign-stable) collide. */
   private def qDedupEmbed(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = t(s, d, "embeddings")
       .withColumn("bucket", expr(
         "aggregate(slice(embedding, 1, 12), 0L, (acc, x) -> acc * 2 + IF(x > 0f, 1L, 0L))"))
@@ -88,8 +91,8 @@ object LlmSim {
       col("embedding").as("eb"))
     a.join(b, Seq("bucket")).filter(col("a") < col("b"))
       .withColumn("sim", round(
-        dot(col("ea"), col("eb")) /
-          (sqrt(norm2(col("ea"))) * sqrt(norm2(col("eb")))), 6))
+        dot("ea", "eb") /
+          (sqrt(norm2("ea")) * sqrt(norm2("eb"))), 6))
       .withColumn("is_dup", col("sim") >= 0.85)
       .select(col("a"), col("b"), col("sim"), col("is_dup"))
       .orderBy("a", "b")

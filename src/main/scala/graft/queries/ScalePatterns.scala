@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** The three layout/shuffle patterns that decide whether a plan survives
+  * 100 TB (SURVEY §4.B physical-execution targets), each exercised as a
+  * first-class query with a DuckDB oracle proving the optimized plan is
+  * semantics-preserving:
+  *
+  *  - partition pruning over a hive `ship_date=…` layout (the
+  *    reference's production data is exactly this shape,
+  *    `/root/reference/src/services/repair-avro.ts:92`);
+  *  - salted join: pre-shuffle salt on the skewed big side, replicated
+  *    small side — the manual fallback when AQE skew splitting isn't
+  *    enough;
+  *  - bucketed co-located join: both sides pre-bucketed on the join key
+  *    so the join runs with zero exchange.
+  */
+object ScalePatterns {
+
+  private val workRoot = "/root/repo/target/qtmp"
+
+  /** Hive-partitioned copy of orders by order year (written once per
+    * scale factor), then a pruned scan: only the matching year's
+    * directories are listed and read. */
+  private def qScanPartitioned(s: SparkSession, d: String): DataFrame = {
+    val dir = s"$workRoot/orders_hive_${math.abs(d.hashCode)}"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      t(s, d, "orders").withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    }
+    s.read.parquet(dir)
+      .filter(col("o_year") === 1997) // static partition pruning
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        dec(sum(dec(col("o_totalprice")))).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Salted skew join: big side gets a row-derived salt in 0..7, small
+    * side is replicated 8×, join on (key, salt). Result ≡ plain join —
+    * the oracle proves it. */
+  private def qJoinSalted(s: SparkSession, d: String): DataFrame = {
+    val salts = 8
+    val li = t(s, d, "lineitem")
+      .withColumn("salt", pmod(xxhash64(col("l_partkey"), col("l_suppkey")),
+        lit(salts)).cast("int"))
+    val o = t(s, d, "orders")
+      .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+    li.join(o, li("l_orderkey") === o("o_orderkey") &&
+        li("salt") === o("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        dec(sum(dec(col("l_extendedprice")))).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Bucketed co-located join: both sides written bucketed by the join
+    * key (8 buckets), then joined — the physical plan has no shuffle
+    * exchange on either side (asserted in PlanSpec). */
+  private def qJoinBucketed(s: SparkSession, d: String): DataFrame = {
+    val tag = math.abs(d.hashCode)
+    val (to, tl) = (s"orders_bkt_$tag", s"lineitem_bkt_$tag")
+    if (!s.catalog.tableExists(to)) {
+      // A fresh session has an empty in-memory catalog but the managed
+      // location may survive on disk from a previous run — saveAsTable
+      // then fails with LOCATION_ALREADY_EXISTS. Drop both layers.
+      Seq(to, tl).foreach { n =>
+        s.sql(s"DROP TABLE IF EXISTS $n")
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), n.toLowerCase)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      t(s, d, "orders").write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").mode("overwrite").saveAsTable(to)
+      t(s, d, "lineitem").write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").mode("overwrite").saveAsTable(tl)
+    }
+    s.table(tl).join(s.table(to), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        dec(sum(dec(col("l_quantity")))).as("sum_qty"))
+      .orderBy("o_orderstatus")
+  }
+
+  val defs: Map[String, Relational.Q] = Map(
+    "q_scan_partitioned" -> (qScanPartitioned _),
+    "q_join_salted" -> (qJoinSalted _),
+    "q_join_bucketed" -> (qJoinBucketed _),
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_scan_partitioned" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |FROM orders WHERE CAST(year(o_orderdate) AS INT) = 1997
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_join_salted" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_bucketed" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+  )
+}

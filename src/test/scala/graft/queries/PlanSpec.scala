@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Physical-plan quality gates (SURVEY §4.B / the 100 TB design rules):
+  * filters and projections must reach the parquet scan, dimension joins
+  * must broadcast, top-k must not global-sort, and the hot relational
+  * path must stay inside whole-stage codegen. These assertions are what
+  * keeps a plan regression from silently shipping. */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.collect() // finalize AQE so codegen spans and join choices are real
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString()
+      case other => other.toString()
+    }
+  }
+
+  test("scan pruning: filter is pushed down and only needed columns read") {
+    val p = plan("q_scan_pruned")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "GreaterThanOrEqual(l_shipdate"), s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint," +
+      "l_linenumber:int,l_shipdate:timestamp_ntz>"), s"columns not pruned:\n$p")
+  }
+
+  test("dimension joins broadcast instead of shuffling the fact side") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+    val multi = plan("q_join_multi")
+    assert(multi.contains("BroadcastHashJoin"), s"star join lost broadcast:\n$multi")
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k got a full sort:\n$p")
+  }
+
+  test("flagship aggregate stays inside whole-stage codegen") {
+    val p = plan("q_agg_group")
+    // '*(n)' prefixes mark whole-stage-codegen spans in the final plan
+    assert(p.contains("*(1)"), s"no codegen span:\n$p")
+    assert(p.contains("partial_sum"), s"no map-side partial aggregation:\n$p")
+    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
+  }
+
+  test("as-of join is an equi hash/merge join + rank, not a BNLJ") {
+    val p = plan("q_join_asof")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"as-of join degenerated to BNLJ:\n$p")
+  }
+
+  test("cosine top-k broadcasts the probe side") {
+    val p = plan("q_sim_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("Broadcast"),
+      s"probes not broadcast:\n$p")
+    assert(p.toLowerCase.contains("floatdot") ||
+      p.toLowerCase.contains("float_dot"),
+      s"native dot product missing:\n$p")
+  }
+
+  test("hive layout scan prunes partitions statically") {
+    val p = plan("q_scan_partitioned")
+    assert(p.contains("PartitionFilters: [isnotnull(o_year"),
+      s"no partition filter:\n$p")
+  }
+
+  test("bucketed join runs with zero shuffle exchange") {
+    val p = plan("q_join_bucketed")
+    val joinRegion = p.substring(0, p.indexOf("HashAggregate")
+      .max(p.length - 1))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no join found:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join still shuffles on the join key:\n$p")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      s"bucket metadata missing from scan:\n$p")
+  }
+
+  test("salted join result shape matches and both salt sides align") {
+    val rows = SparkEntry.queries("q_join_salted")(spark, sf).collect()
+    assert(rows.length == 5, s"expected 5 priorities: ${rows.length}")
+  }
+
+  test("limit+offset pushes a partial limit below the sort boundary") {
+    val rows = SparkEntry.queries("q_limit_offset")(spark, sf).collect()
+    assert(rows.length == 25 && rows.head.getLong(0) == 100L,
+      s"offset/limit wrong: ${rows.take(3).toSeq}")
+  }
+}
