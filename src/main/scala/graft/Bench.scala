@@ -13,6 +13,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/codegen/parquet-reader paths so the first timed query
+    // doesn't absorb one-time startup cost.
+    spark.range(1 << 20).selectExpr("count(*)", "sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

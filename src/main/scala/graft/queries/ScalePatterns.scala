@@ -65,19 +65,30 @@ object ScalePatterns {
     val tag = math.abs(d.hashCode)
     val (to, tl) = (s"orders_bkt_$tag", s"lineitem_bkt_$tag")
     if (!s.catalog.tableExists(to)) {
-      // A fresh session has an empty in-memory catalog but the managed
-      // location may survive on disk from a previous run — saveAsTable
-      // then fails with LOCATION_ALREADY_EXISTS. Drop both layers.
-      Seq(to, tl).foreach { n =>
-        s.sql(s"DROP TABLE IF EXISTS $n")
-        val p = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), n.toLowerCase)
-        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      def bucketize(name: String, src: String, key: String): Unit = {
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val df = t(s, d, src)
+        if (fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
+          // Bucket files from a previous session survive in the
+          // warehouse; re-register them as an external bucketed table
+          // instead of rewriting (bucket ids live in the file names).
+          s.sql(s"""CREATE TABLE $name (${df.schema.toDDL}) USING PARQUET
+                   |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+                   |LOCATION '$loc'""".stripMargin)
+        } else {
+          // A fresh session has an empty in-memory catalog but a stale
+          // partial location would fail saveAsTable with
+          // LOCATION_ALREADY_EXISTS — drop both layers, then write.
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          fs.delete(loc, true)
+          df.write.bucketBy(8, key).sortBy(key).mode("overwrite")
+            .saveAsTable(name)
+        }
       }
-      t(s, d, "orders").write.bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey").mode("overwrite").saveAsTable(to)
-      t(s, d, "lineitem").write.bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey").mode("overwrite").saveAsTable(tl)
+      bucketize(to, "orders", "o_orderkey")
+      bucketize(tl, "lineitem", "l_orderkey")
     }
     s.table(tl).join(s.table(to), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus"))

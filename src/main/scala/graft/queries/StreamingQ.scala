@@ -65,14 +65,21 @@ object StreamingQ {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[Ev](s)
     val name = s"sink_${UUID.randomUUID().toString.replace("-", "")}"
-    val q = transform(input.toDF())
-      .writeStream.format("memory").queryName(name).outputMode(mode).start()
+    // Stateful micro-batches create one state-store instance per shuffle
+    // partition; 32 stores for a 7-event feed is pure scheduling
+    // overhead. Narrow while the stream runs, restore after.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      input.addData(batch1)
-      q.processAllAvailable()
-      input.addData(batch2)
-      q.processAllAvailable()
-    } finally q.stop()
+      val q = transform(input.toDF())
+        .writeStream.format("memory").queryName(name).outputMode(mode).start()
+      try {
+        input.addData(batch1)
+        q.processAllAvailable()
+        input.addData(batch2)
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.table(name)
   }
 
