@@ -43,7 +43,10 @@ class AvroContainerSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val paths = AvroContainerSource.listFiles(options)
-    require(paths.nonEmpty, s"no avro files under ${options.get("path")}")
+    // A write to a fresh directory arrives here with no files when the
+    // caller didn't pass a schema; the write path always supplies the
+    // query schema via external metadata, so an empty struct is fine.
+    if (paths.isEmpty) return new StructType()
     val conf = AvroContainerSource.hadoopConf()
     val fs = new Path(paths.head._1).getFileSystem(conf)
     val in = fs.open(new Path(paths.head._1))
@@ -108,13 +111,22 @@ object AvroContainerSource {
 }
 
 case class AvroTable(tableSchema: StructType, props: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-avro:${props.getOrElse("path", "?")}"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     AvroScanBuilder(tableSchema, options)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    import scala.jdk.CollectionConverters._
+    AvroWriteBuilder(info.schema(),
+      props ++ info.options().asCaseSensitiveMap().asScala)
+  }
 }
 
 case class AvroScanBuilder(fullSchema: StructType,

@@ -31,13 +31,15 @@ object AvroQueries {
     p
   }
 
-  /** events → graft-avro write → graft-avro read → project. Oracled as an
-    * identity query over `events` (the round trip must be lossless). */
+  /** events → graft-avro DSv2 write → graft-avro read → project. Oracled
+    * as an identity query over `events` (the round trip must be
+    * lossless). */
   private def qAvroRoundtrip(s: SparkSession, d: String): DataFrame = {
     val dir = freshDir(s"avro_rt_${math.abs(d.hashCode)}")
-    val src = events(s, d).select(col("event_id"), col("event_type"),
+    events(s, d).select(col("event_id"), col("event_type"),
       col("value"), col("props"), col("us"))
-    AvroWrite.write(src, dir, codec = "deflate")
+      .write.format("graft-avro").option("codec", "deflate")
+      .mode("append").save(dir)
     s.read.format("graft-avro").load(dir)
       .select(col("event_id"), col("event_type"), col("value"), col("props"))
       .orderBy("event_id")

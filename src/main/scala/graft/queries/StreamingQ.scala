@@ -134,7 +134,33 @@ object StreamingQ {
       .orderBy("user_id", "new_count")
   }
 
+  /** File-based streaming source: the events parquet consumed via
+    * readStream (one micro-batch), windowed per-type counts to a memory
+    * sink in complete mode — same results as the batch window query, so
+    * it's fully oracle-able. */
+  private def qStreamFileSource(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = t(s, d, "events").schema
+    val name = s"fsink_${UUID.randomUUID().toString.replace("-", "")}"
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("w_start"),
+          col("event_type"), col("n"))
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(name).orderBy("w_start", "event_type")
+  }
+
   val defs: Map[String, Relational.Q] = Map(
+    "q_stream_file_source" -> (qStreamFileSource _),
     "q_stream_tumble" -> (qStreamTumble _),
     "q_stream_slide" -> (qStreamSlide _),
     "q_stream_session" -> (qStreamSession _),
@@ -144,6 +170,10 @@ object StreamingQ {
   )
 
   val sql: Map[String, String] = Map(
+    "q_stream_file_source" ->
+      """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS w_start,
+        |  event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_stream_tumble" ->
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS w_start,
         |  event_type, COUNT(*) AS n,

@@ -71,6 +71,23 @@ class AvroSubsystemSpec extends AnyFunSuite {
     assert(rows(299).getDouble(2) == 450.0)
   }
 
+  test("DSv2 write: append, overwrite truncates only on commit") {
+    import spark.implicits._
+    val dir = tmpDir("wv2")
+    val df1 = (1L to 100L).map(i => (i, s"a$i")).toDF("id", "s")
+    df1.write.format("graft-avro").mode("append").save(dir)
+    assert(spark.read.format("graft-avro").load(dir).count() == 100)
+    // append accumulates
+    df1.write.format("graft-avro").mode("append").save(dir)
+    assert(spark.read.format("graft-avro").load(dir).count() == 200)
+    // overwrite replaces the whole generation
+    val df2 = (1L to 7L).map(i => (i, s"b$i")).toDF("id", "s")
+    df2.write.format("graft-avro").mode("overwrite").save(dir)
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(back.count() == 7)
+    assert(back.orderBy("id").collect().map(_.getString(1)).head == "b1")
+  }
+
   test("DSv2 column pruning and limit pushdown reach the scan") {
     import spark.implicits._
     val dir = tmpDir("prune")
