@@ -154,7 +154,12 @@ case class AvroScanBuilder(fullSchema: StructType,
   }
 }
 
-case class AvroFilePartition(path: String, length: Long) extends InputPartition
+/** One byte range of one container file. Blocks whose start offset lies
+  * in [start, end) belong to this partition — the classic sync-boundary
+  * split contract, so ranges can cut anywhere without duplicating or
+  * losing records. */
+case class AvroFilePartition(path: String, start: Long, end: Long)
+    extends InputPartition
 
 case class AvroScan(fullSchema: StructType, required: StructType,
     options: Map[String, String], limit: Int, confEntries: Map[String, String])
@@ -170,7 +175,20 @@ case class AvroScan(fullSchema: StructType, required: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val files = AvroContainerSource.listFiles(
       new CaseInsensitiveStringMap(options.asJava))
-    files.map { case (p, len) => AvroFilePartition(p, len) }.toArray
+    // Large containers split into byte ranges (resolved to sync
+    // boundaries at read time) so a single multi-GB file scans with the
+    // cluster, not one task. maxSplitBytes mirrors
+    // spark.sql.files.maxPartitionBytes' role.
+    val splitBytes = options.getOrElse("maxSplitBytes",
+      (128L * 1024 * 1024).toString).toLong
+    files.flatMap { case (p, len) =>
+      // end must be the real length: avro's pastSync(pos) computes
+      // pos + SYNC_SIZE, which overflows for Long.MaxValue
+      if (len <= splitBytes) Seq(AvroFilePartition(p, 0L, len))
+      else (0L until len by splitBytes).map { start =>
+        AvroFilePartition(p, start, math.min(start + splitBytes, len))
+      }
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -183,14 +201,18 @@ case class AvroReaderFactory(required: StructType,
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[AvroFilePartition]
-    new AvroPartitionReader(part.path, required, options, limit, confEntries)
+    new AvroPartitionReader(part, required, options, limit, confEntries)
   }
 }
 
-/** Streams one container file: header parse (B1), block iteration +
-  * decompression + datum decode (B2-B4) all inside avro's DataFileStream;
-  * applies offset (B5), limit (B6), and seeded Bernoulli sampling (B7). */
-class AvroPartitionReader(path: String, required: StructType,
+/** Reads one byte range of one container file: header parse (B1), block
+  * iteration + decompression + datum decode (B2-B4) via avro's
+  * DataFileReader; applies offset (B5), limit (B6), and seeded Bernoulli
+  * sampling (B7). Range semantics: `sync(start)` skips to the first block
+  * at or after `start`, `pastSync(end)` stops after the last block
+  * starting before `end` — so arbitrary byte splits never duplicate or
+  * drop a block. For split files, offset/limit are per-range bounds. */
+class AvroPartitionReader(part: AvroFilePartition, required: StructType,
     options: Map[String, String], pushedLimit: Int,
     confEntries: Map[String, String])
     extends PartitionReader[InternalRow] {
@@ -205,21 +227,21 @@ class AvroPartitionReader(path: String, required: StructType,
     options.getOrElse("mode", "failfast").toLowerCase != "permissive"
   private val rng = new java.util.Random(
     options.getOrElse("seed", "42").toLong ^
-      scala.util.hashing.MurmurHash3.stringHash(path).toLong)
+      scala.util.hashing.MurmurHash3.stringHash(part.path).toLong ^ part.start)
 
-  private val in = {
-    val hp = new Path(path)
-    hp.getFileSystem(conf).open(hp)
-  }
+  private val hp = new Path(part.path)
+  private val in = new HadoopSeekableInput(hp.getFileSystem(conf), hp)
   private val datumReader = new GenericDatumReader[GenericRecord]()
-  private val stream = new DataFileStream[GenericRecord](in, datumReader)
+  private val reader =
+    new org.apache.avro.file.DataFileReader[GenericRecord](in, datumReader)
   // Reader-schema projection = column pruning inside the decoder.
   private val projected: Schema =
-    if (required.fieldNames.length == stream.getSchema.getFields.size())
-      stream.getSchema
-    else SchemaConverter.prune(stream.getSchema, required.fieldNames.toSeq)
+    if (required.fieldNames.length == reader.getSchema.getFields.size())
+      reader.getSchema
+    else SchemaConverter.prune(reader.getSchema, required.fieldNames.toSeq)
   datumReader.setExpected(projected)
   private val convert = AvroDatum.rowReader(projected, required)
+  if (part.start > 0L) reader.sync(part.start)
 
   private var current: InternalRow = _
   private var emitted = 0L
@@ -229,8 +251,8 @@ class AvroPartitionReader(path: String, required: StructType,
   override def next(): Boolean = {
     if (dead || emitted >= maxRows) return false
     try {
-      while (stream.hasNext) {
-        val rec = stream.next()
+      while (reader.hasNext && !reader.pastSync(part.end)) {
+        val rec = reader.next()
         if (skipped < offset) { skipped += 1 }
         else if (samplerate >= 1.0 || rng.nextDouble() < samplerate) {
           current = convert(rec)
@@ -242,10 +264,10 @@ class AvroPartitionReader(path: String, required: StructType,
     } catch {
       case e: Exception if !failfast => dead = true; false
       case e: java.io.IOException => throw new java.io.IOException(
-        s"corrupt avro container $path: ${e.getMessage}", e)
+        s"corrupt avro container ${part.path}: ${e.getMessage}", e)
     }
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = { try stream.close() finally in.close() }
+  override def close(): Unit = { try reader.close() finally in.close() }
 }

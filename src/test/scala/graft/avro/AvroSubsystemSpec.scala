@@ -88,6 +88,20 @@ class AvroSubsystemSpec extends AnyFunSuite {
     assert(back.orderBy("id").collect().map(_.getString(1)).head == "b1")
   }
 
+  test("split reads: byte ranges cover every record exactly once") {
+    import spark.implicits._
+    val dir = tmpDir("split")
+    Files.write(Paths.get(dir, "big.avro"),
+      AvroFixtures.containerBytes(5000, "deflate"))
+    val df = spark.read.format("graft-avro")
+      .option("maxSplitBytes", "8192").load(dir)
+    assert(df.rdd.getNumPartitions > 3,
+      s"expected multiple splits, got ${df.rdd.getNumPartitions}")
+    val ids = df.select("id").collect().map(_.getLong(0))
+    assert(ids.length == 5000, s"records lost/duplicated: ${ids.length}")
+    assert(ids.toSet == (0L until 5000L).toSet)
+  }
+
   test("DSv2 column pruning and limit pushdown reach the scan") {
     import spark.implicits._
     val dir = tmpDir("prune")
