@@ -42,10 +42,14 @@ case class SimHash64(child: Expression) extends UnaryExpression
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
         val h = SimHash64.fnv1a64(arr.getUTF8String(i).getBytes)
-        var b = 0
-        while (b < 64) {
-          votes(b) += ((((h >>> b) & 1L) << 1) - 1L).toInt // branchless ±1
-          b += 1
+        // per hash byte, add the precomputed ±1 vote vector for its 8 bits
+        var chunk = 0
+        while (chunk < 8) {
+          val tbl = SimHash64.voteTable((h >>> (chunk * 8)).toInt & 0xff)
+          val base = chunk * 8
+          var j = 0
+          while (j < 8) { votes(base + j) += tbl(j); j += 1 }
+          chunk += 1
         }
       }
       i += 1
@@ -64,6 +68,10 @@ case class SimHash64(child: Expression) extends UnaryExpression
 }
 
 object SimHash64 {
+  /** voteTable(v)(j) = +1 if bit j of byte value v is set, else −1. */
+  private[functions] val voteTable: Array[Array[Int]] =
+    Array.tabulate(256)(v => Array.tabulate(8)(j => ((v >>> j) & 1) * 2 - 1))
+
   def fnv1a64(bytes: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0

@@ -51,9 +51,14 @@ object LlmText {
     * band-bucket join for candidates, signature agreement as the
     * similarity estimate. Pair generation only inside buckets. */
   private def qDedupMinhash(s: SparkSession, d: String): DataFrame = {
-    val sigs = shingled(s, d).withColumn("sig", array(
-      (0 until 16).map(i =>
-        array_min(transform(col("shingles"), x => xxhash64(lit(i), x)))): _*))
+    // hash each shingle string ONCE, then derive the 16 signature hashes
+    // by mixing the long — 1 string pass + 16 cheap long passes instead
+    // of 16 string passes
+    val sigs = shingled(s, d)
+      .withColumn("hs", transform(col("shingles"), x => xxhash64(x)))
+      .withColumn("sig", array(
+        (0 until 16).map(i =>
+          array_min(transform(col("hs"), h => xxhash64(lit(i), h)))): _*))
       .select(col("doc_id"), col("sig"))
     val bands = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(b =>

@@ -145,17 +145,19 @@ object Relational {
   /** As-of join: latest order at-or-before each event's timestamp, per
     * user. Spark has no native ASOF (reference-class engines do); the
     * scale-safe composition is equi-join on the user key (hash join, no
-    * BNLJ) + range predicate + row_number()=1 (SURVEY §4.B). */
+    * BNLJ) + range predicate + argmax. The argmax is a lexicographic
+    * `max(struct(ts, key))` hash aggregate — partially aggregatable, so
+    * the match blowup combines map-side instead of shuffling into a
+    * window sort (SURVEY §4.B). */
   private def qJoinAsof(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d).select(col("event_id"), col("user_id"), col("us"))
     val o = t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
       unix_micros(col("o_orderdate").cast("timestamp")).as("ous"))
-    val w = Window.partitionBy("event_id")
-      .orderBy(col("ous").desc, col("o_orderkey").desc)
     e.join(o, col("user_id") === col("o_custkey") && col("ous") <= col("us"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("event_id"), col("user_id"), col("o_orderkey"), col("ous"))
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(max(struct(col("ous"), col("o_orderkey"))).as("m"))
+      .select(col("event_id"), col("user_id"),
+        col("m.o_orderkey").as("o_orderkey"), col("m.ous").as("ous"))
       .orderBy("event_id")
   }
 

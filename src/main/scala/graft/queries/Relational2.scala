@@ -91,6 +91,33 @@ object Relational2 {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Exact order statistics: median + interpolated quartiles over
+    * integer-valued quantities (linear interpolation between exact-int
+    * order stats → identical double formula on both engines). */
+  private def qAggMedian(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .withColumn("xq", col("l_quantity").cast("bigint"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("median(xq)").as("med"),
+        expr("percentile(xq, 0.25)").as("q1"),
+        expr("percentile(xq, 0.75)").as("q3"))
+      .orderBy("l_returnflag")
+
+  /** Array construction/manipulation wave 2: sort, zip, flatten,
+    * sequence, slicing, distinct/union over built arrays. */
+  private def qFnArray2(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("lns"),
+        sort_array(collect_set(col("l_suppkey"))).as("supps"))
+      .select(col("l_orderkey"),
+        col("lns"),
+        size(col("supps")).as("n_supp"),
+        slice(col("lns"), 1, 3).as("first3"),
+        array_distinct(col("lns")).as("dlns"),
+        expr("sequence(1, size(lns))").as("seq"))
+      .orderBy("l_orderkey")
+
   private def qFnBitwise(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders").select(col("o_orderkey"),
       (col("o_orderkey").bitwiseAND(255)).as("b_and"),
@@ -120,6 +147,8 @@ object Relational2 {
     "q_set_intersect_all" -> (qSetIntersectAll _),
     "q_set_except_all" -> (qSetExceptAll _),
     "q_win_percent" -> (qWinPercent _),
+    "q_agg_median" -> (qAggMedian _),
+    "q_fn_array2" -> (qFnArray2 _),
     "q_fn_bitwise" -> (qFnBitwise _),
     "q_fn_struct" -> (qFnStruct _),
   )
@@ -168,6 +197,20 @@ object Relational2 {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_agg_median" ->
+      """SELECT l_returnflag,
+        |  median(CAST(l_quantity AS BIGINT)) AS med,
+        |  quantile_cont(CAST(l_quantity AS BIGINT), 0.25) AS q1,
+        |  quantile_cont(CAST(l_quantity AS BIGINT), 0.75) AS q3
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_fn_array2" ->
+      """SELECT l_orderkey,
+        |  list_sort(list(l_linenumber)) AS lns,
+        |  CAST(len(list_distinct(list(l_suppkey))) AS INT) AS n_supp,
+        |  list_sort(list(l_linenumber))[1:3] AS first3,
+        |  list_sort(list_distinct(list(l_linenumber))) AS dlns,
+        |  CAST(range(1, len(list(l_linenumber)) + 1) AS INT[]) AS seq
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "q_fn_bitwise" ->
       """SELECT o_orderkey,
         |  o_orderkey & 255 AS b_and,
