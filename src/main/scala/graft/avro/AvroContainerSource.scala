@@ -117,6 +117,7 @@ case class AvroTable(tableSchema: StructType, props: Map[String, String])
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     AvroScanBuilder(tableSchema, options)
@@ -193,6 +194,65 @@ case class AvroScan(fullSchema: StructType, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     AvroReaderFactory(required, options, limit, confEntries)
+
+  /** Micro-batch streaming over a grow-only container directory,
+    * FileStreamSource-style: each latestOffset() call diffs the current
+    * listing against the files already assigned to a batch; new files
+    * (any name) form the next batch. The in-memory batch manifest means
+    * checkpoint recovery reprocesses from scratch (a production source
+    * would persist the manifest in the checkpoint like
+    * FileStreamSourceLog — out of scope for the demo surface). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new AvroMicroBatchStream(required, options, confEntries)
+}
+
+case class AvroBatchOffset(batch: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = batch.toString
+}
+
+class AvroMicroBatchStream(required: StructType,
+    options: Map[String, String], confEntries: Map[String, String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val seen = scala.collection.mutable.HashSet.empty[String]
+  private val batches =
+    scala.collection.mutable.Map.empty[Int, Seq[(String, Long)]]
+  private var lastBatch = 0
+
+  private def listNow(): Seq[(String, Long)] =
+    AvroContainerSource.listFiles(
+      new CaseInsensitiveStringMap(options.asJava))
+
+  override def initialOffset(): Offset = AvroBatchOffset(0)
+
+  override def latestOffset(): Offset = synchronized {
+    val fresh = listNow().filterNot(f => seen.contains(f._1))
+    if (fresh.nonEmpty) {
+      lastBatch += 1
+      batches(lastBatch) = fresh
+      seen ++= fresh.map(_._1)
+    }
+    AvroBatchOffset(lastBatch)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    AvroBatchOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = synchronized {
+    val s = start.asInstanceOf[AvroBatchOffset].batch
+    val e = end.asInstanceOf[AvroBatchOffset].batch
+    ((s + 1) to e).flatMap(b => batches.getOrElse(b, Nil))
+      .map { case (p, len) => AvroFilePartition(p, 0L, len) }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    AvroReaderFactory(required, options, -1, confEntries)
 }
 
 case class AvroReaderFactory(required: StructType,

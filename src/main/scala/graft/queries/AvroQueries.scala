@@ -71,6 +71,21 @@ object AvroQueries {
       .orderBy("name")
   }
 
+  /** Micro-batch streaming ingest of a container directory through the
+    * graft-avro source, drained to a memory sink — lossless, so it's
+    * oracled as an identity query over events. */
+  private def qAvroStream(s: SparkSession, d: String): DataFrame = {
+    val dir = freshDir(s"avro_st_${math.abs(d.hashCode)}")
+    events(s, d).select(col("event_id"), col("event_type"))
+      .write.format("graft-avro").mode("append").save(dir)
+    val name = s"avsink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = s.readStream.format("graft-avro").load(dir)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy("event_id")
+  }
+
   /** File-metadata scan (reference A4's S3 listing as a DataFrame).
     * Relative names + sizes are deterministic; paths aren't → no oracle. */
   private def qSourceBinary(s: SparkSession, d: String): DataFrame =
@@ -99,6 +114,7 @@ object AvroQueries {
 
   val defs: Map[String, Relational.Q] = Map(
     "q_avro_roundtrip" -> (qAvroRoundtrip _),
+    "q_avro_stream" -> (qAvroStream _),
     "q_avro_validate" -> (qAvroValidate _),
     "q_avro_repair" -> (qAvroRepair _),
     "q_source_binary" -> (qSourceBinary _),
@@ -109,6 +125,8 @@ object AvroQueries {
     "q_avro_roundtrip" ->
       """SELECT event_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_avro_stream" ->
+      """SELECT event_id, event_type FROM events ORDER BY event_id""".stripMargin,
     "q_sink_parquet" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
         |FROM orders ORDER BY o_orderkey""".stripMargin,

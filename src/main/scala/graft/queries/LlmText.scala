@@ -176,6 +176,31 @@ object LlmText {
         round(col("quality"), 6).as("quality"))
       .orderBy("doc_id")
 
+  /** TF-IDF top-3 terms per document. Fully declarative: the corpus size
+    * joins in as a broadcast 1-row aggregate (no driver scalar), document
+    * frequency is one shuffle on the word, scores are exact-int ratios ×
+    * ln of exact-int ratios (6-dp pre-round keeps ranking portable). */
+  private def qTextTfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+    val toks = docs.select(col("doc_id"),
+      explode(words(lower(col("text")))).as("w"))
+    val wc = toks.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val dlen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("toks"))
+    val dfreq = wc.groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = wc.join(dlen, "doc_id").join(dfreq, "w")
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(
+        (col("cnt").cast("double") / col("toks")) *
+          log((col("n_docs") + 1).cast("double") / (col("dfreq") + 1)), 6))
+    val wnd = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("w").asc)
+    scored.withColumn("rnk", row_number().over(wnd)).filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("w"), col("score"))
+      .orderBy("doc_id", "rnk")
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish alnum-run split. */
   private def qTextTokens(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
@@ -260,6 +285,7 @@ object LlmText {
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_tokens" -> (qTextTokens _),
+    "q_text_tfidf" -> (qTextTfidf _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_mm_meta" -> (qMmMeta _),
     "q_mm_decode" -> (qMmDecode _),
@@ -326,6 +352,24 @@ object LlmText {
         |  CAST(len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
         |    x -> len(x) > 0)) AS DOUBLE) * 100.0 / n_chars AS toks_per_100c
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_tfidf" ->
+      """WITH docs AS (SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id < 200),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs),
+        |wc AS (SELECT doc_id, w, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, COUNT(*) AS toks FROM toks GROUP BY 1),
+        |dfreq AS (SELECT w, COUNT(*) AS dfreq FROM wc GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM docs),
+        |scored AS (
+        |  SELECT wc.doc_id, wc.w,
+        |    ROUND((CAST(cnt AS DOUBLE) / toks) *
+        |          ln(CAST(n_docs + 1 AS DOUBLE) / (dfreq + 1)), 6) AS score
+        |  FROM wc JOIN dlen USING (doc_id) JOIN dfreq USING (w) CROSS JOIN n),
+        |r AS (SELECT doc_id, w, score,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |          ORDER BY score DESC, w ASC) AS INT) AS rnk
+        |      FROM scored)
+        |SELECT doc_id, rnk, w, score FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
     "q_mm_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest

@@ -184,6 +184,28 @@ class AvroSubsystemSpec extends AnyFunSuite {
     assert(res.recordsRecovered > 0 && res.recordsRecovered < n)
   }
 
+  test("streaming read: new container files arrive as micro-batches") {
+    import spark.implicits._
+    val dir = tmpDir("stream")
+    AvroWrite.write((1L to 50L).map(i => (i, s"a$i")).toDF("id", "s"), dir)
+    val q = spark.readStream.format("graft-avro").load(dir)
+      .writeStream.format("memory").queryName("avro_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("avro_stream").count() == 50)
+      // a new file appears (later part id → lexicographically after)
+      val more = (51L to 80L).map(i => (i, s"b$i")).toDF("id", "s")
+        .coalesce(1).rdd // ensure a single new part file
+      (51L to 80L).map(i => (i, s"b$i")).toDF("id", "s").coalesce(1)
+        .write.format("graft-avro").mode("append").save(dir)
+      q.processAllAvailable()
+      val ids = spark.table("avro_stream").select("id").collect()
+        .map(_.getLong(0)).toSet
+      assert(ids == (1L to 80L).toSet, s"got ${ids.size} ids")
+    } finally q.stop()
+  }
+
   test("repair pipeline end-to-end: statuses, replacement, per-file errors") {
     val dir = tmpDir("pipe")
     AvroFixtures.writeAll(dir)
