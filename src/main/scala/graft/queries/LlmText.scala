@@ -226,6 +226,42 @@ object LlmText {
       .select(col("doc_id"), col("poly_fp"), col("min_fp"))
       .orderBy("doc_id")
 
+  /** Context-window chunking: 100-char windows with 20-char overlap
+    * (stride 80) — the standard long-document preprocessing step. Pure
+    * generator: posexplode over a computed index sequence, no shuffle. */
+  private def qTextChunk(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").filter(col("doc_id") < 100)
+      .withColumn("n_chunks",
+        greatest(ceil((col("n_chars") - lit(20)) / lit(80.0)), lit(1))
+          .cast("int"))
+      .select(col("doc_id"), col("text"),
+        posexplode(expr("sequence(0, n_chunks - 1)")).as(Seq("k", "idx")))
+      .select(col("doc_id"), col("idx").cast("int").as("chunk_idx"),
+        expr("substring(text, idx * 80 + 1, 100)").as("chunk"),
+        length(expr("substring(text, idx * 80 + 1, 100)")).cast("int")
+          .as("chunk_len"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Greedy sequence packing: documents in doc_id order accumulate into
+    * 4096-token bins (bin = floor of the pre-document running total /
+    * budget) — how training examples get packed into fixed context
+    * windows. One window cumsum, exact integer arithmetic. */
+  private def qTextPack(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "documents")
+      .withColumn("toks", size(words(col("text"))).cast("bigint"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      // explicit floor: DuckDB CAST(double AS BIGINT) rounds-to-nearest
+      // while Spark truncates — floor is the portable form
+      .withColumn("bin", floor((col("cum") - col("toks")) / lit(4096.0))
+        .cast("bigint"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("bin")
+  }
+
   // ------------------------------------------------- multimodal columns
 
   /** Multimodal metadata over an opaque binary column (text bytes stand
@@ -286,6 +322,8 @@ object LlmText {
     "q_text_quality" -> (qTextQuality _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_tfidf" -> (qTextTfidf _),
+    "q_text_chunk" -> (qTextChunk _),
+    "q_text_pack" -> (qTextPack _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_mm_meta" -> (qMmMeta _),
     "q_mm_decode" -> (qMmDecode _),
@@ -370,6 +408,25 @@ object LlmText {
         |      FROM scored)
         |SELECT doc_id, rnk, w, score FROM r WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin,
+    "q_text_chunk" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  CAST(greatest(ceil((n_chars - 20) / 80.0), 1) AS INT) AS n_chunks
+        |  FROM documents WHERE doc_id < 100),
+        |z AS (SELECT doc_id, text,
+        |        unnest(range(0, n_chunks)) AS idx FROM d)
+        |SELECT doc_id, CAST(idx AS INT) AS chunk_idx,
+        |  substring(text, CAST(idx * 80 + 1 AS INT), 100) AS chunk,
+        |  CAST(length(substring(text, CAST(idx * 80 + 1 AS INT), 100)) AS INT) AS chunk_len
+        |FROM z ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_text_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |  SUM(toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+        |SELECT CAST(floor((cum - toks) / 4096.0) AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS bin_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_mm_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest
