@@ -118,6 +118,30 @@ object Relational2 {
         expr("sequence(1, size(lns))").as("seq"))
       .orderBy("l_orderkey")
 
+  /** String aggregation (LISTAGG shape): deterministic via sorted
+    * distinct sets joined with a fixed separator. */
+  private def qAggListagg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(concat_ws(",", sort_array(collect_set(col("l_linestatus"))))
+        .as("statuses"),
+        concat_ws("|", sort_array(collect_set(col("l_shipdate").cast("date")
+          .cast("string")))).as("d1"))
+      .select(col("l_returnflag"), col("statuses"),
+        substring(col("d1"), 1, 21).as("first_dates"))
+      .orderBy("l_returnflag")
+
+  /** nth_value + first/last over an explicit frame. */
+  private def qWinNth(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+      nth_value(col("o_orderkey"), 2).over(w).as("second_ok"),
+      count(lit(1)).over(w).as("n_orders"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   private def qFnBitwise(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders").select(col("o_orderkey"),
       (col("o_orderkey").bitwiseAND(255)).as("b_and"),
@@ -148,6 +172,8 @@ object Relational2 {
     "q_set_except_all" -> (qSetExceptAll _),
     "q_win_percent" -> (qWinPercent _),
     "q_agg_median" -> (qAggMedian _),
+    "q_agg_listagg" -> (qAggListagg _),
+    "q_win_nth" -> (qWinNth _),
     "q_fn_array2" -> (qFnArray2 _),
     "q_fn_bitwise" -> (qFnBitwise _),
     "q_fn_struct" -> (qFnStruct _),
@@ -196,6 +222,20 @@ object Relational2 {
         |  ROUND(CUME_DIST() OVER w, 6) AS cd
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_agg_listagg" ->
+      """SELECT l_returnflag,
+        |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+        |  substring(string_agg(DISTINCT CAST(CAST(l_shipdate AS DATE) AS VARCHAR), '|'
+        |    ORDER BY CAST(CAST(l_shipdate AS DATE) AS VARCHAR)), 1, 21) AS first_dates
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_win_nth" ->
+      """SELECT o_custkey, o_orderkey,
+        |  NTH_VALUE(o_orderkey, 2) OVER w AS second_ok,
+        |  COUNT(*) OVER w AS n_orders
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_agg_median" ->
       """SELECT l_returnflag,

@@ -184,6 +184,19 @@ class AvroSubsystemSpec extends AnyFunSuite {
     assert(res.recordsRecovered > 0 && res.recordsRecovered < n)
   }
 
+  test("all six codecs round-trip through write + DSv2 read") {
+    import spark.implicits._
+    for (codec <- Seq("null", "deflate", "snappy", "bzip2", "xz", "zstandard")) {
+      val dir = tmpDir(s"codec-$codec")
+      AvroWrite.write((1L to 200L).map(i => (i, s"v$i")).toDF("id", "s"),
+        dir, codec = codec)
+      val back = spark.read.format("graft-avro").load(dir)
+      assert(back.count() == 200, s"codec $codec lost rows")
+      assert(back.orderBy("id").collect()(199).getString(1) == "v200",
+        s"codec $codec corrupted data")
+    }
+  }
+
   test("streaming read: new container files arrive as micro-batches") {
     import spark.implicits._
     val dir = tmpDir("stream")
