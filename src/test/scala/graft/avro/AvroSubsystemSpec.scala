@@ -184,6 +184,23 @@ class AvroSubsystemSpec extends AnyFunSuite {
     assert(res.recordsRecovered > 0 && res.recordsRecovered < n)
   }
 
+  test("DSv2 options: seeded samplerate is deterministic, offset skips") {
+    import spark.implicits._
+    val dir = tmpDir("opts")
+    // one container file: offset/limit are per-partition bounds
+    AvroWrite.write((1L to 2000L).map(i => (i, i * 2.0)).toDF("id", "v")
+      .coalesce(1), dir)
+    def sampled() = spark.read.format("graft-avro")
+      .option("samplerate", "0.1").option("seed", "7").load(dir)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val s1 = sampled(); val s2 = sampled()
+    assert(s1 == s2, "seeded sample must be reproducible")
+    assert(s1.size > 100 && s1.size < 320, s"~10% expected, got ${s1.size}")
+    val off = spark.read.format("graft-avro").option("offset", "1990")
+      .load(dir).collect()
+    assert(off.length == 10 && off.map(_.getLong(0)).min == 1991L)
+  }
+
   test("all six codecs round-trip through write + DSv2 read") {
     import spark.implicits._
     for (codec <- Seq("null", "deflate", "snappy", "bzip2", "xz", "zstandard")) {
