@@ -77,15 +77,26 @@ object AvroContainerSource {
     val p = new Path(root)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return Seq.empty
-    val it = fs.listFiles(p, true)
-    val out = Seq.newBuilder[(String, Long)]
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.isFile && !f.getPath.getName.startsWith(".") &&
-          !f.getPath.getName.startsWith("_"))
-        out += ((f.getPath.toString, f.getLen))
+    def attempt(): Seq[(String, Long)] = {
+      val it = fs.listFiles(p, true)
+      val out = Seq.newBuilder[(String, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && !f.getPath.getName.startsWith(".") &&
+            !f.getPath.getName.startsWith("_"))
+          out += ((f.getPath.toString, f.getLen))
+      }
+      out.result().sortBy(_._1)
     }
-    out.result().sortBy(_._1)
+    // A concurrent writer's temp file can vanish between the directory
+    // read and the per-entry stat (local FS even shells out for
+    // permissions), aborting the iterator mid-listing — retry.
+    var tries = 3
+    while (tries > 1) {
+      try return attempt()
+      catch { case _: Exception => tries -= 1; Thread.sleep(50) }
+    }
+    attempt()
   }
 
   /** Driver-side Hadoop conf; executors rebuild from serialized entries. */
@@ -125,8 +136,10 @@ case class AvroTable(tableSchema: StructType, props: Map[String, String])
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     import scala.jdk.CollectionConverters._
+    val opts = info.options().entrySet().asScala
+      .map(e => e.getKey -> e.getValue).toMap // lowercased keys
     AvroWriteBuilder(info.schema(),
-      props ++ info.options().asCaseSensitiveMap().asScala)
+      props.map { case (k, v) => k.toLowerCase -> v } ++ opts)
   }
 }
 
@@ -149,7 +162,11 @@ case class AvroScanBuilder(fullSchema: StructType,
   override def isPartiallyPushed: Boolean = true
 
   override def build(): Scan = {
-    val opts = options.asCaseSensitiveMap().asScala.toMap
+    // entrySet iterates the delegate's lowercased keys — keeps the DSv2
+    // case-insensitive options contract (asCaseSensitiveMap would leak
+    // the caller's original casing and break lookups like "samplerate")
+    val opts = options.entrySet().asScala
+      .map(e => e.getKey -> e.getValue).toMap
     AvroScan(fullSchema, required, opts, limit,
       AvroContainerSource.serializableConfEntries())
   }
@@ -180,8 +197,9 @@ case class AvroScan(fullSchema: StructType, required: StructType,
     // boundaries at read time) so a single multi-GB file scans with the
     // cluster, not one task. maxSplitBytes mirrors
     // spark.sql.files.maxPartitionBytes' role.
-    val splitBytes = options.getOrElse("maxSplitBytes",
+    val splitBytes = options.getOrElse("maxsplitbytes",
       (128L * 1024 * 1024).toString).toLong
+    require(splitBytes > 0, s"maxSplitBytes must be positive, got $splitBytes")
     files.flatMap { case (p, len) =>
       // end must be the real length: avro's pastSync(pos) computes
       // pos + SYNC_SIZE, which overflows for Long.MaxValue
@@ -322,8 +340,11 @@ class AvroPartitionReader(part: AvroFilePartition, required: StructType,
       }
       false
     } catch {
+      // Avro decode corruption surfaces as AvroRuntimeException as often
+      // as IOException — wrap every failure with the file path so a
+      // 10,000-file scan names its corrupt member.
       case e: Exception if !failfast => dead = true; false
-      case e: java.io.IOException => throw new java.io.IOException(
+      case e: Exception => throw new java.io.IOException(
         s"corrupt avro container ${part.path}: ${e.getMessage}", e)
     }
   }

@@ -106,6 +106,8 @@ object AvroDatum {
     val s = SchemaConverter.resolve(schema)
     dt match {
       case BooleanType => (r, i) => java.lang.Boolean.valueOf(r.getBoolean(i))
+      case ByteType => (r, i) => java.lang.Integer.valueOf(r.getByte(i).toInt)
+      case ShortType => (r, i) => java.lang.Integer.valueOf(r.getShort(i).toInt)
       case IntegerType | DateType => (r, i) => java.lang.Integer.valueOf(r.getInt(i))
       case LongType => (r, i) => java.lang.Long.valueOf(r.getLong(i))
       case TimestampType | TimestampNTZType =>
@@ -157,6 +159,8 @@ object AvroDatum {
     dt match {
       case BooleanType | IntegerType | LongType | FloatType | DoubleType |
            DateType | TimestampType | TimestampNTZType => identity
+      case ByteType => v => java.lang.Integer.valueOf(v.asInstanceOf[Byte].toInt)
+      case ShortType => v => java.lang.Integer.valueOf(v.asInstanceOf[Short].toInt)
       case StringType => v => v.toString
       case BinaryType => v => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
       case d: DecimalType => v => ByteBuffer.wrap(

@@ -2,8 +2,6 @@ package graft.avro
 
 import java.io.EOFException
 
-import scala.collection.mutable.ArrayBuffer
-
 import org.apache.avro.Schema
 import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableInput}
 import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
@@ -33,13 +31,16 @@ object Salvage {
 
   /** Salvage accounting (B12 — the counts avro-tools prints and the
     * reference discards; we keep them as data). */
-  final case class SalvageResult(status: String, totalRecords: Long,
+  final case class SalvageResult(status: String,
       recordsRecovered: Long, resyncs: Long, error: String)
 
   /** Sampled decode scan. Defaults mirror the reference's
-    * `application.yml:6-7` (limit 1,000,000, samplerate 1% — note every
-    * record is still *block-length* scanned by the decoder; sampling only
-    * skips the datum materialization, same as avro-tools cat). */
+    * `application.yml:6-7` (limit 1,000,000, samplerate 1%). Sampling is
+    * at *block* granularity: unsampled blocks are skipped raw (their
+    * count/size varints and sync markers are still structurally checked,
+    * but datum-internal corruption inside them can be missed — the same
+    * trade-off as the reference's 1% `cat` scan, SURVEY §3.2, with the
+    * work actually reduced instead of decoding everything). */
   def validate(fs: FileSystem, path: Path, limit: Long = 1000000L,
       samplerate: Double = 0.01, seed: Long = 42L): ValidateResult = {
     var scanned = 0L
@@ -54,11 +55,20 @@ object Salvage {
             seed ^ scala.util.hashing.MurmurHash3.stringHash(path.toString).toLong)
           var more = reader.hasNext
           while (more && scanned < limit) {
-            // decode is what validates; sampling decides nothing here
-            // beyond matching the reference's record-materialization count
-            reader.next()
-            rng.nextDouble()
-            scanned += 1
+            if (samplerate >= 1.0 || rng.nextDouble() < samplerate) {
+              // decode every record of the sampled block
+              var inBlock = reader.getBlockCount
+              while (inBlock > 0 && scanned < limit) {
+                reader.next()
+                scanned += 1
+                inBlock -= 1
+              }
+            } else {
+              // skip the block without decoding; structure (varints +
+              // sync) is still verified by the block iteration itself
+              scanned += reader.getBlockCount
+              reader.nextBlock()
+            }
             more = reader.hasNext
           }
           // DataFileStream.hasNext swallows a mid-block EOF: a truncated
@@ -93,8 +103,10 @@ object Salvage {
     } finally in.close()
   }
 
-  /** Block salvage (modes `all` | `report`). Writes recovered records to
-    * `out` (temp name; caller commits) unless mode=report. */
+  /** Block salvage (modes `all` | `report`). Streams recovered records
+    * straight into the output writer (no in-memory accumulation — a
+    * multi-GB container must not materialize on one executor's heap);
+    * mode=report (`out=None`) only counts. */
   def salvage(fs: FileSystem, path: Path, out: Option[Path],
       codecOverride: Option[String] = None): SalvageResult = {
     val header = try {
@@ -107,7 +119,7 @@ object Salvage {
       } finally in.close()
     } catch {
       case e: Exception =>
-        return SalvageResult("unrepairable", 0L, 0L, 0L,
+        return SalvageResult("unrepairable", 0L, 0L,
           s"header: ${e.getClass.getSimpleName}: ${e.getMessage}")
     }
     val (schema, codec) = header.get
@@ -116,8 +128,15 @@ object Salvage {
     try {
       val reader = new DataFileReader[GenericRecord](in,
         new GenericDatumReader[GenericRecord]())
-      val recovered = ArrayBuffer.empty[GenericRecord]
+      val writer = out.map { o =>
+        val w = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](schema))
+        w.setCodec(AvroWrite.codecFactory(codecOverride.getOrElse(codec)))
+        w.create(schema, fs.create(o, true))
+        w
+      }
       val fileLen = fs.getFileStatus(path).getLen
+      var recovered = 0L
       var resyncs = 0L
       var exhausted = false
       val headerEnd = reader.previousSync()
@@ -130,8 +149,11 @@ object Salvage {
       try {
         while (!exhausted) {
           try {
-            if (reader.hasNext) recovered += reader.next()
-            else exhausted = true
+            if (reader.hasNext) {
+              val rec = reader.next()
+              writer.foreach(_.append(rec))
+              recovered += 1
+            } else exhausted = true
           } catch {
             case _: EOFException => exhausted = true
             case _: Exception =>
@@ -146,27 +168,18 @@ object Salvage {
               } catch { case _: Exception => exhausted = true }
           }
         }
-      } finally reader.close()
-
-      out match {
-        case Some(o) =>
-          val w = new DataFileWriter[GenericRecord](
-            new GenericDatumWriter[GenericRecord](schema))
-          w.setCodec(AvroWrite.codecFactory(codecOverride.getOrElse(codec)))
-          val os = fs.create(o, true)
-          w.create(schema, os)
-          try recovered.foreach(w.append) finally w.close()
-        case None => () // mode=report (B10): count-only dry run
+      } finally {
+        try reader.close() finally writer.foreach(_.close())
       }
+
       // A truncated tail is also corruption even though the block loop
       // ends silently (same EOF-swallowing as in validate).
       if (!trailingMarkerIntact(fs, path, headerEnd)) resyncs += 1
       val status = if (resyncs == 0) "valid" else "repaired"
-      SalvageResult(status, recovered.length.toLong, recovered.length.toLong,
-        resyncs, null)
+      SalvageResult(status, recovered, resyncs, null)
     } catch {
       case e: Exception =>
-        SalvageResult("unrepairable", 0L, 0L, 0L,
+        SalvageResult("unrepairable", 0L, 0L,
           s"${e.getClass.getSimpleName}: ${e.getMessage}")
     } finally in.close()
   }

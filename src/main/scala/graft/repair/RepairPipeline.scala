@@ -100,9 +100,16 @@ object RepairPipeline {
           s"revalidate failed: ${rv.error}")
       }
       if (replace) {
-        // A15: swap in place of the original.
-        fs.delete(path, false)
-        fs.rename(tmp, path)
+        // A15 swap, crash-safe: park the original under a .bak name
+        // first so no moment exists where the only copy of the data is
+        // a hidden temp (delete-then-rename would lose the file if the
+        // executor died between the two calls).
+        val bak = new Path(path.getParent, s".bak-${path.getName}")
+        fs.delete(bak, false)
+        fs.rename(path, bak)
+        if (fs.rename(tmp, path)) fs.delete(bak, false)
+        else { fs.rename(bak, path); throw new java.io.IOException(
+          s"swap failed for $pathStr; original restored") }
         FileRepairReport(pathStr, "repaired_replaced", len,
           v.recordsScanned, s.recordsRecovered, s.resyncs, null)
       } else {

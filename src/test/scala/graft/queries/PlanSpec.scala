@@ -82,8 +82,6 @@ class PlanSpec extends AnyFunSuite {
 
   test("bucketed join runs with zero shuffle exchange") {
     val p = plan("q_join_bucketed")
-    val joinRegion = p.substring(0, p.indexOf("HashAggregate")
-      .max(p.length - 1))
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), s"no join found:\n$p")
     assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
