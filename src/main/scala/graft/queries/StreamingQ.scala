@@ -159,7 +159,43 @@ object StreamingQ {
     s.table(name).orderBy("w_start", "event_type")
   }
 
+  /** Stream-stream inner join with watermarks + an event-time range
+    * constraint (impression → click within 10 minutes): both sides
+    * buffer state bounded by the watermark; the out-of-window click must
+    * not join. */
+  private def qStreamJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val imp = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Ev](s)
+    val clk = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Ev](s)
+    val name = s"jsink_${UUID.randomUUID().toString.replace("-", "")}"
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val impDf = imp.toDF().select(col("event_id").as("ad_id"),
+        col("ts").as("imp_ts")).withWatermark("imp_ts", "10 minutes")
+      val clkDf = clk.toDF().select(col("event_id").as("c_ad_id"),
+        col("ts").as("clk_ts")).withWatermark("clk_ts", "10 minutes")
+      val joined = impDf.join(clkDf, expr(
+        "ad_id = c_ad_id AND clk_ts BETWEEN imp_ts AND imp_ts + INTERVAL 10 MINUTES"))
+        .select(col("ad_id"), unix_micros(col("imp_ts")).as("imp_us"),
+          unix_micros(col("clk_ts")).as("clk_us"))
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        imp.addData(Seq(ev(1, 0), ev(2, 60), ev(3, 120)))
+        clk.addData(Seq(ev(1, 300),   // 5 min later → joins
+          ev(2, 1500),                // 24 min later → outside window
+          ev(4, 200)))                // no matching impression
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(name).orderBy("ad_id")
+  }
+
   val defs: Map[String, Relational.Q] = Map(
+    "q_stream_join" -> (qStreamJoin _),
     "q_stream_file_source" -> (qStreamFileSource _),
     "q_stream_tumble" -> (qStreamTumble _),
     "q_stream_slide" -> (qStreamSlide _),

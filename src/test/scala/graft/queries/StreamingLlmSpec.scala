@@ -133,6 +133,14 @@ class StreamingLlmSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("stream-stream join keeps the in-window click, drops the late one") {
+    val rows = SparkEntry.queries("q_stream_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2) - r.getLong(1)))
+    // only ad 1 joins: within 10 min; ad 2's click is 24 min late,
+    // ad 4 has no impression
+    assert(rows.toSeq == Seq((1L, 300000000L)), s"got ${rows.toSeq}")
+  }
+
   test("batch session windows merge at <30min gaps and split at >=30min") {
     val rows = SparkEntry.queries("q_stream_session")(spark, sf).collect()
     assert(rows.nonEmpty)
