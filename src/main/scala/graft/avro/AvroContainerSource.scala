@@ -216,13 +216,17 @@ case class AvroScan(fullSchema: StructType, required: StructType,
   /** Micro-batch streaming over a grow-only container directory,
     * FileStreamSource-style: each latestOffset() call diffs the current
     * listing against the files already assigned to a batch; new files
-    * (any name) form the next batch. The in-memory batch manifest means
-    * checkpoint recovery reprocesses from scratch (a production source
-    * would persist the manifest in the checkpoint like
-    * FileStreamSourceLog — out of scope for the demo surface). */
+    * (any name) form the next batch. The batch→files manifest is
+    * persisted under the checkpoint (one file per batch, written
+    * tmp+rename, FileStreamSourceLog-style), so a restarted query
+    * resumes from the committed offset without dropping or replaying
+    * files: already-assigned batches reload with their original numbers
+    * and `seen` set, and new files get fresh batch numbers above the
+    * recovered high-water mark. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new AvroMicroBatchStream(required, options, confEntries)
+    new AvroMicroBatchStream(required, options, confEntries,
+      checkpointLocation)
 }
 
 case class AvroBatchOffset(batch: Int)
@@ -231,7 +235,8 @@ case class AvroBatchOffset(batch: Int)
 }
 
 class AvroMicroBatchStream(required: StructType,
-    options: Map[String, String], confEntries: Map[String, String])
+    options: Map[String, String], confEntries: Map[String, String],
+    checkpointLocation: String)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -239,6 +244,48 @@ class AvroMicroBatchStream(required: StructType,
   private val batches =
     scala.collection.mutable.Map.empty[Int, Seq[(String, Long)]]
   private var lastBatch = 0
+
+  // Durable manifest: <checkpoint>/graft-avro-manifest/<batch> holds one
+  // "len<TAB>path" line per file of that batch. Recovery replays it so a
+  // restart neither re-assigns committed batch numbers to new files
+  // (which silently dropped them) nor reprocesses committed files.
+  private val conf = AvroContainerSource.confFrom(confEntries)
+  private val manifestDir =
+    new org.apache.hadoop.fs.Path(checkpointLocation, "graft-avro-manifest")
+  private val mfs = manifestDir.getFileSystem(conf)
+  if (mfs.exists(manifestDir)) {
+    mfs.listStatus(manifestDir).map(_.getPath)
+      .filter(_.getName.forall(_.isDigit)).foreach { p =>
+        val b = p.getName.toInt
+        val in = mfs.open(p)
+        val text = try {
+          val bos = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+          new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+        val files = text.split("\n").iterator.filter(_.nonEmpty).map { line =>
+          val Array(len, path) = line.split("\t", 2)
+          (path, len.toLong)
+        }.toSeq
+        batches(b) = files
+        seen ++= files.map(_._1)
+        if (b > lastBatch) lastBatch = b
+      }
+  }
+
+  private def persistBatch(b: Int, files: Seq[(String, Long)]): Unit = {
+    mfs.mkdirs(manifestDir)
+    val tmp = new org.apache.hadoop.fs.Path(manifestDir, s".$b.tmp")
+    val out = mfs.create(tmp, true)
+    try out.write(files.map { case (p, len) => s"$len\t$p\n" }.mkString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = new org.apache.hadoop.fs.Path(manifestDir, b.toString)
+    if (!mfs.rename(tmp, dest)) {
+      mfs.delete(tmp, false)
+      throw new java.io.IOException(s"cannot persist batch manifest $dest")
+    }
+  }
 
   private def listNow(): Seq[(String, Long)] =
     AvroContainerSource.listFiles(
@@ -250,6 +297,7 @@ class AvroMicroBatchStream(required: StructType,
     val fresh = listNow().filterNot(f => seen.contains(f._1))
     if (fresh.nonEmpty) {
       lastBatch += 1
+      persistBatch(lastBatch, fresh)
       batches(lastBatch) = fresh
       seen ++= fresh.map(_._1)
     }

@@ -48,8 +48,19 @@ object AvroWrite {
       } finally {
         if (!ok) { try writer.close() catch { case _: Exception => () } }
         if (ok) {
-          fs.delete(finalPath, false)
-          fs.rename(tmpPath, finalPath)
+          // First-attempt-wins commit: the final name is deterministic
+          // per partition, and a complete file only ever appears there
+          // (partials stay under the temp name). So a failed rename with
+          // the destination present means a retried/speculative attempt
+          // already committed this partition — drop ours. A failed
+          // rename with no destination is a real commit failure and must
+          // fail the task, not silently lose the partition.
+          if (!fs.rename(tmpPath, finalPath)) {
+            fs.delete(tmpPath, false)
+            if (!fs.exists(finalPath))
+              throw new java.io.IOException(
+                s"commit failed: cannot rename $tmpPath to $finalPath")
+          }
         } else fs.delete(tmpPath, false)
       }
     }

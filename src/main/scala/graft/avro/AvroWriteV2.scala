@@ -100,7 +100,12 @@ class AvroDataWriter(schema: StructType, avroJson: String, dir: String,
 
   override def commit(): WriterCommitMessage = {
     writer.close()
-    fs.rename(tmpPath, finalPath)
+    // An unchecked false return would report task success with a commit
+    // message pointing at a file that doesn't exist — the job would
+    // "succeed" with silently missing data.
+    if (!fs.rename(tmpPath, finalPath))
+      throw new java.io.IOException(
+        s"task commit failed: cannot rename $tmpPath to $finalPath")
     AvroCommitMessage(finalPath.toString)
   }
 

@@ -63,9 +63,9 @@ object Relational {
   private def qProjectExpr(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
-        dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        dbl(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
           .as("revenue"),
-        chargeExact.as("charge"),
+        dbl(chargeExact).as("charge"),
         when(col("l_quantity") > 25, "bulk")
           .when(col("l_quantity") > 10, "mid")
           .otherwise("small").as("bucket"))
@@ -131,7 +131,7 @@ object Relational {
         col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_cust"),
-        dec(sum(dec(col("c_acctbal")))).as("sum_bal"))
+        dbl(sum(dec(col("c_acctbal")))).as("sum_bal"))
       .orderBy("n_name")
 
   private def qJoinTheta(s: SparkSession, d: String): DataFrame =
@@ -172,7 +172,7 @@ object Relational {
       .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
       .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(dec(sum(dec(col("l_extendedprice") * (lit(1.0) -
+      .agg(dbl(sum(dec(col("l_extendedprice") * (lit(1.0) -
         col("l_discount"))))).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
@@ -183,7 +183,7 @@ object Relational {
     t(s, d, "lineitem").agg(
       count(lit(1)).as("n_rows"),
       countDistinct(col("l_orderkey")).as("n_orders"),
-      dec(sum(dec(col("l_quantity")))).as("sum_qty"),
+      dbl(sum(dec(col("l_quantity")))).as("sum_qty"),
       min(col("l_shipdate").cast("date")).as("min_ship"),
       max(col("l_shipdate").cast("date")).as("max_ship"))
 
@@ -193,11 +193,11 @@ object Relational {
       .filter(col("l_shipdate") <= ntz("2002-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        dec(sum(dec(col("l_quantity")))).as("sum_qty"),
-        dec(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
-        dec(sum(dec(col("l_extendedprice") * (lit(1.0) -
+        dbl(sum(dec(col("l_quantity")))).as("sum_qty"),
+        dbl(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        dbl(sum(dec(col("l_extendedprice") * (lit(1.0) -
           col("l_discount"))))).as("sum_disc_price"),
-        sum(chargeExact).cast("decimal(18,6)").as("sum_charge"),
+        dbl(sum(chargeExact)).as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -205,12 +205,12 @@ object Relational {
     t(s, d, "lineitem").groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_suppkey")).as("nd_supp"),
         countDistinct(col("l_partkey"), col("l_suppkey")).as("nd_ps"),
-        dec(sum_distinct(dec(col("l_quantity")))).as("sum_dist_qty"))
+        dbl(sum_distinct(dec(col("l_quantity")))).as("sum_dist_qty"))
       .orderBy("l_returnflag")
 
   private def qAggHaving(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders").groupBy(col("o_custkey"))
-      .agg(dec(sum(dec(col("o_totalprice")))).as("total_spent"),
+      .agg(dbl(sum(dec(col("o_totalprice")))).as("total_spent"),
         count(lit(1)).as("n_orders"))
       .filter(col("total_spent") > 1000000)
       .orderBy("o_custkey")
@@ -224,7 +224,7 @@ object Relational {
       .rollup(col("r_name"), col("n_name"))
       .agg(grouping(col("r_name")).as("g_r"), grouping(col("n_name"))
         .as("g_n"), count(lit(1)).as("n_cust"),
-        dec(sum(dec(col("c_acctbal")))).as("sum_bal"))
+        dbl(sum(dec(col("c_acctbal")))).as("sum_bal"))
       .orderBy(col("g_r"), col("g_n"), col("r_name").asc_nulls_first,
         col("n_name").asc_nulls_first)
 
@@ -384,8 +384,8 @@ object Relational {
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus""".stripMargin,
     "q_project_expr" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS revenue,
-        |  CAST(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(18,6)) AS charge,
+        |  CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+        |  CAST(CAST(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(18,6)) AS DOUBLE) AS charge,
         |  CASE WHEN l_quantity > 25 THEN 'bulk' WHEN l_quantity > 10 THEN 'mid' ELSE 'small' END AS bucket
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, charge, bucket""".stripMargin,
     "q_join_inner" ->
@@ -422,7 +422,7 @@ object Relational {
         |ORDER BY r_regionkey, n_nationkey""".stripMargin,
     "q_join_broadcast" ->
       """SELECT n_name, COUNT(*) AS n_cust,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_bal
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_join_theta" ->
@@ -443,7 +443,7 @@ object Relational {
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q_join_multi" ->
       """SELECT r_name, n_name,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_items
         |FROM region
         |JOIN nation   ON r_regionkey = n_regionkey
@@ -454,16 +454,16 @@ object Relational {
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
     "q_agg_global" ->
       """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  CAST(MIN(l_shipdate) AS DATE) AS min_ship,
         |  CAST(MAX(l_shipdate) AS DATE) AS max_ship
         |FROM lineitem""".stripMargin,
     "q_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
-        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
         |  COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2002-09-02'
         |GROUP BY l_returnflag, l_linestatus
@@ -471,19 +471,19 @@ object Relational {
     "q_agg_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS nd_supp,
         |  COUNT(DISTINCT (l_partkey, l_suppkey)) AS nd_ps,
-        |  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_dist_qty
+        |  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_dist_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_having" ->
       """SELECT o_custkey,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_spent,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent,
         |  COUNT(*) AS n_orders
         |FROM orders GROUP BY o_custkey
-        |HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) > 1000000
+        |HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) > 1000000
         |ORDER BY o_custkey""".stripMargin,
     "q_agg_rollup" ->
       """SELECT r_name, n_name, GROUPING(r_name) AS g_r, GROUPING(n_name) AS g_n,
         |  COUNT(*) AS n_cust,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_bal
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |              JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)

@@ -56,8 +56,8 @@ object Relational2 {
       .pivot("l_linestatus", Seq("F", "O"))
       .agg(sum(dec(col("l_quantity"))))
       .select(col("l_returnflag"),
-        col("F").cast("decimal(18,4)").as("qty_f"),
-        col("O").cast("decimal(18,4)").as("qty_o"))
+        dbl(col("F")).as("qty_f"),
+        dbl(col("O")).as("qty_o"))
       .orderBy("l_returnflag")
 
   private def qUnpivot(s: SparkSession, d: String): DataFrame =
@@ -104,18 +104,20 @@ object Relational2 {
       .orderBy("l_returnflag")
 
   /** Array construction/manipulation wave 2: sort, zip, flatten,
-    * sequence, slicing, distinct/union over built arrays. */
+    * sequence, slicing, distinct/union over built arrays. Array outputs
+    * are serialized to comma-joined strings: the driver's row-sort
+    * (pandas lexsort) cannot order raw array cells. */
   private def qFnArray2(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_list(col("l_linenumber"))).as("lns"),
         sort_array(collect_set(col("l_suppkey"))).as("supps"))
       .select(col("l_orderkey"),
-        col("lns"),
+        concat_ws(",", col("lns")).as("lns"),
         size(col("supps")).as("n_supp"),
-        slice(col("lns"), 1, 3).as("first3"),
-        array_distinct(col("lns")).as("dlns"),
-        expr("sequence(1, size(lns))").as("seq"))
+        concat_ws(",", slice(col("lns"), 1, 3)).as("first3"),
+        concat_ws(",", array_distinct(col("lns"))).as("dlns"),
+        concat_ws(",", expr("sequence(1, size(lns))")).as("seq"))
       .orderBy("l_orderkey")
 
   /** String aggregation (LISTAGG shape): deterministic via sorted
@@ -197,8 +199,8 @@ object Relational2 {
         |ORDER BY o1.o_orderkey""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag,
-        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS qty_f,
-        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS qty_o
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_f,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_unpivot" ->
       """SELECT p_partkey, metric, value FROM (
@@ -245,11 +247,11 @@ object Relational2 {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_fn_array2" ->
       """SELECT l_orderkey,
-        |  list_sort(list(l_linenumber)) AS lns,
+        |  array_to_string(list_sort(list(l_linenumber)), ',') AS lns,
         |  CAST(len(list_distinct(list(l_suppkey))) AS INT) AS n_supp,
-        |  list_sort(list(l_linenumber))[1:3] AS first3,
-        |  list_sort(list_distinct(list(l_linenumber))) AS dlns,
-        |  CAST(range(1, len(list(l_linenumber)) + 1) AS INT[]) AS seq
+        |  array_to_string(list_sort(list(l_linenumber))[1:3], ',') AS first3,
+        |  array_to_string(list_sort(list_distinct(list(l_linenumber))), ',') AS dlns,
+        |  array_to_string(range(1, len(list(l_linenumber)) + 1), ',') AS seq
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "q_fn_bitwise" ->
       """SELECT o_orderkey,

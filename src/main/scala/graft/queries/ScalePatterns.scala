@@ -36,7 +36,7 @@ object ScalePatterns {
       .filter(col("o_year") === 1997) // static partition pruning
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
-        dec(sum(dec(col("o_totalprice")))).as("sum_price"))
+        dbl(sum(dec(col("o_totalprice")))).as("sum_price"))
       .orderBy("o_orderstatus")
   }
 
@@ -54,7 +54,7 @@ object ScalePatterns {
         li("salt") === o("salt"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
-        dec(sum(dec(col("l_extendedprice")))).as("sum_price"))
+        dbl(sum(dec(col("l_extendedprice")))).as("sum_price"))
       .orderBy("o_orderpriority")
   }
 
@@ -93,7 +93,7 @@ object ScalePatterns {
     s.table(tl).join(s.table(to), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_items"),
-        dec(sum(dec(col("l_quantity")))).as("sum_qty"))
+        dbl(sum(dec(col("l_quantity")))).as("sum_qty"))
       .orderBy("o_orderstatus")
   }
 
@@ -106,17 +106,17 @@ object ScalePatterns {
   val sql: Map[String, String] = Map(
     "q_scan_partitioned" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE CAST(year(o_orderdate) AS INT) = 1997
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_join_salted" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_join_bucketed" ->
       """SELECT o_orderstatus, COUNT(*) AS n_items,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )

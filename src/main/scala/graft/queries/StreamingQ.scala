@@ -22,7 +22,7 @@ object StreamingQ {
   private def qStreamTumble(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), dec(sum(dec(col("value")))).as("sum_v"))
+      .agg(count(lit(1)).as("n"), dbl(sum(dec(col("value")))).as("sum_v"))
       .select(unix_micros(col("window.start")).as("w_start"),
         col("event_type"), col("n"), col("sum_v"))
       .orderBy("w_start", "event_type")
@@ -213,7 +213,7 @@ object StreamingQ {
     "q_stream_tumble" ->
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS w_start,
         |  event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_v
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // sliding 1h/15min: every event belongs to exactly 4 epoch-aligned
     // windows starting at floor15(ts) - k*15min, k ∈ 0..3

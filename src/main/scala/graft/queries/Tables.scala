@@ -25,6 +25,14 @@ object Tables {
   /** DECIMAL(18,4) routing for double aggregates. */
   def dec(c: Column): Column = c.cast("decimal(18,4)")
 
+  /** Final-output representation for exact-decimal aggregates. The sum is
+    * computed in DECIMAL (exact, order-independent); the last step casts to
+    * DOUBLE because both engines round the same exact value to the same
+    * IEEE-754 nearest double, while DECIMAL survives to the driver's pandas
+    * compare with engine-specific physical types (pyarrow decimal128 object
+    * vs DuckDB float64) and hash-mismatches despite equal values. */
+  def dbl(c: Column): Column = c.cast("double")
+
   /** TIMESTAMP_NTZ literal (o_orderdate / l_shipdate are ntz). */
   def ntz(d: String): Column = expr(s"TIMESTAMP_NTZ '$d'")
 

@@ -69,7 +69,7 @@ object Windows {
       .rangeBetween(-30, Window.currentRow)
     o.select(col("o_custkey"), col("o_orderkey"), col("day_no"),
       count(lit(1)).over(w).as("n_30d"),
-      dec(sum(dec(col("o_totalprice"))).over(w)).as("sum_30d"))
+      dbl(sum(dec(col("o_totalprice"))).over(w)).as("sum_30d"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
@@ -126,7 +126,7 @@ object Windows {
       """SELECT o_custkey, o_orderkey,
         |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS day_no,
         |  COUNT(*) OVER w AS n_30d,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4)) AS sum_30d
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_30d
         |FROM orders WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
         |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)

@@ -58,7 +58,7 @@ object RepairPipeline {
         val conf = AvroContainerSource.confFrom(confEntries)
         it.map { case (pathStr, len) =>
           processOne(conf, pathStr, len, replace, quarantineDir, limit,
-            samplerate, seed)
+            samplerate, seed, rootDir = dir)
         }
       }
     // Repair mutates files (replace=true): the pipeline must execute
@@ -73,7 +73,7 @@ object RepairPipeline {
   private[repair] def processOne(conf: org.apache.hadoop.conf.Configuration,
       pathStr: String, len: Long, replace: Boolean,
       quarantineDir: Option[String], limit: Long, samplerate: Double,
-      seed: Long): FileRepairReport = {
+      seed: Long, rootDir: String = ""): FileRepairReport = {
     val path = new Path(pathStr)
     try {
       val fs = path.getFileSystem(conf)
@@ -115,8 +115,13 @@ object RepairPipeline {
       } else {
         val dest = quarantineDir match {
           case Some(q) =>
-            val d = new Path(q, path.getName)
-            fs.mkdirs(new Path(q)); fs.delete(d, false); fs.rename(tmp, d); d
+            // Mirror the path relative to the scanned root under the
+            // quarantine dir: listing is recursive, so keying by basename
+            // alone would collide (and silently overwrite) when two
+            // corrupt files share a name in different subdirectories —
+            // the same defect the reference has across prefixes (A9).
+            val d = new Path(q, relativeTo(rootDir, path))
+            fs.mkdirs(d.getParent); fs.delete(d, false); fs.rename(tmp, d); d
           case None => tmp
         }
         FileRepairReport(pathStr, "repaired", len, v.recordsScanned,
@@ -127,6 +132,17 @@ object RepairPipeline {
         FileRepairReport(pathStr, "error", len, 0L, 0L, 0L,
           s"${e.getClass.getSimpleName}: ${e.getMessage}")
     }
+  }
+
+  /** Path of `path` relative to the scanned root, for mirroring the
+    * source tree under the quarantine dir. Falls back to the full
+    * scheme-less path when `path` is outside `rootDir` (can't happen for
+    * paths produced by listing `rootDir`, but keeps the mapping total). */
+  private[repair] def relativeTo(rootDir: String, path: Path): String = {
+    val p = path.toUri.getPath
+    val root = new Path(rootDir).toUri.getPath.stripSuffix("/")
+    if (root.nonEmpty && p.startsWith(root + "/")) p.substring(root.length + 1)
+    else p.stripPrefix("/")
   }
 
   /** B13: the run summary the reference reduces to log lines. */

@@ -236,6 +236,30 @@ class AvroSubsystemSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming checkpoint recovery: files added while stopped still arrive") {
+    import spark.implicits._
+    val dir = tmpDir("stream-ckpt")
+    val ckpt = tmpDir("stream-ckpt-cp")
+    val outDir = tmpDir("stream-ckpt-out")
+    AvroWrite.write((1L to 40L).map(i => (i, s"a$i")).toDF("id", "s"), dir)
+    def start() = spark.readStream.format("graft-avro").load(dir)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // files land while the query is down; on restart the recovered
+    // manifest must assign them batch numbers above the committed
+    // offset (an in-memory-only manifest restarted at 0 and the new
+    // files were silently dropped)
+    (41L to 60L).map(i => (i, s"b$i")).toDF("id", "s").coalesce(1)
+      .write.format("graft-avro").mode("append").save(dir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val ids = spark.read.parquet(outDir).select("id").collect()
+      .map(_.getLong(0)).toSeq.sorted
+    assert(ids == (1L to 60L), s"expected 1..60, got ${ids.size} rows")
+  }
+
   test("repair pipeline end-to-end: statuses, replacement, per-file errors") {
     val dir = tmpDir("pipe")
     AvroFixtures.writeAll(dir)
