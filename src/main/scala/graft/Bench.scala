@@ -19,7 +19,14 @@ object Bench {
     // doesn't absorb one-time startup cost.
     spark.range(1 << 20).selectExpr("count(*)", "sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Dev-only subset filter (unset for driver runs → full sweep).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(ids) => SparkEntry.queries.filter(q => ids(q._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

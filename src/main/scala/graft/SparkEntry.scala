@@ -18,14 +18,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.defs ++ Relational2.defs ++ Windows.defs ++ Functions.defs ++
-      AvroQueries.defs ++ StreamingQ.defs ++ LlmText.defs ++ LlmSim.defs ++
-      FunctionsExt.defs ++ ScalePatterns.defs
+    Relational.defs ++ Relational2.defs ++ Relational3.defs ++
+      Windows.defs ++ Functions.defs ++
+      AvroQueries.defs ++ StreamingQ.defs ++ LlmText.defs ++ LlmText2.defs ++
+      LlmSim.defs ++ FunctionsExt.defs ++ ScalePatterns.defs ++ Formats.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.sql ++ Relational2.sql ++ Windows.sql ++ Functions.sql ++
-      AvroQueries.sql ++ StreamingQ.sql ++ LlmText.sql ++ LlmSim.sql ++
-      FunctionsExt.sql ++ ScalePatterns.sql
+    Relational.sql ++ Relational2.sql ++ Relational3.sql ++
+      Windows.sql ++ Functions.sql ++
+      AvroQueries.sql ++ StreamingQ.sql ++ LlmText.sql ++ LlmText2.sql ++
+      LlmSim.sql ++ FunctionsExt.sql ++ ScalePatterns.sql ++ Formats.sql
 }

@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** File-format surface beyond parquet/avro: CSV and JSON source/sink
+  * round trips (write from the canonical parquet tables, read back with
+  * an explicit schema, prove value fidelity against the identity
+  * oracle), plus regex extraction functions.
+  *
+  * Round-trip fidelity notes: Spark writes doubles as their
+  * shortest-round-trip decimal representation, so text → double parses
+  * back bit-identical; timestamps round-trip through ISO-8601 with
+  * microsecond precision. Explicit read schemas keep the engine from
+  * inferring wider/narrower types than the source table. */
+object Formats {
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+
+  /** CSV sink + source round trip over customer (ints, doubles,
+    * strings). */
+  private def qSourceCsv(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val dir = tmp("csv")
+    c.write.mode("overwrite").option("header", "true").csv(dir)
+    s.read.option("header", "true").schema(c.schema).csv(dir)
+      .orderBy("c_custkey")
+  }
+
+  /** JSON lines sink + source round trip over orders (timestamps,
+    * doubles, strings). */
+  private def qSourceJson(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    val dir = tmp("json")
+    o.write.mode("overwrite").json(dir)
+    s.read.schema(o.schema).json(dir).orderBy("o_orderkey")
+  }
+
+  /** Regex extraction: every s-prefixed 4+-letter token run per document,
+    * joined to a string (the row-sorting harness cannot order raw array
+    * cells). */
+  private def qFnRegex(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        concat_ws(",", expr("regexp_extract_all(text, 's[a-z]{3,}', 0)"))
+          .as("hits"),
+        size(expr("regexp_extract_all(text, 's[a-z]{3,}', 0)"))
+          .as("n_hits"))
+      .orderBy("doc_id")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_csv" -> (qSourceCsv _),
+    "q_source_json" -> (qSourceJson _),
+    "q_fn_regex" -> (qFnRegex _),
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_source_csv" ->
+      "SELECT * FROM customer ORDER BY c_custkey",
+    "q_source_json" ->
+      "SELECT * FROM orders ORDER BY o_orderkey",
+    "q_fn_regex" ->
+      """SELECT doc_id,
+        |  COALESCE(array_to_string(regexp_extract_all(text, 's[a-z]{3,}'), ','), '') AS hits,
+        |  CAST(len(regexp_extract_all(text, 's[a-z]{3,}')) AS INT) AS n_hits
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

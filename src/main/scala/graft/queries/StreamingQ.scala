@@ -194,8 +194,63 @@ object StreamingQ {
     s.table(name).orderBy("ad_id")
   }
 
+  /** Stream-static join: the streaming event feed enriched against a
+    * small static dimension (event_type → funnel stage) and aggregated —
+    * the standard streaming-enrichment shape. The static side is
+    * broadcast into every micro-batch; no join state accumulates. */
+  private def qStreamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import s.implicits._
+    val dim = Seq(("view", "browse"), ("click", "browse"),
+      ("signup", "convert"), ("purchase", "convert"), ("error", "ops"))
+      .toDF("event_type", "stage")
+    val schema = t(s, d, "events").schema
+    val name = s"ssj_${UUID.randomUUID().toString.replace("-", "")}"
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .join(broadcast(dim), Seq("event_type"))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec(col("value")))).as("sum_v"))
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(name).orderBy("stage")
+  }
+
+  /** foreachBatch sink: complete-mode aggregate re-emitted per
+    * micro-batch, atomically overwriting the target — the idempotent
+    * "upsert the whole aggregate" sink shape (a restart or batch replay
+    * rewrites the same state; no duplicates possible). */
+  private def qStreamForeachBatch(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = t(s, d, "events").schema
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_feb").toString
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec(col("value")))).as("sum_v"))
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(outDir)
+        }
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.read.parquet(outDir).orderBy("event_type")
+  }
+
   val defs: Map[String, Relational.Q] = Map(
     "q_stream_join" -> (qStreamJoin _),
+    "q_stream_static_join" -> (qStreamStaticJoin _),
+    "q_stream_foreachbatch" -> (qStreamForeachBatch _),
     "q_stream_file_source" -> (qStreamFileSource _),
     "q_stream_tumble" -> (qStreamTumble _),
     "q_stream_slide" -> (qStreamSlide _),
@@ -206,6 +261,17 @@ object StreamingQ {
   )
 
   val sql: Map[String, String] = Map(
+    "q_stream_foreachbatch" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_static_join" ->
+      """SELECT CASE WHEN event_type IN ('view', 'click') THEN 'browse'
+        |            WHEN event_type IN ('signup', 'purchase') THEN 'convert'
+        |            ELSE 'ops' END AS stage,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1 ORDER BY stage""".stripMargin,
     "q_stream_file_source" ->
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS w_start,
         |  event_type, COUNT(*) AS n

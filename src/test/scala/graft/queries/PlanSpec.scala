@@ -101,4 +101,27 @@ class PlanSpec extends AnyFunSuite {
     assert(rows.length == 25 && rows.head.getLong(0) == 100L,
       s"offset/limit wrong: ${rows.take(3).toSeq}")
   }
+
+  test("range join keeps its equi key: hash/merge join, not a BNLJ") {
+    val p = plan("q_join_range")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"range join degenerated to a cross-shape join:\n$p")
+  }
+
+  test("EXISTS/NOT EXISTS decorrelate to semi/anti joins") {
+    val p = plan("q_subquery_exists")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"subqueries did not decorrelate:\n$p")
+  }
+
+  test("dedup clustering converges to recursive-CTE components") {
+    // 500 docs at sf0.001 → some multi-doc components; labels must be
+    // the component-min doc_id and be stable across runs
+    val r1 = SparkEntry.queries("q_dedup_cluster")(spark, sf).collect()
+    val r2 = SparkEntry.queries("q_dedup_cluster")(spark, sf).collect()
+    assert(r1.toSeq == r2.toSeq, "clustering not deterministic")
+    val grps = r1.map(_.getLong(1)).distinct.length
+    assert(grps < r1.length, s"no components merged: $grps of ${r1.length}")
+  }
 }
