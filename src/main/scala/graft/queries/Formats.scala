@@ -39,6 +39,25 @@ object Formats {
     s.read.schema(o.schema).json(dir).orderBy("o_orderkey")
   }
 
+  /** ORC sink + source round trip over part (ints, doubles, strings) —
+    * Spark's third first-class columnar format. */
+  private def qSourceOrc(s: SparkSession, d: String): DataFrame = {
+    val p = t(s, d, "part")
+    val dir = tmp("orc")
+    p.write.mode("overwrite").orc(dir)
+    s.read.schema(p.schema).orc(dir).orderBy("p_partkey")
+  }
+
+  /** Seeded stratified sample: 20% of 'A', 5% of 'N', 0% of 'R' line
+    * rows by return flag. Deterministic per seed (ScalaTest-pinned;
+    * sampling is not SQL-oracle-able). */
+  private def qSampleStratified(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .stat.sampleBy("l_returnflag",
+        Map("A" -> 0.2, "N" -> 0.05, "R" -> 0.0), 42L)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag")
+
   /** Regex extraction: every s-prefixed 4+-letter token run per document,
     * joined to a string (the row-sorting harness cannot order raw array
     * cells). */
@@ -54,6 +73,8 @@ object Formats {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_csv" -> (qSourceCsv _),
     "q_source_json" -> (qSourceJson _),
+    "q_source_orc" -> (qSourceOrc _),
+    "q_sample_stratified" -> (qSampleStratified _),
     "q_fn_regex" -> (qFnRegex _),
   )
 
@@ -62,6 +83,8 @@ object Formats {
       "SELECT * FROM customer ORDER BY c_custkey",
     "q_source_json" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
+    "q_source_orc" ->
+      "SELECT * FROM part ORDER BY p_partkey",
     "q_fn_regex" ->
       """SELECT doc_id,
         |  COALESCE(array_to_string(regexp_extract_all(text, 's[a-z]{3,}'), ','), '') AS hits,

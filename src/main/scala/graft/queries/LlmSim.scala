@@ -98,10 +98,27 @@ object LlmSim {
       .orderBy("a", "b")
   }
 
+  /** Embedding preprocessing stats: L2 norm, dimensionality, max
+    * absolute component per vector — the normalization pass before
+    * indexing/ANN. float→double casts are exact, per-element products
+    * exact, and the 6-dp round absorbs summation-order noise (same
+    * discipline as the cosine oracle). */
+  private def qEmbedNorm(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t(s, d, "embeddings")
+      .select(col("vec_id"),
+        round(sqrt(norm2("embedding")), 6).as("l2"),
+        size(col("embedding")).as("dim"),
+        expr("round(cast(array_max(transform(embedding, x -> abs(x))) as double), 6)")
+          .as("max_abs"))
+      .orderBy("vec_id")
+  }
+
   val defs: Map[String, Relational.Q] = Map(
     "q_sim_cosine_topk" -> (qSimCosineTopk _),
     "q_sim_ann_ivf" -> (qSimAnnIvf _),
     "q_dedup_embed" -> (qDedupEmbed _),
+    "q_embed_norm" -> (qEmbedNorm _),
   )
 
   val sql: Map[String, String] = Map(
@@ -126,5 +143,13 @@ object LlmSim {
         |          ORDER BY sim DESC, vec_id ASC) AS INT) AS rn FROM sims)
         |SELECT label, vec_id, sim, rn FROM r WHERE rn <= 5
         |ORDER BY label, rn""".stripMargin,
+    "q_embed_norm" ->
+      """SELECT vec_id,
+        |  ROUND(sqrt(list_sum(list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  ROUND(list_max(list_transform(embedding,
+        |        x -> abs(CAST(x AS DOUBLE)))), 6) AS max_abs
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
   )
 }

@@ -186,7 +186,8 @@ object LlmText {
       explode(words(lower(col("text")))).as("w"))
     val wc = toks.groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("cnt"))
-    val dlen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("toks"))
+    // doc lengths derived from the word counts — one explode pass, not two
+    val dlen = wc.groupBy(col("doc_id")).agg(sum(col("cnt")).as("toks"))
     val dfreq = wc.groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = wc.join(dlen, "doc_id").join(dfreq, "w")

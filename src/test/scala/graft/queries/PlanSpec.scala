@@ -115,6 +115,16 @@ class PlanSpec extends AnyFunSuite {
       s"subqueries did not decorrelate:\n$p")
   }
 
+  test("stratified sample is seed-deterministic and respects fractions") {
+    val r1 = SparkEntry.queries("q_sample_stratified")(spark, sf).collect()
+    val r2 = SparkEntry.queries("q_sample_stratified")(spark, sf).collect()
+    assert(r1.toSeq == r2.toSeq, "stratified sample not reproducible")
+    val byFlag = r1.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(!byFlag.contains("R"), "0-fraction stratum sampled")
+    assert(byFlag.getOrElse("A", 0) > byFlag.getOrElse("N", 0),
+      s"20% stratum smaller than 5% stratum: $byFlag")
+  }
+
   test("dedup clustering converges to recursive-CTE components") {
     // 500 docs at sf0.001 → some multi-doc components; labels must be
     // the component-min doc_id and be stable across runs
