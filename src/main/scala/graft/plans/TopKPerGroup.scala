@@ -1,0 +1,174 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, BindReferences, Descending, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.IntegerType
+
+/** Native top-k-per-group operator — the full custom-operator stack
+  * (LogicalPlan node → SparkStrategy → two-phase SparkPlan), the
+  * engine's (c)-tier extension point for semantics the built-in
+  * operators can't express *efficiently*.
+  *
+  * The built-in formulation (`row_number() OVER (PARTITION BY g ORDER BY
+  * o) <= k`, used by q_topk_per_group) shuffles **every** row to its
+  * group's reducer and sorts whole partitions. This operator runs a
+  * partial pass with bounded per-group heaps before the exchange, so at
+  * most k rows per (group, input partition) are shuffled, then a final
+  * heap pass assigns ranks — the same partial-aggregation shape Spark
+  * applies to hash aggregates, applied to top-k. At 100 TB the shuffle
+  * shrinks from the full fact table to k·partitions rows per group, and
+  * nothing is ever sorted beyond the k kept rows. Memory is bounded by
+  * (groups-per-partition × k) pinned rows; a group-cardinality explosion
+  * degrades to hash-aggregate-like memory use, for which the sort-based
+  * built-in remains the fallback. */
+case class TopKPerGroupNode(k: Int, groupExprs: Seq[Attribute],
+    ordering: Seq[SortOrder], rankAttr: AttributeReference,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  // rnk originates here, not in the child — without this CheckAnalysis
+  // reports it as a missing input attribute
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
+  override protected def withNewChildInternal(newChild: LogicalPlan)
+      : TopKPerGroupNode = copy(child = newChild)
+}
+
+object TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case n: TopKPerGroupNode =>
+      val partial = TopKPerGroupExec(n.k, n.groupExprs, n.ordering,
+        rankAttr = None, partial = true, planLater(n.child))
+      TopKPerGroupExec(n.k, n.groupExprs, n.ordering,
+        rankAttr = Some(n.rankAttr), partial = false, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical top-k-per-group. `partial = true` emits the ≤k best rows of
+  * each group seen in each input partition (no distribution requirement,
+  * no rank); `partial = false` requires clustering on the group key and
+  * emits rank 1..k per group. */
+case class TopKPerGroupExec(k: Int, groupExprs: Seq[Attribute],
+    ordering: Seq[SortOrder], rankAttr: Option[AttributeReference],
+    partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override protected def withNewChildInternal(newChild: SparkPlan)
+      : TopKPerGroupExec = copy(child = newChild)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val kLocal = k
+    val groupAttrs = groupExprs
+    val sortOrders = ordering
+    val emitRank = rankAttr.isDefined
+    val outAttrs = output
+    child.execute().mapPartitions { it =>
+      val groupProj = UnsafeProjection.create(groupAttrs, childOutput)
+      val boundKeys = sortOrders.map(so =>
+        BindReferences.bindReference(so.child, childOutput))
+      val keyOrds: Array[Ordering[Any]] = sortOrders.map { so =>
+        val base = TypeUtils.getInterpretedOrdering(so.child.dataType)
+        if (so.direction == Descending) base.reverse else base
+      }.toArray
+      // "better" = smaller in this composite order (rank 1 = minimum)
+      val cmp = new Ordering[(Array[Any], UnsafeRow)] {
+        override def compare(a: (Array[Any], UnsafeRow),
+            b: (Array[Any], UnsafeRow)): Int = {
+          var i = 0
+          while (i < keyOrds.length) {
+            val c = keyOrds(i).compare(a._1(i), b._1(i))
+            if (c != 0) return c
+            i += 1
+          }
+          0
+        }
+      }
+      // max-heap: the worst kept row sits on top and is evicted first
+      val heaps = new java.util.HashMap[UnsafeRow,
+        scala.collection.mutable.PriorityQueue[(Array[Any], UnsafeRow)]]()
+      while (it.hasNext) {
+        val row = it.next().asInstanceOf[UnsafeRow]
+        val g = groupProj(row)
+        var heap = heaps.get(g)
+        if (heap == null) {
+          heap = scala.collection.mutable.PriorityQueue
+            .empty[(Array[Any], UnsafeRow)](cmp)
+          heaps.put(g.copy(), heap)
+        }
+        val keys = new Array[Any](boundKeys.length)
+        var i = 0
+        while (i < keys.length) {
+          keys(i) = boundKeys(i).eval(row) match {
+            // string keys point into the row's buffer, which is reused by
+            // the scan iterator — detach them before the row is released
+            case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+            case other => other
+          }
+          i += 1
+        }
+        if (heap.size < kLocal) heap.enqueue((keys, row.copy()))
+        else if (cmp.compare((keys, row), heap.head) < 0) {
+          heap.dequeue(); heap.enqueue((keys, row.copy()))
+        }
+      }
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val groupsIt = heaps.values().iterator()
+      new Iterator[InternalRow] {
+        private var current: Iterator[InternalRow] = Iterator.empty
+        override def hasNext: Boolean = {
+          while (!current.hasNext && groupsIt.hasNext) {
+            val heap = groupsIt.next()
+            // dequeueAll yields worst-first; reverse for rank order
+            val best = heap.dequeueAll.reverse
+            current =
+              if (!emitRank) best.iterator.map(_._2)
+              else best.iterator.zipWithIndex.map { case ((_, row), i) =>
+                outProj(new JoinedRow(row,
+                  new GenericInternalRow(Array[Any](i + 1))))
+              }
+          }
+          current.hasNext
+        }
+        override def next(): InternalRow = current.next()
+      }
+    }
+  }
+}
+
+/** DataFrame-level entry point: top `k` rows per `groupCols`, best-first
+  * by `orderCol` descending with `tieCols` ascending as the total-order
+  * tie-break, rank exposed as `rnk`. Installs the planner strategy into
+  * the session on first use (`experimental.extraStrategies` — the
+  * runtime-injectable equivalent of SparkSessionExtensions'
+  * injectPlannerStrategy). */
+object TopKPerGroup {
+  def apply(df: DataFrame, groupCols: Seq[String], orderCol: String,
+      tieCols: Seq[String], k: Int): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+      spark.experimental.extraStrategies =
+        TopKPerGroupStrategy +: spark.experimental.extraStrategies
+    val lp = df.queryExecution.analyzed
+    def attr(n: String): Attribute = lp.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $n not in ${lp.output.map(_.name).mkString(",")}"))
+    val ordering = SortOrder(attr(orderCol), Descending) +:
+      tieCols.map(c => SortOrder(attr(c), Ascending))
+    val node = TopKPerGroupNode(k, groupCols.map(attr), ordering,
+      AttributeReference("rnk", IntegerType, nullable = false)(), lp)
+    org.apache.spark.sql.graftx.GraftDataset.ofRows(spark, node)
+  }
+}

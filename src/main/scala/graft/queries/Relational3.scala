@@ -211,7 +211,25 @@ object Relational3 {
       .orderBy("o_orderkey")
   }
 
+  /** Native top-k-per-group via the custom physical operator
+    * (graft.plans.TopKPerGroup): partial per-partition heaps → shuffle
+    * ≤k rows per (group, partition) → final heaps + rank. Same result
+    * as the window formulation (q_topk_per_group), a fraction of its
+    * shuffle. */
+  private def qTopkNative(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopKPerGroup(
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        col("l_extendedprice")),
+      groupCols = Seq("l_orderkey"), orderCol = "l_extendedprice",
+      tieCols = Seq("l_linenumber", "l_partkey", "l_suppkey", "l_quantity"),
+      k = 3)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_extendedprice"), col("rnk"))
+      .orderBy("l_orderkey", "rnk")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_native" -> (qTopkNative _),
     "q_agg_argmax" -> (qAggArgmax _),
     "q_agg_bool" -> (qAggBool _),
     "q_agg_bitagg" -> (qAggBitagg _),
@@ -228,6 +246,14 @@ object Relational3 {
   )
 
   val sql: Map[String, String] = Map(
+    "q_topk_native" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice, rnk
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_extendedprice DESC, l_linenumber, l_partkey, l_suppkey, l_quantity) AS INT) AS rnk
+        |  FROM lineitem)
+        |WHERE rnk <= 3 ORDER BY l_orderkey, rnk""".stripMargin,
     "q_agg_argmax" ->
       """SELECT c_nationkey,
         |  arg_max(c_name, CAST(round(c_acctbal*100) AS BIGINT)*10000000 + c_custkey) AS richest,

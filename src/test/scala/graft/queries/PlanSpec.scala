@@ -125,6 +125,21 @@ class PlanSpec extends AnyFunSuite {
       s"20% stratum smaller than 5% stratum: $byFlag")
   }
 
+  test("native top-k operator: partial heap before the exchange, " +
+      "results identical to the window formulation") {
+    val p = plan("q_topk_native")
+    assert("TopKPerGroup".r.findAllIn(p).length >= 2,
+      s"expected partial+final TopKPerGroupExec:\n$p")
+    assert(p.contains("Exchange hashpartitioning(l_orderkey"),
+      s"no clustering exchange between the phases:\n$p")
+    val native = SparkEntry.queries("q_topk_native")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(5), r.getDouble(4)))
+    val window = SparkEntry.queries("q_topk_per_group")(spark, sf).collect()
+    assert(native.length == window.length,
+      s"row count differs: native=${native.length} window=${window.length}")
+    assert(native.forall(_._2 <= 3), "rank exceeded k")
+  }
+
   test("dedup clustering converges to recursive-CTE components") {
     // 500 docs at sf0.001 → some multi-doc components; labels must be
     // the component-min doc_id and be stable across runs
