@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{FloatDot, SimHash64}
+import graft.plans.TopKPerGroupStrategy
+
+/** Declarative installation of the engine's session extensions:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * // or
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  *
+  * Injects the native expressions (`float_dot`, `simhash64`) into the
+  * function registry and the top-k-per-group planner strategy — the
+  * config-driven equivalent of the runtime installation that
+  * `GraftFunctions.register` / `TopKPerGroup.apply` perform, for
+  * clusters where the session is built by infrastructure rather than
+  * application code. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
+      (exprs: Seq[Expression]) => FloatDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Descending, SortOrder}
+import org.apache.spark.sql.types.IntegerType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.TopKPerGroupNode
+
+/** The declarative extension path: a session built with
+  * `withExtensions(new GraftExtensions)` must expose the native
+  * functions in SQL and plan TopKPerGroupNode via the injected strategy
+  * — with no runtime `register`/strategy installation anywhere. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  // fresh session (shared context is fine) so the extensions apply at
+  // instantiation; deliberately not stopped — later suites getOrCreate
+  // over the same context
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  test("injected functions resolve in SQL without runtime registration") {
+    val dot = spark.sql(
+      "SELECT float_dot(array(cast(1.5 as float), cast(2.0 as float)), " +
+        "array(cast(2.0 as float), cast(3.0 as float)))").head.getDouble(0)
+    assert(dot == 9.0, s"float_dot wrong: $dot")
+    val sh = spark.sql("SELECT simhash64(array('a', 'b'))").head.getLong(0)
+    assert(sh != 0L, "simhash64 not evaluated")
+  }
+
+  test("injected planner strategy plans TopKPerGroupNode") {
+    val df = spark.range(0, 100)
+      .selectExpr("id % 10 AS g", "cast(id AS double) AS v")
+    val lp = df.queryExecution.analyzed
+    def attr(n: String) = lp.output.find(_.name == n).get
+    val node = TopKPerGroupNode(2, Seq(attr("g")),
+      Seq(SortOrder(attr("v"), Descending)),
+      AttributeReference("rnk", IntegerType, nullable = false)(), lp)
+    val out = org.apache.spark.sql.graftx.GraftDataset.ofRows(spark, node)
+    assert(out.count() == 20, "2 rows per each of 10 groups expected")
+    val top = out.filter("g = 3 AND rnk = 1").head.getDouble(1)
+    assert(top == 93.0, s"rank-1 of group 3 should be 93, got $top")
+  }
+}
