@@ -50,11 +50,26 @@ class AvroContainerSource extends TableProvider with DataSourceRegister {
     val conf = AvroContainerSource.hadoopConf()
     val fs = new Path(paths.head._1).getFileSystem(conf)
     val in = fs.open(new Path(paths.head._1))
-    try {
+    val record = try {
       val s = new DataFileStream[GenericRecord](in,
         new GenericDatumReader[GenericRecord]())
       try SchemaConverter.toSparkStruct(s.getSchema) finally s.close()
     } finally in.close()
+    // hivepartitions=true: surface k=v path segments as string columns
+    // (the reference's production layout is date-partitioned avro,
+    // `repair-avro.ts:92`); a partition-scoped load path prunes by
+    // listing only that subtree.
+    if (!options.getBoolean("hivepartitions", false)) record
+    else {
+      val root = options.get("path")
+      val partCols = scala.collection.mutable.LinkedHashSet.empty[String]
+      paths.foreach { case (p, _) =>
+        AvroContainerSource.hivePartitionValues(root, p)
+          .foreach { case (k, _) => partCols += k }
+      }
+      partCols.foldLeft(record)((st, c) =>
+        st.add(c, org.apache.spark.sql.types.StringType, nullable = true))
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -70,6 +85,22 @@ object AvroContainerSource {
     val root = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("path option required"))
     listFiles(root)
+  }
+
+  /** Hive-style `k=v` path segments of `path` relative to `root`, in
+    * segment order, URL-decoded (the writer encodes). */
+  def hivePartitionValues(root: String, path: String): Seq[(String, String)] = {
+    val rootPath = new Path(root).toUri.getPath.stripSuffix("/")
+    val p = new Path(path).toUri.getPath
+    val rel =
+      if (rootPath.nonEmpty && p.startsWith(rootPath + "/"))
+        p.substring(rootPath.length + 1)
+      else p
+    def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
+    rel.split('/').toSeq.dropRight(1).flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i > 0) Some(dec(seg.take(i)) -> dec(seg.drop(i + 1))) else None
+    }
   }
 
   def listFiles(root: String): Seq[(String, Long)] = {
@@ -176,7 +207,8 @@ case class AvroScanBuilder(fullSchema: StructType,
   * in [start, end) belong to this partition — the classic sync-boundary
   * split contract, so ranges can cut anywhere without duplicating or
   * losing records. */
-case class AvroFilePartition(path: String, start: Long, end: Long)
+case class AvroFilePartition(path: String, start: Long, end: Long,
+    partitionValues: Seq[(String, String)] = Nil)
     extends InputPartition
 
 case class AvroScan(fullSchema: StructType, required: StructType,
@@ -200,12 +232,16 @@ case class AvroScan(fullSchema: StructType, required: StructType,
     val splitBytes = options.getOrElse("maxsplitbytes",
       (128L * 1024 * 1024).toString).toLong
     require(splitBytes > 0, s"maxSplitBytes must be positive, got $splitBytes")
+    val hive = options.getOrElse("hivepartitions", "false").toBoolean
+    val root = options.getOrElse("path", "")
     files.flatMap { case (p, len) =>
+      val pv =
+        if (hive) AvroContainerSource.hivePartitionValues(root, p) else Nil
       // end must be the real length: avro's pastSync(pos) computes
       // pos + SYNC_SIZE, which overflows for Long.MaxValue
-      if (len <= splitBytes) Seq(AvroFilePartition(p, 0L, len))
+      if (len <= splitBytes) Seq(AvroFilePartition(p, 0L, len, pv))
       else (0L until len by splitBytes).map { start =>
-        AvroFilePartition(p, start, math.min(start + splitBytes, len))
+        AvroFilePartition(p, start, math.min(start + splitBytes, len), pv)
       }
     }.toArray
   }
@@ -360,13 +396,43 @@ class AvroPartitionReader(part: AvroFilePartition, required: StructType,
   private val datumReader = new GenericDatumReader[GenericRecord]()
   private val reader =
     new org.apache.avro.file.DataFileReader[GenericRecord](in, datumReader)
+  // Hive-partition columns come from the file path, not the record —
+  // split `required` into decoded fields and path constants.
+  private val partVals: Map[String, String] = part.partitionValues.toMap
+  private val recordRequired =
+    StructType(required.fields.filterNot(f => partVals.contains(f.name)))
   // Reader-schema projection = column pruning inside the decoder.
   private val projected: Schema =
-    if (required.fieldNames.length == reader.getSchema.getFields.size())
+    if (recordRequired.fieldNames.length == reader.getSchema.getFields.size())
       reader.getSchema
-    else SchemaConverter.prune(reader.getSchema, required.fieldNames.toSeq)
+    else SchemaConverter.prune(reader.getSchema, recordRequired.fieldNames.toSeq)
   datumReader.setExpected(projected)
-  private val convert = AvroDatum.rowReader(projected, required)
+  private val convert = AvroDatum.rowReader(projected, recordRequired)
+  // required index → recordRequired index (-1 = partition constant)
+  private val recIdx: Array[Int] = {
+    var j = 0
+    required.fields.map { f =>
+      if (partVals.contains(f.name)) -1 else { val i = j; j += 1; i }
+    }
+  }
+  private val partConsts: Array[AnyRef] = required.fields.map { f =>
+    partVals.get(f.name)
+      .map(v => org.apache.spark.unsafe.types.UTF8String.fromString(v)
+        .asInstanceOf[AnyRef]).orNull
+  }
+  /** Splice decoded fields and path constants into the required order. */
+  private def assemble(rec: InternalRow): InternalRow = {
+    if (partVals.isEmpty) return rec
+    val out = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(required.length)
+    var i = 0
+    while (i < required.length) {
+      if (recIdx(i) < 0) out.update(i, partConsts(i))
+      else out.update(i, rec.get(recIdx(i), required.fields(i).dataType))
+      i += 1
+    }
+    out
+  }
   if (part.start > 0L) reader.sync(part.start)
 
   private var current: InternalRow = _
@@ -381,7 +447,7 @@ class AvroPartitionReader(part: AvroFilePartition, required: StructType,
         val rec = reader.next()
         if (skipped < offset) { skipped += 1 }
         else if (samplerate >= 1.0 || rng.nextDouble() < samplerate) {
-          current = convert(rec)
+          current = assemble(convert(rec))
           emitted += 1
           return true
         }

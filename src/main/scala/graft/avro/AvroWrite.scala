@@ -66,6 +66,93 @@ object AvroWrite {
     }
   }
 
+  /** Hive-layout partitioned write: rows land under
+    * `dir/col1=v1/col2=v2/part-NNNNN.avro`, with the partition columns
+    * dropped from the record schema (hive convention — values live in
+    * the path). This is the reference's production layout
+    * (`data=YYYY-MM-DD`, `/root/reference/src/services/repair-avro.ts:92`),
+    * writable at scale: rows are clustered by partition value
+    * (`repartition(partCols)`) so each partition directory is written by
+    * exactly one task, and sorted within tasks so exactly one writer is
+    * open at a time. Same first-attempt-wins deterministic-name commit
+    * as the flat write. Values are URL-encoded in path segments; NULL
+    * becomes the hive default-partition token. */
+  def writePartitioned(df: DataFrame, dir: String, partCols: Seq[String],
+      codec: String = "null", syncIntervalBytes: Int = 64 * 1024): Unit = {
+    require(partCols.nonEmpty, "partCols must be non-empty")
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+    val dataFields = df.schema.fields.filterNot(f => partCols.contains(f.name))
+    require(dataFields.length + partCols.length == df.schema.length,
+      s"partCols ${partCols.mkString(",")} must all exist in ${df.columns.mkString(",")}")
+    val dataSchema = StructType(dataFields.toSeq)
+    val avroJson = SchemaConverter.toAvroRecord(dataSchema, "graft_record").toString
+    val confEntries = AvroContainerSource.serializableConfEntries()
+    val np = partCols.length
+    val arranged = df.select(partCols.map(c => col(c).cast("string")) ++
+      dataFields.map(f => col(f.name)): _*)
+    val sorted = arranged.repartition(partCols.map(col): _*)
+      .sortWithinPartitions(partCols.map(col): _*)
+    val dataTypes = dataFields.map(f => (f.dataType, f.nullable))
+    sorted.queryExecution.toRdd.foreachPartition { rows =>
+      val avroSchema = new Schema.Parser().parse(avroJson)
+      val conf = AvroContainerSource.confFrom(confEntries)
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val dataProj = UnsafeProjection.create(dataTypes.zipWithIndex.map {
+        case ((dt, nullable), i) => BoundReference(np + i, dt, nullable)
+      }.toSeq)
+      val toRecord = AvroDatum.recordWriter(dataSchema, avroSchema)
+      def enc(s: String): String =
+        java.net.URLEncoder.encode(s, "UTF-8")
+      var currentKey: Seq[String] = null
+      var writer: DataFileWriter[GenericRecord] = null
+      var fs: org.apache.hadoop.fs.FileSystem = null
+      var tmp: Path = null
+      var finalPath: Path = null
+      def closeCommit(): Unit = if (writer != null) {
+        writer.close(); writer = null
+        if (!fs.rename(tmp, finalPath)) {
+          fs.delete(tmp, false)
+          if (!fs.exists(finalPath))
+            throw new java.io.IOException(
+              s"commit failed: cannot rename $tmp to $finalPath")
+        }
+      }
+      def open(key: Seq[String]): Unit = {
+        val sub = partCols.zip(key)
+          .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("/")
+        val d = new Path(dir, sub)
+        finalPath = new Path(d, f"part-$pid%05d.avro")
+        tmp = new Path(d, s".tmp-${UUID.randomUUID()}.avro")
+        fs = finalPath.getFileSystem(conf)
+        fs.mkdirs(d)
+        val out = fs.create(tmp, true)
+        writer = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](avroSchema))
+        writer.setCodec(codecFactory(codec))
+        writer.setSyncInterval(syncIntervalBytes)
+        writer.create(avroSchema, out)
+      }
+      var ok = false
+      try {
+        rows.foreach { r =>
+          val key = (0 until np).map(i =>
+            if (r.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
+            else r.getUTF8String(i).toString)
+          if (key != currentKey) { closeCommit(); open(key); currentKey = key }
+          writer.append(toRecord(dataProj(r)))
+        }
+        ok = true
+      } finally {
+        if (ok) closeCommit()
+        else if (writer != null) {
+          try writer.close() catch { case _: Exception => () }
+          fs.delete(tmp, false)
+        }
+      }
+    }
+  }
+
   def codecFactory(name: String): CodecFactory = name.toLowerCase match {
     case "null" | "none" => CodecFactory.nullCodec()
     case "deflate" => CodecFactory.deflateCodec(CodecFactory.DEFAULT_DEFLATE_LEVEL)

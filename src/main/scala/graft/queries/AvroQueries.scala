@@ -31,6 +31,24 @@ object AvroQueries {
     p
   }
 
+  /** events → hive-layout partitioned avro write (the reference's
+    * production `data=…` shape, A-layout) → partition-column-surfacing
+    * read → per-partition aggregate. Oracled against the same aggregate
+    * over the parquet table; the partition column round-trips through
+    * the directory name, not the records. */
+  private def qAvroPartitioned(s: SparkSession, d: String): DataFrame = {
+    val dir = freshDir(s"avro_part_${math.abs(d.hashCode)}")
+    AvroWrite.writePartitioned(
+      events(s, d).select(col("event_id"), col("us"), col("value"),
+        col("event_type")),
+      dir, Seq("event_type"))
+    s.read.format("graft-avro").option("hivepartitions", "true").load(dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dbl(sum(dec(col("value")))).as("sum_v"),
+        countDistinct(col("event_id")).as("nd_ids"))
+      .orderBy("event_type")
+  }
+
   /** events → graft-avro DSv2 write → graft-avro read → project. Oracled
     * as an identity query over `events` (the round trip must be
     * lossless). */
@@ -114,6 +132,7 @@ object AvroQueries {
 
   val defs: Map[String, Relational.Q] = Map(
     "q_avro_roundtrip" -> (qAvroRoundtrip _),
+    "q_avro_partitioned" -> (qAvroPartitioned _),
     "q_avro_stream" -> (qAvroStream _),
     "q_avro_validate" -> (qAvroValidate _),
     "q_avro_repair" -> (qAvroRepair _),
@@ -122,6 +141,11 @@ object AvroQueries {
   )
 
   val sql: Map[String, String] = Map(
+    "q_avro_partitioned" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v,
+        |  COUNT(DISTINCT event_id) AS nd_ids
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_avro_roundtrip" ->
       """SELECT event_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,

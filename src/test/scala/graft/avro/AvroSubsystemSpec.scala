@@ -236,6 +236,39 @@ class AvroSubsystemSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hive-partitioned write: layout, partition column, subtree pruning") {
+    import spark.implicits._
+    val dir = tmpDir("hive")
+    val df = Seq((1L, "2022-10-11", 1.5), (2L, "2022-10-11", 2.5),
+      (3L, "2022-10-12", 3.5), (4L, "2022-10-13", 4.5))
+      .toDF("id", "data", "v")
+    AvroWrite.writePartitioned(df, dir, Seq("data"))
+    // hive layout on disk, record schema without the partition column
+    val d11 = new java.io.File(s"$dir/data=2022-10-11")
+    assert(d11.isDirectory, "partition directory missing")
+    assert(d11.listFiles().exists(_.getName.endsWith(".avro")))
+    val flat = spark.read.format("graft-avro").load(dir)
+    assert(flat.columns.toSeq == Seq("id", "v"),
+      s"partition col leaked into records: ${flat.columns.toSeq}")
+    // partition column surfaces with hivepartitions=true
+    val full = spark.read.format("graft-avro")
+      .option("hivepartitions", "true").load(dir)
+    assert(full.columns.toSeq == Seq("id", "v", "data"))
+    val got = full.select("id", "data").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "2022-10-11", 2L -> "2022-10-11",
+      3L -> "2022-10-12", 4L -> "2022-10-13"))
+    // partition-scoped load path = static pruning by listing
+    val oneDay = spark.read.format("graft-avro")
+      .load(s"$dir/data=2022-10-12")
+    assert(oneDay.count() == 1)
+    // partition-column-only projection decodes an empty record schema
+    val counts = full.groupBy("data").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("2022-10-11" -> 2L, "2022-10-12" -> 1L,
+      "2022-10-13" -> 1L))
+  }
+
   test("streaming checkpoint recovery: files added while stopped still arrive") {
     import spark.implicits._
     val dir = tmpDir("stream-ckpt")
