@@ -177,10 +177,13 @@ case class AvroTable(tableSchema: StructType, props: Map[String, String])
 case class AvroScanBuilder(fullSchema: StructType,
     options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
   private var required: StructType = fullSchema
   private var limit: Int = -1
+  private var partFilters: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // keep original field order; an empty projection (count(*)) keeps zero
@@ -192,6 +195,35 @@ case class AvroScanBuilder(fullSchema: StructType,
   override def pushLimit(n: Int): Boolean = { limit = n; true }
   override def isPartiallyPushed: Boolean = true
 
+  /** Partition pruning for hive-layout reads: equality/IN predicates on
+    * path-derived partition columns are fully answered by the listing —
+    * matching files are the only ones opened. Everything else stays a
+    * post-scan filter. (One extra listing at planning time; the scan
+    * re-lists anyway, and a production source would cache it.) */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources.{EqualTo, In, IsNotNull}
+    if (!options.getBoolean("hivepartitions", false)) return filters
+    val root = options.get("path")
+    val partCols: Set[String] = AvroContainerSource.listFiles(options)
+      .flatMap { case (p, _) =>
+        AvroContainerSource.hivePartitionValues(root, p).map(_._1)
+      }.toSet
+    def pushable(f: org.apache.spark.sql.sources.Filter): Boolean = f match {
+      case EqualTo(c, _) => partCols(c)
+      case In(c, _) => partCols(c)
+      case IsNotNull(c) => partCols(c)
+      case _ => false
+    }
+    val (push, rest) = filters.partition(pushable)
+    partFilters = push
+    rest
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    partFilters
+
   override def build(): Scan = {
     // entrySet iterates the delegate's lowercased keys — keeps the DSv2
     // case-insensitive options contract (asCaseSensitiveMap would leak
@@ -199,7 +231,7 @@ case class AvroScanBuilder(fullSchema: StructType,
     val opts = options.entrySet().asScala
       .map(e => e.getKey -> e.getValue).toMap
     AvroScan(fullSchema, required, opts, limit,
-      AvroContainerSource.serializableConfEntries())
+      AvroContainerSource.serializableConfEntries(), partFilters.toSeq)
   }
 }
 
@@ -212,14 +244,32 @@ case class AvroFilePartition(path: String, start: Long, end: Long,
     extends InputPartition
 
 case class AvroScan(fullSchema: StructType, required: StructType,
-    options: Map[String, String], limit: Int, confEntries: Map[String, String])
+    options: Map[String, String], limit: Int, confEntries: Map[String, String],
+    partFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     val cols = required.fieldNames.mkString(",")
-    s"graft-avro cols=[$cols] limit=$limit"
+    s"graft-avro cols=[$cols] limit=$limit" +
+      s" partFilters=[${partFilters.mkString(",")}]"
+  }
+
+  /** true iff the file's path-derived partition values satisfy every
+    * pushed partition filter. */
+  private def keepFile(root: String, path: String): Boolean = {
+    import org.apache.spark.sql.sources.{EqualTo, In, IsNotNull}
+    if (partFilters.isEmpty) return true
+    val pv = AvroContainerSource.hivePartitionValues(root, path).toMap
+    partFilters.forall {
+      case EqualTo(c, v) => pv.get(c).contains(String.valueOf(v))
+      case In(c, vs) =>
+        pv.get(c).exists(x => vs.exists(v => String.valueOf(v) == x))
+      case IsNotNull(c) =>
+        pv.get(c).exists(_ != "__HIVE_DEFAULT_PARTITION__")
+      case _ => true
+    }
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -234,7 +284,8 @@ case class AvroScan(fullSchema: StructType, required: StructType,
     require(splitBytes > 0, s"maxSplitBytes must be positive, got $splitBytes")
     val hive = options.getOrElse("hivepartitions", "false").toBoolean
     val root = options.getOrElse("path", "")
-    files.flatMap { case (p, len) =>
+    files.filter { case (p, _) => keepFile(root, p) }
+      .flatMap { case (p, len) =>
       val pv =
         if (hive) AvroContainerSource.hivePartitionValues(root, p) else Nil
       // end must be the real length: avro's pastSync(pos) computes

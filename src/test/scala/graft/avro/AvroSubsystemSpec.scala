@@ -267,6 +267,14 @@ class AvroSubsystemSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts == Map("2022-10-11" -> 2L, "2022-10-12" -> 1L,
       "2022-10-13" -> 1L))
+    // equality filter on the partition column prunes at the listing:
+    // pushed into the scan (visible in the plan), correct rows survive
+    val filtered = full.filter($"data" === "2022-10-11")
+    assert(filtered.queryExecution.executedPlan.toString
+      .contains("EqualTo(data,2022-10-11)"),
+      s"partition filter not pushed:\n${filtered.queryExecution.executedPlan}")
+    assert(filtered.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L))
   }
 
   test("streaming checkpoint recovery: files added while stopped still arrive") {
