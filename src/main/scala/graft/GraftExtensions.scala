@@ -26,11 +26,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
-      (exprs: Seq[Expression]) => FloatDot(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"float_dot takes 2 arguments, got ${exprs.length}")
+        FloatDot(exprs(0), exprs(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"simhash64 takes 1 argument, got ${exprs.length}")
+        SimHash64(exprs.head)
+      }))
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
   }
 }

@@ -468,6 +468,9 @@ class AvroPartitionReader(part: AvroFilePartition, required: StructType,
   }
   private val partConsts: Array[AnyRef] = required.fields.map { f =>
     partVals.get(f.name)
+      // the hive default-partition token round-trips back to NULL, so
+      // the surfaced column and IsNotNull pushdown agree on nullness
+      .filter(_ != "__HIVE_DEFAULT_PARTITION__")
       .map(v => org.apache.spark.unsafe.types.UTF8String.fromString(v)
         .asInstanceOf[AnyRef]).orNull
   }

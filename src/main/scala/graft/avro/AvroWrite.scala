@@ -109,14 +109,15 @@ object AvroWrite {
       var fs: org.apache.hadoop.fs.FileSystem = null
       var tmp: Path = null
       var finalPath: Path = null
-      def closeCommit(): Unit = if (writer != null) {
+      // Task-level commit discipline: every partition's file stays under
+      // its temp name until ALL rows of this task are written, then the
+      // whole batch renames at once — a task that dies mid-way leaves
+      // only dot-temp files (invisible to the listing), never a
+      // committed-looking prefix of its output.
+      val pending = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+      def closeCurrent(): Unit = if (writer != null) {
         writer.close(); writer = null
-        if (!fs.rename(tmp, finalPath)) {
-          fs.delete(tmp, false)
-          if (!fs.exists(finalPath))
-            throw new java.io.IOException(
-              s"commit failed: cannot rename $tmp to $finalPath")
-        }
+        pending += ((tmp, finalPath))
       }
       def open(key: Seq[String]): Unit = {
         val sub = partCols.zip(key)
@@ -139,15 +140,26 @@ object AvroWrite {
           val key = (0 until np).map(i =>
             if (r.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
             else r.getUTF8String(i).toString)
-          if (key != currentKey) { closeCommit(); open(key); currentKey = key }
+          if (key != currentKey) { closeCurrent(); open(key); currentKey = key }
           writer.append(toRecord(dataProj(r)))
         }
+        closeCurrent()
         ok = true
       } finally {
-        if (ok) closeCommit()
-        else if (writer != null) {
-          try writer.close() catch { case _: Exception => () }
-          fs.delete(tmp, false)
+        if (!ok) {
+          if (writer != null) {
+            try writer.close() catch { case _: Exception => () }
+            if (tmp != null) fs.delete(tmp, false)
+          }
+          pending.foreach { case (t, _) => fs.delete(t, false) }
+        }
+      }
+      pending.foreach { case (t, f) =>
+        if (!fs.rename(t, f)) {
+          fs.delete(t, false)
+          if (!fs.exists(f))
+            throw new java.io.IOException(
+              s"commit failed: cannot rename $t to $f")
         }
       }
     }

@@ -80,13 +80,27 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Attribute],
       val boundKeys = sortOrders.map(so =>
         BindReferences.bindReference(so.child, childOutput))
       val keyOrds: Array[Ordering[Any]] = sortOrders.map { so =>
-        val base = TypeUtils.getInterpretedOrdering(so.child.dataType)
-        if (so.direction == Descending) base.reverse else base
+        val dirBase = {
+          val base = TypeUtils.getInterpretedOrdering(so.child.dataType)
+          if (so.direction == Descending) base.reverse else base
+        }
+        // SortOrder null semantics: default NULLS FIRST for ASC,
+        // NULLS LAST for DESC (what so.nullOrdering carries) — the
+        // interpreted ordering alone would NPE on a null key
+        val nullsFirst =
+          so.nullOrdering == org.apache.spark.sql.catalyst.expressions.NullsFirst
+        new Ordering[Any] {
+          override def compare(a: Any, b: Any): Int =
+            if (a == null && b == null) 0
+            else if (a == null) { if (nullsFirst) -1 else 1 }
+            else if (b == null) { if (nullsFirst) 1 else -1 }
+            else dirBase.compare(a, b)
+        }
       }.toArray
       // "better" = smaller in this composite order (rank 1 = minimum)
-      val cmp = new Ordering[(Array[Any], UnsafeRow)] {
-        override def compare(a: (Array[Any], UnsafeRow),
-            b: (Array[Any], UnsafeRow)): Int = {
+      val cmp = new Ordering[(Array[Any], InternalRow)] {
+        override def compare(a: (Array[Any], InternalRow),
+            b: (Array[Any], InternalRow)): Int = {
           var i = 0
           while (i < keyOrds.length) {
             val c = keyOrds(i).compare(a._1(i), b._1(i))
@@ -98,14 +112,14 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Attribute],
       }
       // max-heap: the worst kept row sits on top and is evicted first
       val heaps = new java.util.HashMap[UnsafeRow,
-        scala.collection.mutable.PriorityQueue[(Array[Any], UnsafeRow)]]()
+        scala.collection.mutable.PriorityQueue[(Array[Any], InternalRow)]]()
       while (it.hasNext) {
-        val row = it.next().asInstanceOf[UnsafeRow]
+        val row = it.next() // InternalRow contract — no UnsafeRow cast
         val g = groupProj(row)
         var heap = heaps.get(g)
         if (heap == null) {
           heap = scala.collection.mutable.PriorityQueue
-            .empty[(Array[Any], UnsafeRow)](cmp)
+            .empty[(Array[Any], InternalRow)](cmp)
           heaps.put(g.copy(), heap)
         }
         val keys = new Array[Any](boundKeys.length)
@@ -157,6 +171,7 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Attribute],
 object TopKPerGroup {
   def apply(df: DataFrame, groupCols: Seq[String], orderCol: String,
       tieCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     val spark: SparkSession = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
       spark.experimental.extraStrategies =

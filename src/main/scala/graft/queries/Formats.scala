@@ -17,14 +17,14 @@ import Tables._
   * inferring wider/narrower types than the source table. */
 object Formats {
 
-  private def tmp(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+  private def tmp(tag: String, d: String): String =
+    freshDir(s"fmt_${tag}_${math.abs(d.hashCode)}")
 
   /** CSV sink + source round trip over customer (ints, doubles,
     * strings). */
   private def qSourceCsv(s: SparkSession, d: String): DataFrame = {
     val c = t(s, d, "customer")
-    val dir = tmp("csv")
+    val dir = tmp("csv", d)
     c.write.mode("overwrite").option("header", "true").csv(dir)
     s.read.option("header", "true").schema(c.schema).csv(dir)
       .orderBy("c_custkey")
@@ -34,7 +34,7 @@ object Formats {
     * doubles, strings). */
   private def qSourceJson(s: SparkSession, d: String): DataFrame = {
     val o = t(s, d, "orders")
-    val dir = tmp("json")
+    val dir = tmp("json", d)
     o.write.mode("overwrite").json(dir)
     s.read.schema(o.schema).json(dir).orderBy("o_orderkey")
   }
@@ -43,7 +43,7 @@ object Formats {
     * Spark's third first-class columnar format. */
   private def qSourceOrc(s: SparkSession, d: String): DataFrame = {
     val p = t(s, d, "part")
-    val dir = tmp("orc")
+    val dir = tmp("orc", d)
     p.write.mode("overwrite").orc(dir)
     s.read.schema(p.schema).orc(dir).orderBy("p_partkey")
   }

@@ -151,8 +151,10 @@ object Relational3 {
     val upd = o.filter(col("o_orderkey") % 3 === 0)
       .select(col("o_orderkey").as("k"), lit("U").as("s_st"),
         (col("o_totalprice") + 10.0).as("s_tp"))
+    // negated keys can never collide with real (non-negative) order keys
+    // at any scale factor, keeping the output ORDER BY a total order
     val ins = o.filter(col("o_orderkey") % 1000 === 0)
-      .select((col("o_orderkey") + 10000000L).as("k"), lit("N").as("s_st"),
+      .select((-col("o_orderkey") - 1).as("k"), lit("N").as("s_st"),
         col("o_totalprice").as("s_tp"))
     val source = upd.union(ins)
     base.join(source, Seq("k"), "full_outer")
@@ -318,7 +320,7 @@ object Relational3 {
         |  SELECT o_orderkey AS k, 'U' AS s_st, o_totalprice + 10.0 AS s_tp
         |  FROM orders WHERE o_orderkey % 3 = 0
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000 AS k, 'N' AS s_st, o_totalprice AS s_tp
+        |  SELECT -o_orderkey - 1 AS k, 'N' AS s_st, o_totalprice AS s_tp
         |  FROM orders WHERE o_orderkey % 1000 = 0)
         |SELECT COALESCE(b.k, s.k) AS o_orderkey,
         |  COALESCE(s.s_st, b.b_st) AS status,

@@ -228,8 +228,7 @@ object StreamingQ {
   private def qStreamForeachBatch(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = t(s, d, "events").schema
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft_feb").toString
+    val outDir = freshDir(s"feb_${math.abs(d.hashCode)}")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {

@@ -36,6 +36,23 @@ object Tables {
   /** TIMESTAMP_NTZ literal (o_orderdate / l_shipdate are ntz). */
   def ntz(d: String): Column = expr(s"TIMESTAMP_NTZ '$d'")
 
+  /** Deterministic scratch dir (delete-and-recreate): repeated query
+    * invocations reuse one path instead of leaking a table-sized temp
+    * directory per run. */
+  def freshDir(tag: String): String = {
+    val p = s"/root/repo/target/qtmp/$tag"
+    val dir = new java.io.File(p)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+    dir.mkdirs()
+    p
+  }
+
   /** events with `us` (epoch micros, long) and `ts_utc` (TimestampType). */
   def events(s: SparkSession, dir: String): DataFrame = {
     // ts is parquet TIMESTAMP(NANOS): unsupported as a Spark timestamp;

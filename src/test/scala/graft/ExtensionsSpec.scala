@@ -36,6 +36,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sh != 0L, "simhash64 not evaluated")
   }
 
+  test("native top-k: null order keys rank NULLS LAST under DESC") {
+    val df = spark.sql(
+      "SELECT * FROM VALUES (1L, 5.0D), (1L, CAST(NULL AS DOUBLE)), " +
+        "(1L, 7.0D) AS t(g, v)")
+    val out = graft.plans.TopKPerGroup(df, Seq("g"), "v", Nil, 2)
+      .orderBy("rnk").collect()
+    assert(out.length == 2)
+    assert(out(0).getDouble(1) == 7.0 && out(1).getDouble(1) == 5.0,
+      s"null must sort after real values: ${out.toSeq}")
+  }
+
   test("injected planner strategy plans TopKPerGroupNode") {
     val df = spark.range(0, 100)
       .selectExpr("id % 10 AS g", "cast(id AS double) AS v")

@@ -240,7 +240,8 @@ class AvroSubsystemSpec extends AnyFunSuite {
     import spark.implicits._
     val dir = tmpDir("hive")
     val df = Seq((1L, "2022-10-11", 1.5), (2L, "2022-10-11", 2.5),
-      (3L, "2022-10-12", 3.5), (4L, "2022-10-13", 4.5))
+      (3L, "2022-10-12", 3.5), (4L, "2022-10-13", 4.5),
+      (5L, null.asInstanceOf[String], 5.5))
       .toDF("id", "data", "v")
     AvroWrite.writePartitioned(df, dir, Seq("data"))
     // hive layout on disk, record schema without the partition column
@@ -257,7 +258,8 @@ class AvroSubsystemSpec extends AnyFunSuite {
     val got = full.select("id", "data").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "2022-10-11", 2L -> "2022-10-11",
-      3L -> "2022-10-12", 4L -> "2022-10-13"))
+      3L -> "2022-10-12", 4L -> "2022-10-13", 5L -> null),
+      s"null partition value must round-trip to NULL: $got")
     // partition-scoped load path = static pruning by listing
     val oneDay = spark.read.format("graft-avro")
       .load(s"$dir/data=2022-10-12")
@@ -266,7 +268,9 @@ class AvroSubsystemSpec extends AnyFunSuite {
     val counts = full.groupBy("data").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts == Map("2022-10-11" -> 2L, "2022-10-12" -> 1L,
-      "2022-10-13" -> 1L))
+      "2022-10-13" -> 1L, (null: String) -> 1L))
+    // IsNotNull pushdown agrees with the surfaced nullness
+    assert(full.filter($"data".isNotNull).count() == 4)
     // equality filter on the partition column prunes at the listing:
     // pushed into the scan (visible in the plan), correct rows survive
     val filtered = full.filter($"data" === "2022-10-11")
