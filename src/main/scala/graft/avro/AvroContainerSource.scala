@@ -324,7 +324,9 @@ case class AvroBatchOffset(batch: Int)
 class AvroMicroBatchStream(required: StructType,
     options: Map[String, String], confEntries: Map[String, String],
     checkpointLocation: String)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
   private val seen = scala.collection.mutable.HashSet.empty[String]
@@ -380,7 +382,18 @@ class AvroMicroBatchStream(required: StructType,
 
   override def initialOffset(): Offset = AvroBatchOffset(0)
 
-  override def latestOffset(): Offset = synchronized {
+  // Trigger.AvailableNow: snapshot the listing once; latestOffset is
+  // then pinned to that batch so the query drains exactly the files
+  // present at start and terminates — files landing mid-run wait for
+  // the next invocation (incremental-batch semantics).
+  private var availableNowCap: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = synchronized {
+    assignFreshBatch()
+    availableNowCap = Some(lastBatch)
+  }
+
+  private def assignFreshBatch(): Unit = {
     val fresh = listNow().filterNot(f => seen.contains(f._1))
     if (fresh.nonEmpty) {
       lastBatch += 1
@@ -388,8 +401,23 @@ class AvroMicroBatchStream(required: StructType,
       batches(lastBatch) = fresh
       seen ++= fresh.map(_._1)
     }
-    AvroBatchOffset(lastBatch)
   }
+
+  override def latestOffset(): Offset = synchronized {
+    availableNowCap match {
+      case Some(cap) => AvroBatchOffset(cap)
+      case None =>
+        assignFreshBatch()
+        AvroBatchOffset(lastBatch)
+    }
+  }
+
+  // SupportsAdmissionControl variant (what the engine actually calls once
+  // the AvailableNow trait is mixed in); one file-batch per micro-batch
+  // is already the admission unit, so read limits don't subdivide further
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = latestOffset()
 
   override def deserializeOffset(json: String): Offset =
     AvroBatchOffset(json.trim.toInt)

@@ -281,6 +281,24 @@ class AvroSubsystemSpec extends AnyFunSuite {
       == Seq(1L, 2L))
   }
 
+  test("Trigger.AvailableNow drains the directory snapshot then terminates") {
+    import spark.implicits._
+    val dir = tmpDir("avnow")
+    AvroWrite.write((1L to 30L).map(i => (i, s"a$i")).toDF("id", "s"), dir)
+    val name = "avnow_sink"
+    val q = spark.readStream.format("graft-avro").load(dir)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000), "AvailableNow query must self-stop")
+    assert(spark.table(name).count() == 30)
+    // a file landing after the snapshot is NOT picked up by this run
+    (31L to 40L).map(i => (i, s"b$i")).toDF("id", "s").coalesce(1)
+      .write.format("graft-avro").mode("append").save(dir)
+    assert(spark.table(name).count() == 30)
+  }
+
   test("streaming checkpoint recovery: files added while stopped still arrive") {
     import spark.implicits._
     val dir = tmpDir("stream-ckpt")
