@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the document-pipeline operators: inflates the
+  * `documents` table by an integer factor (shifted ids, perturbed text
+  * and lengths — so near-dup structure spans replicas and the
+  * candidate graph gets *denser*, not just bigger), then times the
+  * dedup/text operators against it. Prints one JSON line.
+  *
+  * `sbt "runMain graft.ScaleProbe /root/testdata/sf0.1 10"` → 50k docs.
+  * This is the empirical check behind SCALE.md's claims that every
+  * pair-generating operator is blocked (cost tracks collisions, not
+  * n²) and that clustering converges in O(log diameter) rounds. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).getOrElse("10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val probeDir = graft.queries.Tables.freshDir(s"scaleprobe_$factor")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    (0 until factor).map { i =>
+      docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        concat(col("text"), lit(s" v$i")).as("text"),
+        col("lang"), col("source"),
+        (col("n_chars") + (i % 3)).as("n_chars"))
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$probeDir/documents.parquet")
+    val n = spark.read.parquet(s"$probeDir/documents.parquet").count()
+    val ops = Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+      "q_dedup_ngram", "q_text_ngrams", "q_text_tfidf", "q_dedup_cluster")
+    val times = ops.map { id =>
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(id)(spark, probeDir).count()
+      id -> (((System.nanoTime() - t0) / 1e9), rows)
+    }
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = times.map { case (k, (s, r)) =>
+      s""""$k":{"sec":${f(s)},"rows":$r}""" }.mkString("{", ",", "}")
+    println(s"""{"probe":"documents","docs":$n,"factor":$factor,"ops":$qs}""")
+    spark.stop()
+  }
+}
