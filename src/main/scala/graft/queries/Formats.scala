@@ -70,7 +70,39 @@ object Formats {
           .as("n_hits"))
       .orderBy("doc_id")
 
+  /** Cryptographic/content hashes (md5, sha2-256) — content-addressing
+    * and cache-keying primitives. */
+  private def qFnHash(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), md5(col("source")).as("h_md5"),
+        sha2(col("source"), 256).as("h_sha256"))
+      .orderBy("doc_id")
+
+  /** Binary encodings: integer hex, blob hex, base64. */
+  private def qFnBinhex(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        hex(col("doc_id")).as("id_hex"),
+        hex(col("source").cast("binary")).as("src_hex"),
+        base64(col("source").cast("binary")).as("src_b64"))
+      .orderBy("doc_id")
+
+  /** Discrete percentiles (no interpolation — always a real data
+    * value): SQL-standard WITHIN GROUP syntax. */
+  private def qAggPctlDisc(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT l_returnflag,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q25,
+        |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS q50,
+        |  percentile_disc(0.9)  WITHIN GROUP (ORDER BY l_quantity) AS q90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fn_hash" -> (qFnHash _),
+    "q_fn_binhex" -> (qFnBinhex _),
+    "q_agg_pctl_disc" -> (qAggPctlDisc _),
     "q_source_csv" -> (qSourceCsv _),
     "q_source_json" -> (qSourceJson _),
     "q_source_orc" -> (qSourceOrc _),
@@ -79,6 +111,20 @@ object Formats {
   )
 
   val sql: Map[String, String] = Map(
+    "q_fn_hash" ->
+      """SELECT doc_id, md5(source) AS h_md5, sha256(source) AS h_sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fn_binhex" ->
+      """SELECT doc_id, hex(doc_id) AS id_hex,
+        |  hex(CAST(source AS BLOB)) AS src_hex,
+        |  to_base64(CAST(source AS BLOB)) AS src_b64
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_agg_pctl_disc" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_quantity, 0.25) AS q25,
+        |  quantile_disc(l_quantity, 0.5)  AS q50,
+        |  quantile_disc(l_quantity, 0.9)  AS q90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_source_csv" ->
       "SELECT * FROM customer ORDER BY c_custkey",
     "q_source_json" ->
