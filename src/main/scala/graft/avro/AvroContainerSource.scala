@@ -393,8 +393,8 @@ class AvroMicroBatchStream(required: StructType,
     availableNowCap = Some(lastBatch)
   }
 
-  private def assignFreshBatch(): Unit = {
-    val fresh = listNow().filterNot(f => seen.contains(f._1))
+  private def assignFreshBatch(cap: Int = Int.MaxValue): Unit = {
+    val fresh = listNow().filterNot(f => seen.contains(f._1)).take(cap)
     if (fresh.nonEmpty) {
       lastBatch += 1
       persistBatch(lastBatch, fresh)
@@ -412,12 +412,33 @@ class AvroMicroBatchStream(required: StructType,
     }
   }
 
-  // SupportsAdmissionControl variant (what the engine actually calls once
-  // the AvailableNow trait is mixed in); one file-batch per micro-batch
-  // is already the admission unit, so read limits don't subdivide further
+  // Admission control: `maxfilespertrigger` bounds how many new files a
+  // micro-batch admits — the backpressure knob for a directory that
+  // fills faster than one batch can drain. (AvailableNow snapshots
+  // everything into its single final batch instead.)
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    options.get("maxfilespertrigger")
+      .map(n => ReadLimit.maxFiles(n.toInt))
+      .getOrElse(ReadLimit.allAvailable())
+  }
+
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-      : Offset = latestOffset()
+      : Offset = synchronized {
+    import org.apache.spark.sql.connector.read.streaming.ReadMaxFiles
+    availableNowCap match {
+      case Some(cap) => AvroBatchOffset(cap)
+      case None =>
+        val cap = limit match {
+          case mf: ReadMaxFiles => mf.maxFiles()
+          case _ => Int.MaxValue
+        }
+        assignFreshBatch(cap)
+        AvroBatchOffset(lastBatch)
+    }
+  }
 
   override def deserializeOffset(json: String): Offset =
     AvroBatchOffset(json.trim.toInt)

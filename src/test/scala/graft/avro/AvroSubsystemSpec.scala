@@ -323,6 +323,50 @@ class AvroSubsystemSpec extends AnyFunSuite {
     assert(ids == (1L to 60L), s"expected 1..60, got ${ids.size} rows")
   }
 
+  test("maxfilespertrigger bounds micro-batch admission") {
+    import spark.implicits._
+    val dir = tmpDir("mft")
+    (1L to 100L).map(i => (i, s"a$i")).toDF("id", "s")
+      .repartition(10).write.format("graft-avro").mode("append").save(dir)
+    val name = "mft_sink"
+    val q = spark.readStream.format("graft-avro")
+      .option("maxfilespertrigger", "3").load(dir)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 100, "all rows must arrive")
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 4,
+        s"10 files / cap 3 needs >= 4 data batches, got $dataBatches")
+    } finally q.stop()
+  }
+
+  test("quarantine mirrors subdirectories: same basename never collides") {
+    val dir = tmpDir("qmirror")
+    val qdir = tmpDir("qmirror-quarantine")
+    val tax = AvroFixtures.taxonomy("deflate")
+    val flip = tax.find(_._1 == "flip_payload_deflate").get._2
+    val trunc = tax.find(_._1 == "trunc_tail_deflate").get._2
+    Files.createDirectories(Paths.get(dir, "day=1"))
+    Files.createDirectories(Paths.get(dir, "day=2"))
+    Files.write(Paths.get(dir, "day=1", "bad.avro"), flip)
+    Files.write(Paths.get(dir, "day=2", "bad.avro"), trunc)
+    val report = RepairPipeline.run(spark, dir, replace = false,
+      quarantineDir = Some(qdir), samplerate = 1.0).collect()
+    assert(report.length == 2 && report.forall(_.status == "repaired"),
+      s"both must repair: ${report.toSeq}")
+    // the recursive listing found equal basenames in different subdirs;
+    // the quarantine must hold BOTH, at mirrored relative paths
+    val q1 = new java.io.File(s"$qdir/day=1/bad.avro")
+    val q2 = new java.io.File(s"$qdir/day=2/bad.avro")
+    assert(q1.isFile && q2.isFile, s"quarantine lost a copy: $q1 / $q2")
+    val c1 = spark.read.format("graft-avro").load(q1.getPath).count()
+    val c2 = spark.read.format("graft-avro").load(q2.getPath).count()
+    assert(c1 != c2,
+      s"distinct corruptions must yield distinct salvages ($c1 == $c2)")
+  }
+
   test("repair pipeline end-to-end: statuses, replacement, per-file errors") {
     val dir = tmpDir("pipe")
     AvroFixtures.writeAll(dir)
