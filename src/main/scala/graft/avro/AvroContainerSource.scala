@@ -496,26 +496,34 @@ class AvroPartitionReader(part: AvroFilePartition, required: StructType,
   private val datumReader = new GenericDatumReader[GenericRecord]()
   private val reader =
     new org.apache.avro.file.DataFileReader[GenericRecord](in, datumReader)
-  // Hive-partition columns come from the file path, not the record —
-  // split `required` into decoded fields and path constants.
+  // Three sources feed a required column: the decoded record, a hive
+  // partition value from the path, or NULL when the column was added
+  // after this file was written (add-column schema evolution — old
+  // files null-fill instead of failing the resolver).
   private val partVals: Map[String, String] = part.partitionValues.toMap
   private val recordRequired =
     StructType(required.fields.filterNot(f => partVals.contains(f.name)))
+  private val availableStruct = StructType(recordRequired.fields
+    .filter(f => reader.getSchema.getField(f.name) != null))
   // Reader-schema projection = column pruning inside the decoder.
   private val projected: Schema =
-    if (recordRequired.fieldNames.length == reader.getSchema.getFields.size())
+    if (availableStruct.fieldNames.length == reader.getSchema.getFields.size())
       reader.getSchema
-    else SchemaConverter.prune(reader.getSchema, recordRequired.fieldNames.toSeq)
+    else SchemaConverter.prune(reader.getSchema,
+      availableStruct.fieldNames.toSeq)
   datumReader.setExpected(projected)
-  private val convert = AvroDatum.rowReader(projected, recordRequired)
-  // required index → recordRequired index (-1 = partition constant)
+  private val convert = AvroDatum.rowReader(projected, availableStruct)
+  // required index → availableStruct index (-1 = constant: partition
+  // value or evolution null)
   private val recIdx: Array[Int] = {
     var j = 0
     required.fields.map { f =>
-      if (partVals.contains(f.name)) -1 else { val i = j; j += 1; i }
+      if (partVals.contains(f.name) ||
+          reader.getSchema.getField(f.name) == null) -1
+      else { val i = j; j += 1; i }
     }
   }
-  private val partConsts: Array[AnyRef] = required.fields.map { f =>
+  private val consts: Array[AnyRef] = required.fields.map { f =>
     partVals.get(f.name)
       // the hive default-partition token round-trips back to NULL, so
       // the surfaced column and IsNotNull pushdown agree on nullness
@@ -523,14 +531,14 @@ class AvroPartitionReader(part: AvroFilePartition, required: StructType,
       .map(v => org.apache.spark.unsafe.types.UTF8String.fromString(v)
         .asInstanceOf[AnyRef]).orNull
   }
-  /** Splice decoded fields and path constants into the required order. */
+  /** Splice decoded fields and constants into the required order. */
   private def assemble(rec: InternalRow): InternalRow = {
-    if (partVals.isEmpty) return rec
+    if (availableStruct.length == required.length) return rec
     val out = new org.apache.spark.sql.catalyst.expressions
       .GenericInternalRow(required.length)
     var i = 0
     while (i < required.length) {
-      if (recIdx(i) < 0) out.update(i, partConsts(i))
+      if (recIdx(i) < 0) out.update(i, consts(i))
       else out.update(i, rec.get(recIdx(i), required.fields(i).dataType))
       i += 1
     }

@@ -323,6 +323,33 @@ class AvroSubsystemSpec extends AnyFunSuite {
     assert(ids == (1L to 60L), s"expected 1..60, got ${ids.size} rows")
   }
 
+  test("add-column schema evolution: old files null-fill new columns") {
+    import spark.implicits._
+    val dir = tmpDir("evolve")
+    // v1 files lack the column added later
+    (1L to 10L).map(i => (i, s"a$i")).toDF("id", "s").coalesce(1)
+      .write.format("graft-avro").mode("append").save(dir)
+    (11L to 20L).map(i => (i, s"b$i", i * 1.5)).toDF("id", "s", "score")
+      .coalesce(1).write.format("graft-avro").mode("append").save(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType)))
+    val back = spark.read.format("graft-avro").schema(schema).load(dir)
+      .orderBy("id").collect()
+    assert(back.length == 20)
+    assert(back.take(10).forall(_.isNullAt(2)),
+      "old-schema rows must null-fill the added column")
+    assert(back(10).getDouble(2) == 11 * 1.5)
+    // projection that only touches the evolved column still works
+    val scores = spark.read.format("graft-avro").schema(schema).load(dir)
+      .selectExpr("sum(score)").head.getDouble(0)
+    assert(scores == (11 to 20).map(_ * 1.5).sum)
+  }
+
   test("maxfilespertrigger bounds micro-batch admission") {
     import spark.implicits._
     val dir = tmpDir("mft")
