@@ -114,11 +114,33 @@ object LlmSim {
       .orderBy("vec_id")
   }
 
+  /** Int8 symmetric quantization: per-vector scale = 127/max|x|,
+    * quantized sum (exact — small ints in double) and max reconstruction
+    * error, 6-dp rounded. Both engines round() half-away-from-zero on
+    * doubles, and every intermediate is double-exact from float inputs. */
+  private def qEmbedQuantize(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .withColumn("scale",
+        lit(127.0) /
+          expr("cast(array_max(transform(embedding, x -> abs(x))) as double)"))
+      .select(col("vec_id"),
+        round(col("scale"), 6).as("scale6"),
+        expr("""aggregate(transform(embedding,
+          x -> cast(round(cast(x as double) * scale) as int)),
+          cast(0 as double), (acc, q) -> acc + cast(q as double))""")
+          .as("qsum"),
+        expr("""round(array_max(transform(embedding,
+          x -> abs(cast(x as double) -
+               cast(round(cast(x as double) * scale) as int) / scale))), 6)""")
+          .as("max_err"))
+      .orderBy("vec_id")
+
   val defs: Map[String, Relational.Q] = Map(
     "q_sim_cosine_topk" -> (qSimCosineTopk _),
     "q_sim_ann_ivf" -> (qSimAnnIvf _),
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_embed_norm" -> (qEmbedNorm _),
+    "q_embed_quantize" -> (qEmbedQuantize _),
   )
 
   val sql: Map[String, String] = Map(
@@ -151,5 +173,18 @@ object LlmSim {
         |  ROUND(list_max(list_transform(embedding,
         |        x -> abs(CAST(x AS DOUBLE)))), 6) AS max_abs
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_embed_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    127.0 / list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS scale,
+        |    embedding FROM embeddings)
+        |SELECT vec_id, ROUND(scale, 6) AS scale6,
+        |  list_sum(list_transform(embedding,
+        |    x -> CAST(CAST(round(CAST(x AS DOUBLE)*scale) AS INT) AS DOUBLE))) AS qsum,
+        |  ROUND(list_max(list_transform(embedding,
+        |    x -> abs(CAST(x AS DOUBLE) -
+        |         CAST(round(CAST(x AS DOUBLE)*scale) AS INT)/scale))), 6) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
   )
 }
