@@ -67,8 +67,12 @@ class AvroContainerSource extends TableProvider with DataSourceRegister {
         AvroContainerSource.hivePartitionValues(root, p)
           .foreach { case (k, _) => partCols += k }
       }
-      partCols.foldLeft(record)((st, c) =>
-        st.add(c, org.apache.spark.sql.types.StringType, nullable = true))
+      // a partition key that also exists inside the records (external
+      // writers sometimes keep it) must not produce a duplicate column —
+      // the record field wins, the path copy is redundant
+      partCols.filterNot(record.fieldNames.contains)
+        .foldLeft(record)((st, c) =>
+          st.add(c, org.apache.spark.sql.types.StringType, nullable = true))
     }
   }
 
@@ -87,15 +91,22 @@ object AvroContainerSource {
     listFiles(root)
   }
 
+  /** Scheme-less path of `path` relative to `root` (falls back to the
+    * full path when outside the root — keeps the mapping total). Shared
+    * by hive-partition parsing here and quarantine mirroring in
+    * RepairPipeline. */
+  def relativePath(root: String, path: Path): String = {
+    val rootPath = new Path(root).toUri.getPath.stripSuffix("/")
+    val p = path.toUri.getPath
+    if (rootPath.nonEmpty && p.startsWith(rootPath + "/"))
+      p.substring(rootPath.length + 1)
+    else p.stripPrefix("/")
+  }
+
   /** Hive-style `k=v` path segments of `path` relative to `root`, in
     * segment order, URL-decoded (the writer encodes). */
   def hivePartitionValues(root: String, path: String): Seq[(String, String)] = {
-    val rootPath = new Path(root).toUri.getPath.stripSuffix("/")
-    val p = new Path(path).toUri.getPath
-    val rel =
-      if (rootPath.nonEmpty && p.startsWith(rootPath + "/"))
-        p.substring(rootPath.length + 1)
-      else p
+    val rel = relativePath(root, new Path(path))
     def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
     rel.split('/').toSeq.dropRight(1).flatMap { seg =>
       val i = seg.indexOf('=')
@@ -256,18 +267,19 @@ case class AvroScan(fullSchema: StructType, required: StructType,
       s" partFilters=[${partFilters.mkString(",")}]"
   }
 
-  /** true iff the file's path-derived partition values satisfy every
-    * pushed partition filter. */
-  private def keepFile(root: String, path: String): Boolean = {
+  /** true iff the path-derived partition values satisfy every pushed
+    * partition filter. The default-partition token is NULL: equality/IN
+    * never match it (NULL = literal is never true), IsNotNull excludes
+    * it — consistent with the NULL the reader surfaces. */
+  private def keepFile(pv: Map[String, String]): Boolean = {
     import org.apache.spark.sql.sources.{EqualTo, In, IsNotNull}
-    if (partFilters.isEmpty) return true
-    val pv = AvroContainerSource.hivePartitionValues(root, path).toMap
+    def nonNull(c: String): Option[String] =
+      pv.get(c).filter(_ != "__HIVE_DEFAULT_PARTITION__")
     partFilters.forall {
-      case EqualTo(c, v) => pv.get(c).contains(String.valueOf(v))
+      case EqualTo(c, v) => nonNull(c).contains(String.valueOf(v))
       case In(c, vs) =>
-        pv.get(c).exists(x => vs.exists(v => String.valueOf(v) == x))
-      case IsNotNull(c) =>
-        pv.get(c).exists(_ != "__HIVE_DEFAULT_PARTITION__")
+        nonNull(c).exists(x => vs.exists(v => String.valueOf(v) == x))
+      case IsNotNull(c) => nonNull(c).isDefined
       case _ => true
     }
   }
@@ -284,10 +296,13 @@ case class AvroScan(fullSchema: StructType, required: StructType,
     require(splitBytes > 0, s"maxSplitBytes must be positive, got $splitBytes")
     val hive = options.getOrElse("hivepartitions", "false").toBoolean
     val root = options.getOrElse("path", "")
-    files.filter { case (p, _) => keepFile(root, p) }
-      .flatMap { case (p, len) =>
+    files.map { case (p, len) =>
+      // parse once per file; reused by the filter and the partitions
       val pv =
         if (hive) AvroContainerSource.hivePartitionValues(root, p) else Nil
+      (p, len, pv)
+    }.filter { case (_, _, pv) => partFilters.isEmpty || keepFile(pv.toMap) }
+      .flatMap { case (p, len, pv) =>
       // end must be the real length: avro's pastSync(pos) computes
       // pos + SYNC_SIZE, which overflows for Long.MaxValue
       if (len <= splitBytes) Seq(AvroFilePartition(p, 0L, len, pv))
@@ -449,8 +464,16 @@ class AvroMicroBatchStream(required: StructType,
       : Array[InputPartition] = synchronized {
     val s = start.asInstanceOf[AvroBatchOffset].batch
     val e = end.asInstanceOf[AvroBatchOffset].batch
+    // hive partition columns surface in streaming reads too — without
+    // the parsed values every path-derived column would stream as NULL
+    val hive = options.getOrElse("hivepartitions", "false").toBoolean
+    val root = options.getOrElse("path", "")
     ((s + 1) to e).flatMap(b => batches.getOrElse(b, Nil))
-      .map { case (p, len) => AvroFilePartition(p, 0L, len) }.toArray
+      .map { case (p, len) =>
+        val pv =
+          if (hive) AvroContainerSource.hivePartitionValues(root, p) else Nil
+        AvroFilePartition(p, 0L, len, pv)
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -501,9 +524,10 @@ class AvroPartitionReader(part: AvroFilePartition, required: StructType,
   // after this file was written (add-column schema evolution — old
   // files null-fill instead of failing the resolver).
   private val partVals: Map[String, String] = part.partitionValues.toMap
-  private val recordRequired =
-    StructType(required.fields.filterNot(f => partVals.contains(f.name)))
-  private val availableStruct = StructType(recordRequired.fields
+  // precedence per required field: decoded record field if the writer
+  // schema has it (a record field shadowing a path key wins — matches
+  // inferSchema's dedup), else hive path constant, else evolution null
+  private val availableStruct = StructType(required.fields
     .filter(f => reader.getSchema.getField(f.name) != null))
   // Reader-schema projection = column pruning inside the decoder.
   private val projected: Schema =
@@ -518,8 +542,7 @@ class AvroPartitionReader(part: AvroFilePartition, required: StructType,
   private val recIdx: Array[Int] = {
     var j = 0
     required.fields.map { f =>
-      if (partVals.contains(f.name) ||
-          reader.getSchema.getField(f.name) == null) -1
+      if (reader.getSchema.getField(f.name) == null) -1
       else { val i = j; j += 1; i }
     }
   }

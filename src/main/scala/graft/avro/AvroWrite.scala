@@ -17,20 +17,31 @@ import org.apache.spark.sql.types.StructType
   * (`/root/reference/src/services/repair-avro.ts:152-157`, A15). */
 object AvroWrite {
 
-  /** Write `df` as `part-NNNNN.avro` files under `dir`.
-    * codec ∈ {null, deflate, snappy, bzip2, xz, zstandard}. */
+  /** Write `df` as `part-NNNNN-<runId>.avro` files under `dir` —
+    * **append semantics**: every call materializes its own part files
+    * next to whatever the directory already holds (clear the directory
+    * or use the DSv2 overwrite mode for truncation). The run id in the
+    * name is what makes re-runs safe: with a bare deterministic name, a
+    * second run's rename would fail against the first run's file and
+    * first-attempt-wins would silently keep the STALE data on
+    * HDFS-semantics filesystems (POSIX rename overwrites, so local
+    * tests never see the divergence). Within one run the name is
+    * deterministic per partition, so retried/speculative attempts still
+    * resolve first-wins. codec ∈ {null, deflate, snappy, bzip2, xz,
+    * zstandard}. */
   def write(df: DataFrame, dir: String, codec: String = "null",
       syncIntervalBytes: Int = 64 * 1024): Unit = {
     val schema = df.schema
     val avroJson = SchemaConverter.toAvroRecord(schema, "graft_record").toString
     val confEntries = AvroContainerSource.serializableConfEntries()
+    val runId = UUID.randomUUID().toString.take(8) // driver-side: one per call
     val rdd = df.queryExecution.toRdd // InternalRow, no Row round-trip
     rdd.foreachPartition { rows =>
       val avroSchema = new Schema.Parser().parse(avroJson)
       val toRecord = AvroDatum.recordWriter(schema, avroSchema)
       val conf = AvroContainerSource.confFrom(confEntries)
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      val finalPath = new Path(dir, f"part-$pid%05d.avro")
+      val finalPath = new Path(dir, f"part-$pid%05d-$runId.avro")
       val tmpPath = new Path(dir, s".tmp-${UUID.randomUUID()}.avro")
       val fs = finalPath.getFileSystem(conf)
       fs.mkdirs(finalPath.getParent)
@@ -94,6 +105,9 @@ object AvroWrite {
     val sorted = arranged.repartition(partCols.map(col): _*)
       .sortWithinPartitions(partCols.map(col): _*)
     val dataTypes = dataFields.map(f => (f.dataType, f.nullable))
+    // run id in the final names: append semantics across calls, first-
+    // attempt-wins within a call (same reasoning as the flat write)
+    val runId = UUID.randomUUID().toString.take(8)
     sorted.queryExecution.toRdd.foreachPartition { rows =>
       val avroSchema = new Schema.Parser().parse(avroJson)
       val conf = AvroContainerSource.confFrom(confEntries)
@@ -123,7 +137,7 @@ object AvroWrite {
         val sub = partCols.zip(key)
           .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("/")
         val d = new Path(dir, sub)
-        finalPath = new Path(d, f"part-$pid%05d.avro")
+        finalPath = new Path(d, f"part-$pid%05d-$runId.avro")
         tmp = new Path(d, s".tmp-${UUID.randomUUID()}.avro")
         fs = finalPath.getFileSystem(conf)
         fs.mkdirs(d)

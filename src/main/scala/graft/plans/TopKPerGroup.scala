@@ -126,9 +126,13 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Attribute],
         var i = 0
         while (i < keys.length) {
           keys(i) = boundKeys(i).eval(row) match {
-            // string keys point into the row's buffer, which is reused by
-            // the scan iterator — detach them before the row is released
+            // buffer-backed keys (strings, arrays, maps, structs) point
+            // into the row's memory, which is reused by the scan
+            // iterator — detach them before the row is released
             case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+            case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+            case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+            case r: InternalRow => r.copy()
             case other => other
           }
           i += 1
@@ -172,6 +176,8 @@ object TopKPerGroup {
   def apply(df: DataFrame, groupCols: Seq[String], orderCol: String,
       tieCols: Seq[String], k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(groupCols.nonEmpty,
+      "groupCols must be non-empty (ClusteredDistribution rejects Nil)")
     val spark: SparkSession = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
       spark.experimental.extraStrategies =

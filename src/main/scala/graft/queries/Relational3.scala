@@ -24,14 +24,17 @@ object Relational3 {
 
   /** arg_max/arg_min per group: the customer holding the highest/lowest
     * balance per nation (reference has nothing comparable; standard OLAP
-    * argmax). Composite BIGINT score makes ties impossible. */
+    * argmax). Composite BIGINT score makes ties impossible: the 1e12
+    * multiplier keys cents (|round(bal*100)| ≤ 1e6, product ≤ 1e18 <
+    * Long.Max) above custkey, which stays unique below 1e12 — TPC-H
+    * custkey = 150k×SF, so collision-free past SF 6,000,000. */
   private def qAggArgmax(s: SparkSession, d: String): DataFrame =
     t(s, d, "customer")
       .groupBy(col("c_nationkey"))
       .agg(
-        expr("max_by(c_name, cast(round(c_acctbal*100) as bigint)*10000000 + c_custkey)")
+        expr("max_by(c_name, cast(round(c_acctbal*100) as bigint)*1000000000000 + c_custkey)")
           .as("richest"),
-        expr("min_by(c_name, cast(round(c_acctbal*100) as bigint)*10000000 + c_custkey)")
+        expr("min_by(c_name, cast(round(c_acctbal*100) as bigint)*1000000000000 + c_custkey)")
           .as("poorest"),
         count(lit(1)).as("n_cust"))
       .orderBy("c_nationkey")
@@ -258,8 +261,8 @@ object Relational3 {
         |WHERE rnk <= 3 ORDER BY l_orderkey, rnk""".stripMargin,
     "q_agg_argmax" ->
       """SELECT c_nationkey,
-        |  arg_max(c_name, CAST(round(c_acctbal*100) AS BIGINT)*10000000 + c_custkey) AS richest,
-        |  arg_min(c_name, CAST(round(c_acctbal*100) AS BIGINT)*10000000 + c_custkey) AS poorest,
+        |  arg_max(c_name, CAST(round(c_acctbal*100) AS BIGINT)*1000000000000 + c_custkey) AS richest,
+        |  arg_min(c_name, CAST(round(c_acctbal*100) AS BIGINT)*1000000000000 + c_custkey) AS poorest,
         |  COUNT(*) AS n_cust
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_agg_bool" ->

@@ -135,15 +135,11 @@ object RepairPipeline {
   }
 
   /** Path of `path` relative to the scanned root, for mirroring the
-    * source tree under the quarantine dir. Falls back to the full
-    * scheme-less path when `path` is outside `rootDir` (can't happen for
-    * paths produced by listing `rootDir`, but keeps the mapping total). */
-  private[repair] def relativeTo(rootDir: String, path: Path): String = {
-    val p = path.toUri.getPath
-    val root = new Path(rootDir).toUri.getPath.stripSuffix("/")
-    if (root.nonEmpty && p.startsWith(root + "/")) p.substring(root.length + 1)
-    else p.stripPrefix("/")
-  }
+    * source tree under the quarantine dir — delegates to the shared
+    * relativization in AvroContainerSource so the two call sites can't
+    * drift. */
+  private[repair] def relativeTo(rootDir: String, path: Path): String =
+    graft.avro.AvroContainerSource.relativePath(rootDir, path)
 
   /** B13: the run summary the reference reduces to log lines. */
   def summary(report: Dataset[FileRepairReport]): Dataset[(String, Long)] = {
