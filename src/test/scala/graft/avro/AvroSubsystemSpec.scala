@@ -281,6 +281,24 @@ class AvroSubsystemSpec extends AnyFunSuite {
       == Seq(1L, 2L))
   }
 
+  test("record field shadowing a hive path key: one column, record wins") {
+    import spark.implicits._
+    val dir = tmpDir("shadow")
+    // external-writer layout: the partition key also lives IN the records
+    Files.createDirectories(Paths.get(dir, "data=path-value"))
+    Seq((1L, "record-value"), (2L, "record-value"))
+      .toDF("id", "data").coalesce(1)
+      .write.format("graft-avro").mode("append")
+      .save(s"$dir/data=path-value")
+    val df = spark.read.format("graft-avro")
+      .option("hivepartitions", "true").load(dir)
+    assert(df.columns.count(_ == "data") == 1,
+      s"duplicate column: ${df.columns.toSeq}")
+    val vals = df.select("data").collect().map(_.getString(0)).distinct.toSeq
+    assert(vals == Seq("record-value"),
+      s"record field must win over the path constant: $vals")
+  }
+
   test("Trigger.AvailableNow drains the directory snapshot then terminates") {
     import spark.implicits._
     val dir = tmpDir("avnow")
