@@ -100,13 +100,35 @@ object LlmText2 {
     } finally edges.unpersist()
   }
 
+  /** Stopword removal: drop function words, keep order, count the
+    * removals — the token-filtering pass before n-gram/embedding
+    * stages. */
+  private def qTextStopwords(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"),
+        expr("array_join(filter(ws, w -> NOT w IN ('a', 'the', 'of', 'and')), ' ')")
+          .as("kept"),
+        expr("cast(size(ws) - size(filter(ws, w -> NOT w IN ('a', 'the', 'of', 'and'))) as int)")
+          .as("n_removed"))
+      .orderBy("doc_id")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stopwords" -> (qTextStopwords _),
     "q_text_scrub" -> (qTextScrub _),
     "q_text_ngrams" -> (qTextNgrams _),
     "q_dedup_cluster" -> (qDedupCluster _),
   )
 
   val sql: Map[String, String] = Map(
+    "q_text_stopwords" ->
+      """SELECT doc_id,
+        |  array_to_string(list_filter(string_split(text, ' '),
+        |    w -> w NOT IN ('a', 'the', 'of', 'and')), ' ') AS kept,
+        |  CAST(len(string_split(text, ' ')) -
+        |       len(list_filter(string_split(text, ' '),
+        |         w -> w NOT IN ('a', 'the', 'of', 'and'))) AS INT) AS n_removed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_scrub" ->
       """SELECT doc_id, scrubbed,
         |  CAST(len(scrubbed) - len(replace(scrubbed, '#', '')) AS INT) AS n_masked
