@@ -103,12 +103,22 @@ object Salvage {
     } finally in.close()
   }
 
-  /** Block salvage (modes `all` | `report`). Streams recovered records
-    * straight into the output writer (no in-memory accumulation — a
-    * multi-GB container must not materialize on one executor's heap);
-    * mode=report (`out=None`) only counts. */
+  /** Block salvage. Streams recovered records straight into the output
+    * writer (no in-memory accumulation — a multi-GB container must not
+    * materialize on one executor's heap); `out=None` only counts
+    * (report mode).
+    *
+    * `mode` mirrors avro-tools repair's `-o` recovery options (reference
+    * B10, `repair-avro.ts:149`): `all` keeps every cleanly-decoded
+    * record, `prior` keeps only records decoded before the first
+    * corruption, `after` only records decoded after it. The scan always
+    * runs the whole file so resync accounting is identical across
+    * modes; only the writes are gated. */
   def salvage(fs: FileSystem, path: Path, out: Option[Path],
-      codecOverride: Option[String] = None): SalvageResult = {
+      codecOverride: Option[String] = None,
+      mode: String = "all"): SalvageResult = {
+    require(Set("all", "prior", "after")(mode),
+      s"recovery mode must be all|prior|after, got $mode")
     val header = try {
       val in = new HadoopSeekableInput(fs, path)
       try {
@@ -139,6 +149,12 @@ object Salvage {
       var recovered = 0L
       var resyncs = 0L
       var exhausted = false
+      var corrupted = false // true once the first decode failure is seen
+      def keep: Boolean = mode match {
+        case "prior" => !corrupted
+        case "after" => corrupted
+        case _ => true
+      }
       val headerEnd = reader.previousSync()
       // NB: reader.tell() reflects the buffered input's read-ahead (up to
       // ~8 KiB past the current block) — resuming from tell() would skip
@@ -151,13 +167,16 @@ object Salvage {
           try {
             if (reader.hasNext) {
               val rec = reader.next()
-              writer.foreach(_.append(rec))
-              recovered += 1
+              if (keep) {
+                writer.foreach(_.append(rec))
+                recovered += 1
+              }
             } else exhausted = true
           } catch {
             case _: EOFException => exhausted = true
             case _: Exception =>
               resyncs += 1
+              corrupted = true
               val from = math.max(reader.previousSync(), lastSync) + 1
               if (from >= fileLen) exhausted = true
               else try {

@@ -39,12 +39,31 @@ final case class FileRepairReport(
   */
 object RepairPipeline {
 
+  /** Live per-status counters (reference A7's progress bar, Spark-native:
+    * `LongAccumulator`s tick on the driver UI/REST API *while* the
+    * distributed repair runs, where the report Dataset only exists at the
+    * end). Retried tasks can over-count accumulators in general; `run`
+    * executes the pipeline exactly once behind a persist, so on a healthy
+    * run the counts equal the report's group-by (asserted in tests). */
+  final class Progress(spark: SparkSession) extends Serializable {
+    val statuses: Seq[String] = Seq("valid", "repaired", "repaired_replaced",
+      "unrepairable", "error")
+    private val acc = statuses.map(st =>
+      st -> spark.sparkContext.longAccumulator(s"graft.repair.$st")).toMap
+    private[repair] def record(status: String): Unit =
+      acc.get(status).foreach(_.add(1L))
+    def counts: Map[String, Long] =
+      acc.map { case (st, a) => st -> a.value }
+  }
+
   def run(spark: SparkSession, dir: String,
       replace: Boolean = false,
       quarantineDir: Option[String] = None,
       limit: Long = 1000000L,
       samplerate: Double = 0.01,
-      seed: Long = 42L): Dataset[FileRepairReport] = {
+      seed: Long = 42L,
+      recoverMode: String = "all",
+      progress: Option[Progress] = None): Dataset[FileRepairReport] = {
     import spark.implicits._
 
     val files = AvroContainerSource.listFiles(dir)
@@ -57,8 +76,11 @@ object RepairPipeline {
       .mapPartitions { it =>
         val conf = AvroContainerSource.confFrom(confEntries)
         it.map { case (pathStr, len) =>
-          processOne(conf, pathStr, len, replace, quarantineDir, limit,
-            samplerate, seed, rootDir = dir)
+          val r = processOne(conf, pathStr, len, replace, quarantineDir,
+            limit, samplerate, seed, rootDir = dir,
+            recoverMode = recoverMode)
+          progress.foreach(_.record(r.status))
+          r
         }
       }
     // Repair mutates files (replace=true): the pipeline must execute
@@ -73,7 +95,8 @@ object RepairPipeline {
   private[repair] def processOne(conf: org.apache.hadoop.conf.Configuration,
       pathStr: String, len: Long, replace: Boolean,
       quarantineDir: Option[String], limit: Long, samplerate: Double,
-      seed: Long, rootDir: String = ""): FileRepairReport = {
+      seed: Long, rootDir: String = "",
+      recoverMode: String = "all"): FileRepairReport = {
     val path = new Path(pathStr)
     try {
       val fs = path.getFileSystem(conf)
@@ -85,7 +108,7 @@ object RepairPipeline {
       // reference keys by basename and collides across prefixes, A9).
       val tmp = new Path(path.getParent,
         s".repaired-${path.getName}-${java.util.UUID.randomUUID()}")
-      val s = Salvage.salvage(fs, path, Some(tmp))
+      val s = Salvage.salvage(fs, path, Some(tmp), mode = recoverMode)
       if (s.status == "unrepairable") {
         fs.delete(tmp, false)
         return FileRepairReport(pathStr, "unrepairable", len,

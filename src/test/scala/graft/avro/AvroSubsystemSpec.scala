@@ -170,6 +170,47 @@ class AvroSubsystemSpec extends AnyFunSuite {
     }
   }
 
+  test("recovery modes: prior keeps the pre-corruption prefix, after the " +
+      "suffix, all = their union (reference B10 -o prior|after)") {
+    val dir = tmpDir("recmode")
+    val fs = new Path(dir).getFileSystem(AvroContainerSource.hadoopConf())
+    val (name, bytes, _, _) = AvroFixtures.taxonomy("deflate")
+      .find(_._1.startsWith("flip_payload")).get
+    val p = Paths.get(dir, s"$name.avro"); Files.write(p, bytes)
+    def ids(mode: String): Seq[Long] = {
+      val outP = new Path(dir, s"$name.$mode.avro")
+      val res = Salvage.salvage(fs, new Path(p.toString), Some(outP),
+        mode = mode)
+      assert(res.status == "repaired", s"$mode: ${res.status}")
+      spark.read.format("graft-avro").load(outP.toString)
+        .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    }
+    val all = ids("all"); val prior = ids("prior"); val after = ids("after")
+    assert(prior.nonEmpty && after.nonEmpty, "mid-file corruption must split")
+    assert(prior.toSet.intersect(after.toSet).isEmpty, "modes overlap")
+    assert((prior ++ after).sorted == all, "prior ∪ after ≠ all")
+    assert(prior == (0L until prior.length.toLong),
+      s"prior is not the id prefix: ${prior.take(5)}...${prior.takeRight(2)}")
+    assert(after.max == 999L && prior.max < after.min,
+      "after must be the post-corruption suffix")
+    intercept[IllegalArgumentException] {
+      Salvage.salvage(fs, new Path(p.toString), None, mode = "bogus")
+    }
+  }
+
+  test("progress accumulators tick per status and match the final report") {
+    val dir = tmpDir("progress")
+    AvroFixtures.writeAll(dir)
+    val progress = new RepairPipeline.Progress(spark)
+    val report = RepairPipeline.run(spark, dir, replace = false,
+      progress = Some(progress))
+    val byStatus = report.collect().groupBy(_.status)
+      .view.mapValues(_.length.toLong).toMap
+    val live = progress.counts.filter(_._2 > 0)
+    assert(live == byStatus,
+      s"live accumulator counts $live != report $byStatus")
+  }
+
   test("sync_collision: no false resync inside a record payload") {
     val dir = tmpDir("coll")
     val (bytes, n) = AvroFixtures.syncCollision()

@@ -13,6 +13,18 @@ import graft.avro.AvroFixtures
   * (suites execute sequentially; the next getOrCreate starts fresh). */
 class RepairMainSpec extends AnyFunSuite {
 
+  test("s3a readiness: local paths pass, s3a fails fast without the connector") {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    S3ACheck.validate(conf, "/data/plain/path") // no scheme
+    S3ACheck.validate(conf, "file:///tmp/avro") // non-s3a scheme
+    // this sandbox ships no hadoop-aws jar, so the connector check is the
+    // one that fires — same fail-fast point the reference has at app.ts:6
+    val e = intercept[IllegalStateException] {
+      S3ACheck.validate(conf, "s3a://bucket/prefix")
+    }
+    assert(e.getMessage.contains("hadoop-aws"), e.getMessage)
+  }
+
   test("RepairMain end-to-end over fixtures with quarantine") {
     val dir = Files.createTempDirectory("graft-repairmain").toString
     val qdir = Files.createTempDirectory("graft-repairmain-q").toString
@@ -25,6 +37,8 @@ class RepairMainSpec extends AnyFunSuite {
     assert(text.contains("\"status\":\"valid\""), s"no valid rows:\n$text")
     assert(text.contains("\"status\":\"repaired\""), s"no repaired rows:\n$text")
     assert(text.contains("\"summary\":"), s"no summary lines:\n$text")
+    assert(text.contains("\"progress\":\"valid\""),
+      s"no live-progress lines:\n$text")
     // quarantined copies of the repaired files exist
     assert(new java.io.File(qdir).listFiles().nonEmpty,
       "quarantine dir is empty")
