@@ -65,5 +65,8 @@ object GraftFunctions {
     SimHash64.register(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_dot", exprs => FloatDot(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains",
+      exprs => BloomContains(exprs(0), exprs(1)), "scala_udf")
   }
 }

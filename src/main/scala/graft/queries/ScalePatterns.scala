@@ -97,10 +97,94 @@ object ScalePatterns {
       .orderBy("o_orderstatus")
   }
 
+  /** Bloom-pre-filtered join — the explicit form of runtime row-level
+    * filtering, the standard 100 TB trick for a selective dim⋈fact join:
+    * the selective build side (urgent orders, ~1/5 of keys) aggregates
+    * its join keys into a ~1 MiB sketch with a distributed treeAggregate
+    * (`stat.bloomFilter` — no row ever reaches the driver, only sketch
+    * merges), and the fact side drops non-matching rows *before* the
+    * join shuffle via the native codegen'd `graft_bloom_contains`
+    * probe (graft.functions.BloomContains). False positives survive the
+    * probe but not the real join, so the result is exactly the plain
+    * join — the oracle proves it; PlanSpec asserts the probe sits in a
+    * scan-side Filter below the join. */
+  private def qJoinBloom(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val dim = t(s, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    // expected-items sizing: a distributed count of the build side (one
+    // cheap pre-pass; at scale this is the dim scan, not the fact scan)
+    val bloom = dim.stat.bloomFilter(col("o_orderkey"),
+      expectedNumItems = math.max(dim.count(), 1L), fpp = 0.01)
+    val bytes = {
+      val os = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(os)
+      os.toByteArray
+    }
+    val li = t(s, d, "lineitem")
+      .filter(call_function("graft_bloom_contains", lit(bytes),
+        col("l_orderkey")))
+    li.join(dim, li("l_orderkey") === dim("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        dbl(sum(dec(col("l_extendedprice")))).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Bit-interleave (Morton) z-value of two 8-bit-quantized keys —
+    * generated once and rendered identically into the Spark expression
+    * and the DuckDB oracle SQL, so the layout math itself is oracled. */
+  private[queries] def zExpr(x: String, y: String): String =
+    (0 until 8).map(k =>
+      s"(((($x) >> $k) & 1) * ${1L << (2 * k)}) + " +
+        s"(((($y) >> $k) & 1) * ${1L << (2 * k + 1)})")
+      .mkString(" + ")
+
+  /** Z-order clustered layout: lineitem rewritten range-partitioned +
+    * sorted by the Morton interleave of (l_partkey, l_suppkey) mod 256 —
+    * the data-layout operator behind multi-dimensional file skipping
+    * (each output file covers a compact square-ish region of the key
+    * plane, so a box predicate on either or both keys prunes most
+    * files via parquet min/max). The oracled aggregate reads the
+    * *rewritten* files and proves the round trip preserved content and
+    * that every z-bucket holds exactly the rows whose interleave maps
+    * there; LayoutSpec measures the actual file-skipping win vs a
+    * single-key sort. */
+  private def qLayoutZorder(s: SparkSession, d: String): DataFrame = {
+    val dir = zorderDir(s, d)
+    s.read.parquet(dir)
+      .groupBy(expr("zval div 256").as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("px")).as("px_min"), max(col("px")).as("px_max"),
+        min(col("py")).as("py_min"), max(col("py")).as("py_max"),
+        dbl(sum(dec(col("l_quantity")))).as("sum_qty"))
+      .orderBy("zbucket")
+  }
+
+  /** Write (once per sf) the z-ordered lineitem copy; returns its path. */
+  private[queries] def zorderDir(s: SparkSession, d: String): String = {
+    val dir = s"$workRoot/lineitem_z_${math.abs(d.hashCode)}"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"))
+        .withColumn("px", expr("l_partkey % 256"))
+        .withColumn("py", expr("l_suppkey % 256"))
+        .withColumn("zval", expr(zExpr("l_partkey % 256", "l_suppkey % 256")))
+        .repartitionByRange(16, col("zval"))
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
   val defs: Map[String, Relational.Q] = Map(
     "q_scan_partitioned" -> (qScanPartitioned _),
     "q_join_salted" -> (qJoinSalted _),
     "q_join_bucketed" -> (qJoinBucketed _),
+    "q_join_bloom" -> (qJoinBloom _),
+    "q_layout_zorder" -> (qLayoutZorder _),
   )
 
   val sql: Map[String, String] = Map(
@@ -119,5 +203,21 @@ object ScalePatterns {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_join_bloom" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_layout_zorder" ->
+      s"""WITH z AS (
+        |  SELECT (${zExpr("l_partkey % 256", "l_suppkey % 256")}) AS zval,
+        |    l_partkey % 256 AS px, l_suppkey % 256 AS py, l_quantity
+        |  FROM lineitem)
+        |SELECT zval // 256 AS zbucket, COUNT(*) AS n,
+        |  MIN(px) AS px_min, MAX(px) AS px_max,
+        |  MIN(py) AS py_min, MAX(py) AS py_max,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin,
   )
 }

@@ -109,6 +109,54 @@ class PlanSpec extends AnyFunSuite {
       s"range join degenerated to a cross-shape join:\n$p")
   }
 
+  test("bloom join: probe filters the fact scan below the join, and the " +
+      "sketch rejects non-building keys") {
+    val df = SparkEntry.queries("q_join_bloom")(spark, sf)
+    df.collect()
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    // the graft_bloom_contains probe must sit in a Filter that has a
+    // FileSourceScan descendant (fact side, pre-shuffle) — not above a
+    // join. AQE wraps materialized stages in QueryStageExec leaves, so
+    // the traversal must descend into stage plans explicitly.
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        flatten(q.plan)
+      case _ => p.children.flatMap(flatten)
+    })
+    val probeFilters = flatten(exec).collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.toLowerCase.contains("bloomcontains") => f
+    }
+    assert(probeFilters.nonEmpty, s"no bloom probe Filter in plan:\n$exec")
+    probeFilters.foreach { f =>
+      val sub = flatten(f)
+      val hasScanBelow = sub.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+      val hasJoinBelow = sub.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+      assert(hasScanBelow && !hasJoinBelow,
+        s"bloom probe is not a scan-side pre-join filter:\n$exec")
+    }
+    // sketch semantics: a key that is certainly absent must be rejected
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    (0L until 100L).foreach(bloom.putLong)
+    val os = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(os)
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val probe = spark.range(0, 10000).select(
+      call_function("graft_bloom_contains", lit(os.toByteArray),
+        col("id")).as("hit"), col("id"))
+    val hits = probe.filter(col("hit")).select("id").collect().map(_.getLong(0))
+    assert((0L until 100L).forall(hits.contains), "bloom lost a true member")
+    assert(hits.length < 300, s"false-positive rate way off: ${hits.length}")
+  }
+
   test("EXISTS/NOT EXISTS decorrelate to semi/anti joins") {
     val p = plan("q_subquery_exists")
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
