@@ -31,14 +31,26 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // Millisecond precision keeps the whole line well under the driver's
-    // 4 KiB output-tail window — full nanoTime digits for ~100 queries
-    // pushed the line past it, truncating the line start → unparseable.
+    // The driver captures only the LAST ~2000 chars of output. A single
+    // line carrying all ~130 per-query timings exceeds that, so the line
+    // gets truncated mid-map and the driver records parsed=null (it did,
+    // rounds 1-3). Split the report: the full per-query map goes to
+    // BENCH_FULL.json on disk; stdout gets ONE compact JSON line — the
+    // headline total plus the slowest queries — guaranteed to fit whole
+    // inside the capture window.
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
+    def jmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val byTime = results.toSeq.sortBy(-_._2)
+    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"queries":${jmap(byTime)},"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("BENCH_FULL.json")
+      try w.println(full) finally w.close()
+    } catch { case _: Throwable => () } // read-only cwd must not kill the bench
+    val head = byTime.take(40)
+    val rest = total - head.map(_._2).sum
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"queries":${jmap(head)},"other_sec":${f(rest)},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

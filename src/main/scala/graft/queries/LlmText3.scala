@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Third LLM-pipeline wave: benchmark decontamination, repetition-based
+  * quality signals (Gopher-style), corpus-adaptive boilerplate removal,
+  * URL parsing, and audio (WAV/RIFF) metadata extraction.
+  *
+  * Scale notes: repetition and URL ops are per-row, shuffle-free, and
+  * whole-stage codegen'd. Decontamination is the canonical funnel — the
+  * eval-set shingle table is tiny by construction and broadcast, so the
+  * 100 TB training side streams through one map-side join, never a
+  * shuffle of the corpus. Boilerplate removal exploits a counting bound:
+  * a token with document frequency > 50% must appear in > n/2 docs, so
+  * (by sum-of-df ≤ n × avg-distinct-per-doc) at most 2 × avg-distinct
+  * tokens can qualify — the "common" set is broadcastable at any corpus
+  * size. Audio metadata is batched mapPartitions over opaque binary, the
+  * same distributed shape as q_mm_decode. */
+object LlmText3 {
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * 8-token shingle with the held-out eval set (docs with
+    * doc_id % 97 == 0 stand in for a benchmark). The eval shingle set is
+    * distinct'd (small — eval sets are thousands of docs, not billions)
+    * and broadcast; training shingles stream through a map-side
+    * broadcast join. Output: contaminated doc ids + overlap counts. */
+  private def qTextDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val grams = t(s, d, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(ws) >= 8
+          |  THEN transform(sequence(1, size(ws) - 7),
+          |                 i -> array_join(slice(ws, i, 8), ' '))
+          |  ELSE array() END""".stripMargin)).as("g8"))
+    val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+      .select("g8").distinct()
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalGrams), "g8")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g8")).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
+  /** Repetition signals (Gopher-style quality filtering): duplicate-token
+    * and duplicate-bigram fractions plus the most-frequent-token/bigram
+    * share. Computed entirely per-row with nested higher-order functions
+    * (distinct tokens × membership count) — zero shuffles, so the op maps
+    * over 100 TB at scan speed; the O(distinct × tokens) inner loop is
+    * bounded by document length, not corpus size. */
+  private def qTextRepetition(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("bg", expr(
+        """zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin))
+      .withColumn("top_tok", expr(
+        "array_max(transform(array_distinct(ws), x -> size(filter(ws, w -> w = x))))"))
+      .withColumn("top_bg", expr(
+        "array_max(transform(array_distinct(bg), x -> size(filter(bg, b -> b = x))))"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("bigint").as("n_tokens"),
+        round(lit(1.0) - size(array_distinct(col("ws"))).cast("double") /
+          size(col("ws")), 6).as("dup_token_ratio"),
+        round(col("top_tok").cast("double") / size(col("ws")), 6)
+          .as("top_token_share"),
+        round(lit(1.0) - size(array_distinct(col("bg"))).cast("double") /
+          size(col("bg")), 6).as("dup_bigram_ratio"),
+        round(col("top_bg").cast("double") / size(col("bg")), 6)
+          .as("top_bigram_share"))
+      .orderBy("doc_id")
+
+  /** Corpus-adaptive boilerplate removal (C4-style): drop tokens whose
+    * document frequency exceeds 50% of the corpus. The high-DF vocabulary
+    * is provably small (≤ 2 × avg distinct tokens per doc, see object
+    * doc), so it collects to one array and broadcasts; the rewrite pass
+    * is then per-row. Two tiny aggregates + one map over the corpus. */
+  private def qTextBoilerplate(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dfTab = docs
+      .select(col("doc_id"), explode(array_distinct(col("ws"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val common = dfTab.crossJoin(broadcast(nDocs))
+      .filter(col("df") * 2 > col("n_docs"))
+      .agg(sort_array(collect_list(col("tok"))).as("common"))
+    docs.crossJoin(broadcast(common))
+      .select(col("doc_id"),
+        expr("array_join(filter(ws, w -> NOT array_contains(common, w)), ' ')")
+          .as("kept"),
+        expr("""cast(size(ws) -
+                |size(filter(ws, w -> NOT array_contains(common, w))) as int)"""
+          .stripMargin).as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  /** URL parsing with Spark's codegen'd parse_url (host/path/query and a
+    * single query parameter): the normalization step before per-domain
+    * grouping or URL-based dedup. URLs are synthesized from document
+    * fields so the DuckDB oracle can recompute every component
+    * arithmetically — a parse_url semantics drift hash-mismatches. */
+  private def qFnUrl(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("url", concat(lit("https://"), col("source"),
+        lit(".example.org/"), col("lang"), lit("/doc/"), col("doc_id"),
+        lit("?ref="), col("doc_id") % 7, lit("&v=2")))
+      .select(col("doc_id"), col("url"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"),
+        parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref"))
+      .orderBy("doc_id")
+
+  /** Audio metadata over an opaque binary column: each task synthesizes a
+    * spec-correct PCM WAV (rate/channels/frames derived from doc fields,
+    * with a LIST/INFO chunk before data so parsing must walk the RIFF
+    * chunk stream) and the lib-free parser (graft.functions.AudioHeader)
+    * reads the fields back out of the real byte layout. Batched
+    * mapPartitions — binary in, typed metadata out — the shape a real
+    * soundfile-backed extractor keeps at 100 TB. The DuckDB oracle
+    * recomputes the expected metadata arithmetically, so any chunk-walk /
+    * endianness / alignment bug hash-mismatches. */
+  private def qMmAudioMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.AudioHeader
+    val src = t(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+    src.mapPartitions { batch =>
+      batch.map { case (id, nChars) =>
+        val rate = 8000 << (id % 3).toInt
+        val channels = 1 + (id % 2).toInt
+        val frames = 100 + (nChars % 900).toInt
+        val payload = AudioHeader.wav(channels, rate, 16, frames)
+        val m = AudioHeader.parse(payload).getOrElse(
+          AudioHeader.Meta(0, 1, 0, 0L, 0L))
+        (id, m.channels, m.sampleRate, m.bitsPerSample, m.nFrames,
+          m.durationMs)
+      }
+    }.toDF("doc_id", "channels", "sample_rate", "bits_per_sample",
+        "n_frames", "duration_ms")
+      .orderBy("doc_id")
+  }
+
+  val defs: Map[String, Relational.Q] = Map(
+    "q_text_decontaminate" -> (qTextDecontaminate _),
+    "q_text_repetition" -> (qTextRepetition _),
+    "q_text_boilerplate" -> (qTextBoilerplate _),
+    "q_fn_url" -> (qFnUrl _),
+    "q_mm_audio_meta" -> (qMmAudioMeta _),
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_text_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(CASE WHEN len(ws) >= 8
+        |          THEN list_transform(range(1, len(ws) - 6),
+        |                              i -> array_to_string(ws[i:i+7], ' '))
+        |          ELSE [] END) AS g8
+        |      FROM w),
+        |e AS (SELECT DISTINCT g8 FROM g WHERE doc_id % 97 = 0)
+        |SELECT g.doc_id, CAST(COUNT(DISTINCT g.g8) AS BIGINT) AS n_overlap
+        |FROM g JOIN e USING (g8) WHERE g.doc_id % 97 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT doc_id, ws,
+        |        CASE WHEN len(ws) >= 2
+        |          THEN list_transform(range(1, len(ws)),
+        |                              i -> ws[i] || ' ' || ws[i+1])
+        |          ELSE [] END AS bg
+        |      FROM w)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
+        |    AS dup_token_ratio,
+        |  round(CAST(list_max(list_transform(list_distinct(ws),
+        |      x -> len(list_filter(ws, w -> w = x)))) AS DOUBLE) / len(ws), 6)
+        |    AS top_token_share,
+        |  round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
+        |    AS dup_bigram_ratio,
+        |  round(CAST(list_max(list_transform(list_distinct(bg),
+        |      x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg), 6)
+        |    AS top_bigram_share
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q_text_boilerplate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |d AS (SELECT doc_id, unnest(list_distinct(ws)) AS tok FROM w),
+        |f AS (SELECT tok, COUNT(*) AS df FROM d GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |c AS (SELECT COALESCE(list(tok ORDER BY tok), []) AS common
+        |      FROM f, n WHERE df * 2 > n_docs)
+        |SELECT doc_id,
+        |  -- DuckDB array_to_string of an empty list yields NULL; Spark's
+        |  -- array_join yields '' — coalesce to the Spark semantics
+        |  COALESCE(array_to_string(
+        |    list_filter(ws, x -> NOT list_contains(c.common, x)), ' '),
+        |    '') AS kept,
+        |  CAST(len(ws) -
+        |       len(list_filter(ws, x -> NOT list_contains(c.common, x)))
+        |       AS INT) AS n_removed
+        |FROM w, c ORDER BY doc_id""".stripMargin,
+    "q_fn_url" ->
+      """SELECT doc_id,
+        |  'https://' || source || '.example.org/' || lang || '/doc/' || doc_id
+        |    || '?ref=' || (doc_id % 7) || '&v=2' AS url,
+        |  source || '.example.org' AS host,
+        |  '/' || lang || '/doc/' || doc_id AS path,
+        |  'ref=' || (doc_id % 7) || '&v=2' AS query,
+        |  CAST(doc_id % 7 AS VARCHAR) AS ref
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the Spark side round-trips real RIFF/WAVE bytes through the
+    // AudioHeader chunk walker; the oracle recomputes the metadata
+    // directly from the synthesis arithmetic
+    "q_mm_audio_meta" ->
+      """SELECT doc_id,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(8000 * (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END)
+        |       AS INT) AS sample_rate,
+        |  CAST(16 AS INT) AS bits_per_sample,
+        |  CAST(100 + n_chars % 900 AS BIGINT) AS n_frames,
+        |  CAST((100 + n_chars % 900) * 1000 //
+        |       (8000 * (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END))
+        |       AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

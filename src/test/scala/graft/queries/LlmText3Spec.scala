@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+import graft.functions.AudioHeader
+
+/** Third LLM-pipeline wave: decontamination funnel, repetition signals,
+  * boilerplate vocabulary bound, URL parsing, WAV chunk-walk parser. */
+class LlmText3Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------------- AudioHeader
+
+  test("wav round-trip recovers rate/channels/bits/frames/duration") {
+    val b = AudioHeader.wav(channels = 2, sampleRate = 16000,
+      bitsPerSample = 16, nFrames = 1234)
+    val m = AudioHeader.parse(b).get
+    assert(m == AudioHeader.Meta(2, 16000, 16, 1234L, 1234L * 1000 / 16000))
+  }
+
+  test("parser walks past unknown odd-sized chunks (word alignment)") {
+    // wav() already embeds an odd-length LIST/INFO chunk before fmt;
+    // a parser that forgets the pad byte lands misaligned and fails
+    val b = AudioHeader.wav(1, 8000, 16, 10)
+    assert(AudioHeader.parse(b).exists(_.nFrames == 10L))
+    // and the LIST payload really is odd-sized in the byte stream
+    assert(b.slice(12, 16).map(_.toChar).mkString == "LIST")
+    val listSize = (b(16) & 0xff) | ((b(17) & 0xff) << 8)
+    assert(listSize % 2 == 1)
+  }
+
+  test("parser rejects malformed payloads instead of misreading them") {
+    assert(AudioHeader.parse("RIFFxxxxWAVE".getBytes).isEmpty) // no chunks
+    assert(AudioHeader.parse("notawavfileatall".getBytes).isEmpty)
+    assert(AudioHeader.parse(Array[Byte]()).isEmpty)
+    // non-PCM format code is refused, not misinterpreted
+    val b = AudioHeader.wav(1, 8000, 16, 4)
+    val fmtOff = b.indexOfSlice("fmt ".getBytes)
+    b(fmtOff + 8) = 3 // IEEE float, not PCM
+    assert(AudioHeader.parse(b).isEmpty)
+    // truncated mid-chunk: parser stops cleanly without fmt+data
+    val t = AudioHeader.wav(1, 8000, 16, 4).take(20)
+    assert(AudioHeader.parse(t).isEmpty)
+  }
+
+  // ------------------------------------------------------- query surface
+
+  test("decontaminate flags only docs sharing an 8-gram with the eval set") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_text_decontaminate")(spark, sf)
+      .as[(Long, Long)].collect()
+    // no eval doc ids in the output, every overlap count positive
+    assert(rows.forall { case (id, n) => id % 97 != 0 && n > 0 })
+    assert(rows.nonEmpty) // word-soup corpus: overlap certainly exists
+  }
+
+  test("repetition signals are in-range and shuffle-free") {
+    import spark.implicits._
+    val df = SparkEntry.queries("q_text_repetition")(spark, sf)
+    val rows = df.collect()
+    rows.foreach { r =>
+      val dup = r.getDouble(2); val top = r.getDouble(3)
+      assert(dup >= 0.0 && dup < 1.0)
+      assert(top > 0.0 && top <= 1.0)
+      // share is rounded to 6 dp, so compare with matching slack
+      assert(top >= 1.0 / r.getLong(1) - 5e-7)
+    }
+    // per-row op: no Exchange anywhere except the final presentation sort
+    // (AQE's toString repeats the plan under "== Initial Plan ==" — count
+    // only the final section)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.split("Exchange").length - 1 <= 1,
+      s"expected at most the ORDER BY exchange, got:\n$plan")
+  }
+
+  test("boilerplate removes exactly the >50%-df tokens, keeps order") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "split(text, ' ') AS ws")
+    val n = docs.count()
+    val hot = docs.selectExpr("explode(array_distinct(ws)) AS tok")
+      .groupBy("tok").count().filter($"count" * 2 > n)
+      .as[(String, Long)].collect().map(_._1).toSet
+    val out = SparkEntry.queries("q_text_boilerplate")(spark, sf)
+      .as[(Long, String, Int)].collect()
+    val orig = docs.as[(Long, Seq[String])].collect().toMap
+    out.foreach { case (id, kept, removed) =>
+      val expect = orig(id).filterNot(hot)
+      assert(kept == expect.mkString(" "), s"doc $id")
+      assert(removed == orig(id).size - expect.size)
+    }
+  }
+
+  test("url components agree with parse_url semantics") {
+    val r = SparkEntry.queries("q_fn_url")(spark, sf).limit(1).collect()(0)
+    val url = r.getString(1)
+    assert(url.startsWith("https://") && r.getString(2).endsWith(".example.org"))
+    assert(url.contains(r.getString(3)) && url.endsWith("&v=2"))
+  }
+
+  test("audio metadata derives from the parsed bytes, not the arithmetic") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_mm_audio_meta")(spark, sf)
+      .as[(Long, Int, Int, Int, Long, Long)].collect()
+    assert(rows.length > 0)
+    rows.foreach { case (id, ch, rate, bits, frames, ms) =>
+      assert(ch == 1 + (id % 2).toInt)
+      assert(rate == (8000 << (id % 3).toInt))
+      assert(bits == 16)
+      assert(ms == frames * 1000 / rate)
+    }
+  }
+}
