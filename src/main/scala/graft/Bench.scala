@@ -16,9 +16,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/parquet-reader paths so the first timed query
-    // doesn't absorb one-time startup cost.
+    // doesn't absorb one-time startup cost. Touch every table once: the
+    // first scan of a parquet file pays footer/filesystem/reader init
+    // that belongs to the session, not to whichever query runs first.
     spark.range(1 << 20).selectExpr("count(*)", "sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").collect()
+    for (tbl <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")) {
+      spark.read.parquet(s"$sfDir/$tbl.parquet").limit(1).collect()
+    }
+    // ... and the shuffle / broadcast / window machinery, whose lazy
+    // first-use init otherwise lands on whichever query runs first.
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val w = spark.range(1000).toDF("id")
+      w.groupBy((col("id") % 10).as("k")).count()
+        .join(broadcast(w.limit(10)), col("k") === col("id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("k")).orderBy(col("id"))))
+        .collect()
+    }
     // Dev-only subset filter (unset for driver runs → full sweep).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)

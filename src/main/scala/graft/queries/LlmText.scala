@@ -201,21 +201,30 @@ object LlmText {
         round(col("quality"), 6).as("quality"))
       .orderBy("doc_id")
 
-  /** TF-IDF top-3 terms per document. Fully declarative: the corpus size
-    * joins in as a broadcast 1-row aggregate (no driver scalar), document
-    * frequency is one shuffle on the word, scores are exact-int ratios ×
-    * ln of exact-int ratios (6-dp pre-round keeps ranking portable). */
+  /** TF-IDF top-3 terms per document. Term counts and document length
+    * are computed per-row with nested higher-order functions (distinct
+    * terms × membership count — bounded by doc length), so the term
+    * table needs NO (doc, word) shuffle; document frequency is one
+    * vocabulary-sized aggregate that broadcasts back (vocabularies are
+    * millions of terms while corpora are billions of docs, so the
+    * broadcast side is the small one at 100 TB); corpus size joins in as
+    * a broadcast 1-row aggregate (no driver scalar). The only corpus
+    * shuffle left is the per-doc top-3 window. Scores are exact-int
+    * ratios × ln of exact-int ratios (6-dp pre-round keeps ranking
+    * portable). */
   private def qTextTfidf(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").filter(col("doc_id") < 200)
-    val toks = docs.select(col("doc_id"),
-      explode(words(lower(col("text")))).as("w"))
-    val wc = toks.groupBy(col("doc_id"), col("w"))
-      .agg(count(lit(1)).as("cnt"))
-    // doc lengths derived from the word counts — one explode pass, not two
-    val dlen = wc.groupBy(col("doc_id")).agg(sum(col("cnt")).as("toks"))
+    // (doc_id, w, cnt, toks) with zero shuffles: per-row distinct+count
+    val wc = docs
+      .withColumn("ws", words(lower(col("text"))))
+      .withColumn("toks", size(col("ws")).cast("bigint"))
+      .select(col("doc_id"), col("toks"), explode(expr(
+        "transform(array_distinct(ws), x -> struct(x AS w, cast(size(filter(ws, t -> t = x)) AS bigint) AS cnt))"))
+        .as("tc"))
+      .select(col("doc_id"), col("toks"), col("tc.w"), col("tc.cnt"))
     val dfreq = wc.groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = wc.join(dlen, "doc_id").join(dfreq, "w")
+    val scored = wc.join(broadcast(dfreq), "w")
       .crossJoin(broadcast(n))
       .withColumn("score", round(
         (col("cnt").cast("double") / col("toks")) *
