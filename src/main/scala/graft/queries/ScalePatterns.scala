@@ -179,12 +179,66 @@ object ScalePatterns {
     dir
   }
 
+  /** Two-level reaggregation — the materialized-rollup pattern: partial
+    * aggregates per (priority, month) shard, then a final merge per
+    * priority. Every partial is mergeable (count→sum, sum→sum, min/max→
+    * min/max), which is exactly what lets a 100 TB pipeline keep daily
+    * rollups and answer coarser queries without rescanning raw data.
+    * The oracle computes the direct one-level aggregate, proving the
+    * reaggregation is lossless. */
+  private def qAggReagg(s: SparkSession, d: String): DataFrame = {
+    val partial = t(s, d, "orders")
+      .groupBy(col("o_orderpriority"),
+        month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("pn"),
+        sum(dec(col("o_totalprice"))).as("psum"),
+        min(col("o_orderdate")).as("pmin"),
+        max(col("o_orderdate")).as("pmax"))
+    partial.groupBy(col("o_orderpriority"))
+      .agg(sum(col("pn")).as("n"),
+        dbl(sum(col("psum"))).as("sum_price"),
+        min(col("pmin")).as("first_order"),
+        max(col("pmax")).as("last_order"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL via
+    * Spark built-ins): per-month sketches union-merged per priority,
+    * next to the direct sketch and the exact count. HLL registers merge
+    * by element-wise max, so shard-merge loses no register information —
+    * the reaggregable distinct-count every 100 TB pipeline needs (exact
+    * COUNT DISTINCT does not reaggregate). The merged ESTIMATE can
+    * differ slightly from the direct build: union invalidates
+    * DataSketches' HIP estimator, falling back to the composite
+    * estimator. Estimates are DataSketches-specific → no DuckDB oracle;
+    * ScalaTest asserts merged ≈ direct and both within HLL error of the
+    * exact count. */
+  private def qAggSketch(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    val monthly = o
+      .groupBy(col("o_orderpriority"), month(col("o_orderdate")).as("m"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+    val merged = monthly.groupBy(col("o_orderpriority"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .as("approx_merged"))
+    val direct = o.groupBy(col("o_orderpriority"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey")))
+        .as("approx_direct"),
+        countDistinct(col("o_custkey")).as("exact"))
+    direct.join(merged, "o_orderpriority")
+      .select(col("o_orderpriority"), col("exact"),
+        col("approx_direct"), col("approx_merged"))
+      .orderBy("o_orderpriority")
+  }
+
   val defs: Map[String, Relational.Q] = Map(
     "q_scan_partitioned" -> (qScanPartitioned _),
     "q_join_salted" -> (qJoinSalted _),
     "q_join_bucketed" -> (qJoinBucketed _),
     "q_join_bloom" -> (qJoinBloom _),
     "q_layout_zorder" -> (qLayoutZorder _),
+    "q_agg_reagg" -> (qAggReagg _),
+    "q_agg_sketch" -> (qAggSketch _),
   )
 
   val sql: Map[String, String] = Map(
@@ -219,5 +273,13 @@ object ScalePatterns {
         |  MIN(py) AS py_min, MAX(py) AS py_max,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin,
+    // direct one-level aggregate: proves the two-level partial merge on
+    // the Spark side is lossless
+    "q_agg_reagg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order
+        |FROM orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }
