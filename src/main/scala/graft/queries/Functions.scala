@@ -90,7 +90,33 @@ object Functions {
       get_json_object(col("props"), "$.k").cast("int").as("k_int"))
       .orderBy("event_id")
 
+  /** VARIANT (Spark 4 semi-structured type): build a nested JSON doc
+    * per row, parse to variant once, then extract typed values by path —
+    * object fields, a nested object, an array index, and a missing path
+    * via try_variant_get. The 100 TB point: variant stores the parsed
+    * binary form, so N path extractions cost one parse, unlike N
+    * get_json_object re-parses of the raw string. The DuckDB oracle
+    * recomputes every output from the source columns, so a variant
+    * path/typing drift hash-mismatches. (schema_of_variant introspection
+    * is covered in LlmText3Spec — its DECIMAL(p,s) inference varies
+    * per row, which is exactly what makes it a bad hash target.) */
+  private def qFnVariant(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("v", parse_json(to_json(struct(
+        col("event_type").as("etype"), col("value").as("val"),
+        struct(col("k")).as("nested"),
+        array(col("k"), col("k") * 2).as("arr")))))
+      .select(col("event_id"),
+        variant_get(col("v"), "$.etype", "string").as("etype"),
+        variant_get(col("v"), "$.val", "double").as("val"),
+        variant_get(col("v"), "$.nested.k", "int").as("k"),
+        variant_get(col("v"), "$.arr[1]", "bigint").as("k2"),
+        try_variant_get(col("v"), "$.missing", "int").as("missing"))
+      .orderBy("event_id")
+
   val defs: Map[String, Relational.Q] = Map(
+    "q_fn_variant" -> (qFnVariant _),
     "q_fn_string" -> (qFnString _),
     "q_fn_date" -> (qFnDate _),
     "q_fn_math" -> (qFnMath _),
@@ -168,6 +194,15 @@ object Functions {
       """SELECT event_id,
         |  json_extract_string(props, '$.k') AS k_str,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+        |FROM events ORDER BY event_id""".stripMargin,
+    // recomputed from source columns: the variant build/extract round
+    // trip on the Spark side must land back on exactly these values
+    "q_fn_variant" ->
+      """SELECT event_id, event_type AS etype, value AS val,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  CAST(2 * CAST(json_extract_string(props, '$.k') AS INT) AS BIGINT)
+        |    AS k2,
+        |  CAST(NULL AS INT) AS missing
         |FROM events ORDER BY event_id""".stripMargin,
   )
 }

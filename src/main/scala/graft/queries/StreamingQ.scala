@@ -134,6 +134,63 @@ object StreamingQ {
       .orderBy("user_id", "new_count")
   }
 
+  /** StatefulProcessor for q_stream_tws: per-user running (count, sum)
+    * in a RocksDB-backed ValueState, one output row per user per batch.
+    * The class is the Spark 4 transformWithState API surface — typed
+    * state handles acquired in init, batch-at-a-time handleInputRows. */
+  private class RunningAgg
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, (Long, Long, Double)] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders, errors => _}
+    @transient private var st: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double)]("agg",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Double)] = {
+      val (pn, psum) = if (st.exists()) st.get() else (0L, 0.0)
+      var n = pn; var sum = psum
+      rows.foreach { e => n += 1; sum += e.value }
+      st.update((n, sum))
+      Iterator((key, n, math.round(sum * 100).toDouble / 100))
+    }
+  }
+
+  /** Spark 4 transformWithState: the successor stateful API —
+    * RocksDB-backed typed state handles (ValueState/ListState/MapState,
+    * TTL, timers) instead of a single GroupState blob. Per-user running
+    * count+sum across micro-batches; output checked against an exact
+    * per-batch replay in StreamingLlmSpec. Requires the RocksDB state
+    * store provider, set for the duration of the stream. */
+  private def qStreamTws(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch1 = Seq(ev(1, 10, uid = 1, v = 2.5), ev(2, 20, uid = 2, v = 1.0),
+        ev(3, 30, uid = 1, v = 0.5))
+      val batch2 = Seq(ev(4, 40, uid = 1, v = 3.0), ev(5, 50, uid = 3, v = 4.0))
+      runStream(s, batch1, batch2,
+        df => df.as[Ev].groupByKey(_.user_id)
+          .transformWithState(new RunningAgg, TimeMode.None(),
+            OutputMode.Append())
+          .toDF("user_id", "n_events", "sum_value"),
+        OutputMode.Append())
+        .orderBy("user_id", "n_events")
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None => s.conf.unset(providerKey)
+      }
+    }
+  }
+
   /** File-based streaming source: the events parquet consumed via
     * readStream (one micro-batch), windowed per-type counts to a memory
     * sink in complete mode — same results as the batch window query, so
@@ -257,6 +314,7 @@ object StreamingQ {
     "q_stream_watermark" -> (qStreamWatermark _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_stateful" -> (qStreamStateful _),
+    "q_stream_tws" -> (qStreamTws _),
   )
 
   val sql: Map[String, String] = Map(

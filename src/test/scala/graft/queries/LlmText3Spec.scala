@@ -109,6 +109,19 @@ class LlmText3Spec extends AnyFunSuite {
     assert(url.contains(r.getString(3)) && url.endsWith("&v=2"))
   }
 
+  test("variant introspection: schema_of_variant sees the built shape") {
+    import org.apache.spark.sql.functions._
+    val schema = spark.range(1)
+      .select(schema_of_variant(parse_json(
+        lit("""{"etype":"x","val":1.5,"nested":{"k":3}}"""))).as("s"))
+      .collect()(0).getString(0)
+    assert(schema == "OBJECT<etype: STRING, nested: OBJECT<k: BIGINT>, val: DECIMAL(2,1)>")
+    // and the oracled query extracts typed paths from the same shape
+    val r = SparkEntry.queries("q_fn_variant")(spark, sf).limit(1).collect()(0)
+    assert(r.getLong(4) == 2L * r.getInt(3)) // arr[1] == 2*k
+    assert(r.isNullAt(5)) // try_variant_get on a missing path
+  }
+
   test("audio metadata derives from the parsed bytes, not the arithmetic") {
     import spark.implicits._
     val rows = SparkEntry.queries("q_mm_audio_meta")(spark, sf)

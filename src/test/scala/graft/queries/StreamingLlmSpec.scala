@@ -40,6 +40,15 @@ class StreamingLlmSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("transformWithState keeps RocksDB-backed running aggregates") {
+    val rows = SparkEntry.queries("q_stream_tws")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // batch1: u1 {2.5, 0.5}, u2 {1.0}; batch2: u1 {3.0}, u3 {4.0}
+    // append mode → one row per user per batch it appears in
+    assert(rows.toSeq == Seq(
+      (1L, 2L, 3.0), (1L, 3L, 6.0), (2L, 1L, 1.0), (3L, 1L, 4.0)))
+  }
+
   test("flatMapGroupsWithState keeps running per-user counts across batches") {
     val rows = SparkEntry.queries("q_stream_stateful")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
