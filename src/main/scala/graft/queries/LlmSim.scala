@@ -207,7 +207,30 @@ object LlmSim {
           .as("max_err"))
       .orderBy("vec_id")
 
+  /** Per-label centroids: element-wise mean vector per label — the
+    * cluster-statistics op behind k-means refinement / IVF codebook
+    * training. posexplode fans each vector into (label, dim, value)
+    * rows, one hash agg sums per (label, dim) with map-side partials
+    * (the shuffle carries ≤ labels × dims rows regardless of corpus
+    * size), and the centroid reassembles via a sorted collect_list —
+    * bounded by the embedding dimension. 6-dp round before output (and
+    * the norm computed FROM the rounded centroid) keeps the float-sum
+    * ordering noise out of the hash compare. */
+  private def qEmbedCentroids(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vectors"),
+        expr("""transform(array_sort(collect_list(named_struct('i', i, 'm', sx / n))),
+                p -> round(p.m, 6))""").as("centroid"))
+      .withColumn("centroid_norm", round(sqrt(expr(
+        "aggregate(centroid, cast(0.0 as double), (acc, y) -> acc + y * y)")), 6))
+      .orderBy("label")
+
   val defs: Map[String, Relational.Q] = Map(
+    "q_embed_centroids" -> (qEmbedCentroids _),
     "q_sim_cosine_topk" -> (qSimCosineTopk _),
     "q_sim_ann_ivf" -> (qSimAnnIvf _),
     "q_dedup_embed" -> (qDedupEmbed _),
@@ -216,6 +239,22 @@ object LlmSim {
   )
 
   val sql: Map[String, String] = Map(
+    // aligned unnest + generate_subscripts index the vector; per-(label,
+    // dim) mean rounded 6dp, norm recomputed from the ROUNDED centroid so
+    // both engines feed identical inputs to the final sqrt
+    "q_embed_centroids" ->
+      """WITH x AS (SELECT label, i, CAST(v AS DOUBLE) AS v FROM (
+        |    SELECT label, unnest(embedding) AS v,
+        |      generate_subscripts(embedding, 1) AS i FROM embeddings)),
+        |g AS (SELECT label, i, SUM(v) AS sx, COUNT(*) AS n
+        |      FROM x GROUP BY 1, 2),
+        |c AS (SELECT label, MAX(n) AS n_vectors,
+        |        list(ROUND(sx / n, 6) ORDER BY i) AS centroid
+        |      FROM g GROUP BY label)
+        |SELECT label, CAST(n_vectors AS BIGINT) AS n_vectors, centroid,
+        |  ROUND(sqrt(list_sum(list_transform(centroid, y -> y * y))), 6)
+        |    AS centroid_norm
+        |FROM c ORDER BY label""".stripMargin,
     // parallel unnest zips the two arrays; float→double casts are exact,
     // products exact, and the 6-dp round before ranking absorbs summation
     // order noise

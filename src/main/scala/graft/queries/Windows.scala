@@ -83,7 +83,31 @@ object Windows {
       .orderBy("l_orderkey", "rn")
   }
 
+  /** Batch sessionization: gap-based session windows (30-min idle gap)
+    * via the lag→flag→running-sum island pattern, then per-session
+    * aggregates. Both window passes share one (user, time) partitioning,
+    * so the plan pays a single shuffle+sort — per-user state never
+    * crosses executors, the shape that scales to billions of users.
+    * The streaming twin is q_stream_session (session_window). */
+  private def qWinSession(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val gapUs = 1800000000L // 30 min
+    events(s, d)
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("us")).as("sess_start"), max(col("us")).as("sess_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "sess_id")
+  }
+
   val defs: Map[String, Relational.Q] = Map(
+    "q_win_session" -> (qWinSession _),
     "q_win_rank" -> (qWinRank _),
     "q_win_analytic" -> (qWinAnalytic _),
     "q_win_frame" -> (qWinFrame _),
@@ -92,6 +116,24 @@ object Windows {
   )
 
   val sql: Map[String, String] = Map(
+    // CAST(ts AS TIMESTAMP) truncates TIMESTAMP_NS to micros = Spark's
+    // `ts div 1000`; the running SUM window needs the same (us, event_id)
+    // tie-break as the lag pass
+    "q_win_session" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |f AS (SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |      AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (SELECT user_id, us,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM f)
+        |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+        |  MIN(us) AS sess_start, MAX(us) AS sess_end, COUNT(*) AS n_events
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_win_rank" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(ROW_NUMBER() OVER wu AS INT) AS rn,

@@ -238,6 +238,24 @@ class PlanSpec extends AnyFunSuite {
     assert(native.forall(_._2 <= 3), "rank exceeded k")
   }
 
+  test("sessionization pays one shuffle for both window passes") {
+    val df = SparkEntry.queries("q_win_session")(spark, sf)
+    df.collect()
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    // lag + running-sum share (user_id, us, event_id) clustering; the
+    // session agg reuses it too. Allowed exchanges: one hashpartitioning
+    // on user_id + the final presentation sort's rangepartitioning.
+    val exchanges = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    val hashing = exchanges.count(_.outputPartitioning.toString.contains("hashpartitioning"))
+    assert(hashing <= 1, s"window passes re-shuffled:\n$exec")
+  }
+
   test("dedup clustering converges to recursive-CTE components") {
     // 500 docs at sf0.001 → some multi-doc components; labels must be
     // the component-min doc_id and be stable across runs
