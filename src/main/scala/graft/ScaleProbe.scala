@@ -37,7 +37,8 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$probeDir/documents.parquet")
     val n = spark.read.parquet(s"$probeDir/documents.parquet").count()
     val ops = Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
-      "q_dedup_ngram", "q_text_ngrams", "q_text_tfidf", "q_dedup_cluster")
+      "q_dedup_ngram", "q_text_ngrams", "q_text_tfidf", "q_dedup_cluster",
+      "q_text_decontaminate", "q_text_boilerplate", "q_text_repetition")
     val times = ops.map { id =>
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(id)(spark, probeDir).count()

@@ -104,6 +104,43 @@ object AvroQueries {
     s.table(name).orderBy("event_id")
   }
 
+  /** Small-file compaction — the maintenance operator the reference's
+    * production layout (thousands of small `data=…` avro objects) needs
+    * most: a metadata-only listing sizes the output (⌈Σbytes/target⌉
+    * containers), then the records flow source→sink through a
+    * shuffle-FREE coalesce — no row is ever hashed or sorted, tasks just
+    * drain multiple input files into one output container. The one
+    * driver-side value is a 1-row aggregate over the listing (one row
+    * per FILE, not per record — the same planner-side decision Spark's
+    * own file-index makes). Content is oracled as identity over events;
+    * AvroSubsystemSpec asserts the file count actually drops to the
+    * computed bin count. */
+  private def qAvroCompact(s: SparkSession, d: String): DataFrame = {
+    val src = freshDir(s"avro_cm_src_${math.abs(d.hashCode)}")
+    val dst = freshDir(s"avro_cm_out_${math.abs(d.hashCode)}")
+    events(s, d).select(col("event_id"), col("event_type"), col("us"))
+      .repartition(40) // manufacture the small-file problem
+      .write.format("graft-avro").mode("append").save(src)
+    val total = s.read.format("binaryFile").load(s"$src/*.avro")
+      .agg(sum(col("length"))).collect()(0).getLong(0)
+    val target = 256L << 10 // 256 KiB target for the test corpus
+    val nBins = math.max(1L, (total + target - 1) / target).toInt
+    s.read.format("graft-avro").load(src)
+      .coalesce(nBins)
+      .write.format("graft-avro").mode("append").save(dst)
+    s.read.format("graft-avro").load(dst)
+      .select(col("event_id"), col("event_type"))
+      .orderBy("event_id")
+  }
+
+  /** nBins the compactor would choose for `dir` — exposed for the spec. */
+  private[graft] def compactionBins(s: SparkSession, dir: String,
+      target: Long): Int = {
+    val total = s.read.format("binaryFile").load(s"$dir/*.avro")
+      .agg(sum(col("length"))).collect()(0).getLong(0)
+    math.max(1L, (total + target - 1) / target).toInt
+  }
+
   /** File-metadata scan (reference A4's S3 listing as a DataFrame).
     * Relative names + sizes are deterministic; paths aren't → no oracle. */
   private def qSourceBinary(s: SparkSession, d: String): DataFrame =
@@ -131,6 +168,7 @@ object AvroQueries {
   }
 
   val defs: Map[String, Relational.Q] = Map(
+    "q_avro_compact" -> (qAvroCompact _),
     "q_avro_roundtrip" -> (qAvroRoundtrip _),
     "q_avro_partitioned" -> (qAvroPartitioned _),
     "q_avro_stream" -> (qAvroStream _),
@@ -141,6 +179,9 @@ object AvroQueries {
   )
 
   val sql: Map[String, String] = Map(
+    // compaction must be content-lossless: identity oracle over events
+    "q_avro_compact" ->
+      """SELECT event_id, event_type FROM events ORDER BY event_id""",
     "q_avro_partitioned" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v,

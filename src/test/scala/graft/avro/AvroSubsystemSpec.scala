@@ -476,4 +476,24 @@ class AvroSubsystemSpec extends AnyFunSuite {
       report.toSeq)(org.apache.spark.sql.Encoders.product)).collect().toMap
     assert(sm.values.sum == report.length)
   }
+
+  test("compaction collapses small files to the computed bin count") {
+    val sf = "/root/testdata/sf0.001"
+    // run the full operator (writes 40 small containers, compacts them)
+    val out = graft.SparkEntry.queries("q_avro_compact")(spark, sf)
+    val rows = out.count()
+    assert(rows == spark.read.parquet(s"$sf/events.parquet").count())
+    val tag = math.abs(sf.hashCode)
+    val srcDir = s"/root/repo/target/qtmp/avro_cm_src_$tag"
+    val dstDir = s"/root/repo/target/qtmp/avro_cm_out_$tag"
+    def avroFiles(p: String): Array[java.io.File] =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".avro"))
+    val nSrc = avroFiles(srcDir).length
+    val nDst = avroFiles(dstDir).length
+    assert(nSrc == 40, s"expected the manufactured small-file layout, got $nSrc")
+    val expect = graft.queries.AvroQueries.compactionBins(
+      spark, srcDir, 256L << 10)
+    assert(nDst == expect, s"wrote $nDst containers, planned $expect")
+    assert(nDst < nSrc, s"compaction did not reduce file count: $nDst >= $nSrc")
+  }
 }
