@@ -45,10 +45,16 @@ object AudioHeader {
         fmt = Some((leU16(b, body + 2), leI32(b, body + 4).toInt,
           leU16(b, body + 14), leU16(b, body + 12)))
       } else if (ascii(b, off, "data")) {
+        // the frame count derives from the DECLARED size, so a data
+        // chunk whose payload wasn't fully buffered still reports its
+        // true length (matches how a metadata pass avoids reading audio)
         dataSize = size
       }
-      // chunks are word-aligned; odd sizes carry a pad byte
-      off = body + size.toInt + (size.toInt & 1)
+      // chunks are word-aligned (odd sizes carry a pad byte); a corrupt
+      // size that runs past the buffer — or would overflow Int and walk
+      // the offset backwards — ends the walk instead of looping
+      val next = body.toLong + size + (size & 1L)
+      off = if (next > b.length.toLong) b.length else next.toInt
     }
     fmt.flatMap { case (ch, rate, bits, block) =>
       if (dataSize < 0 || block <= 0 || rate <= 0) None

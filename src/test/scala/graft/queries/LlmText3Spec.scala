@@ -51,6 +51,15 @@ class LlmText3Spec extends AnyFunSuite {
     // truncated mid-chunk: parser stops cleanly without fmt+data
     val t = AudioHeader.wav(1, 8000, 16, 4).take(20)
     assert(AudioHeader.parse(t).isEmpty)
+    // corrupt chunk size (0xFFFFFFFF) must terminate, not loop or
+    // walk the offset backwards
+    val c = AudioHeader.wav(1, 8000, 16, 4)
+    val listOff = c.indexOfSlice("LIST".getBytes)
+    for (i <- 0 until 4) c(listOff + 4 + i) = 0xff.toByte
+    assert(AudioHeader.parse(c).isEmpty)
+    // truncated data payload still reports the declared frame count
+    val d = AudioHeader.wav(1, 8000, 16, 100)
+    assert(AudioHeader.parse(d.take(d.length - 50)).exists(_.nFrames == 100L))
   }
 
   // ------------------------------------------------------- query surface
