@@ -35,7 +35,111 @@ case class AvroWriteBuilder(schema: StructType, options: Map[String, String])
       AvroBatchWrite(schema, path, options.getOrElse("codec", "null"),
         preExisting, AvroContainerSource.serializableConfEntries())
     }
+
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      val path = options.getOrElse("path",
+        throw new IllegalArgumentException("path option required"))
+      if (doTruncate) throw new UnsupportedOperationException(
+        "graft-avro streaming sink supports append mode only")
+      AvroStreamingWrite(schema, path, options.getOrElse("codec", "null"),
+        AvroContainerSource.serializableConfEntries())
+    }
   }
+}
+
+/** Streaming sink: `df.writeStream.format("graft-avro").start(dir)`.
+  *
+  * Tasks write each micro-batch partition to a hidden temp container;
+  * the DRIVER-side epoch commit renames every temp to its canonical
+  * `part-e<epoch>-p<partition>.avro` name. The canonical name is
+  * deterministic per (epoch, partition), and the rename overwrites, so
+  * a replayed epoch after failure recovery lands on the same files —
+  * idempotent output without a metadata log (the FileStreamSink
+  * discipline, minus the read-side log: readers see files, and a crash
+  * BETWEEN renames of one epoch can expose a partial epoch until the
+  * replay completes — at-least-once, converging to exactly the epoch's
+  * data). */
+case class AvroStreamingWrite(schema: StructType, path: String,
+    codec: String, confEntries: Map[String, String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    AvroStreamingWriterFactory(schema,
+      SchemaConverter.toAvroRecord(schema, "graft_record").toString,
+      path, codec, confEntries)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val conf = AvroContainerSource.confFrom(confEntries)
+    messages.collect { case m: AvroEpochMessage => m }.foreach { m =>
+      val tmp = new Path(m.tmpPath)
+      val fin = new Path(m.finalPath)
+      val fs = fin.getFileSystem(conf)
+      if (fs.exists(fin)) fs.delete(fin, false) // epoch replay: overwrite
+      if (!fs.rename(tmp, fin))
+        throw new java.io.IOException(
+          s"epoch $epochId commit failed: cannot rename $tmp to $fin")
+    }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val conf = AvroContainerSource.confFrom(confEntries)
+    messages.collect { case m: AvroEpochMessage => m.tmpPath }.foreach { p =>
+      val hp = new Path(p)
+      hp.getFileSystem(conf).delete(hp, false)
+    }
+  }
+}
+
+case class AvroEpochMessage(tmpPath: String, finalPath: String)
+    extends WriterCommitMessage
+
+case class AvroStreamingWriterFactory(schema: StructType, avroJson: String,
+    path: String, codec: String, confEntries: Map[String, String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new AvroStreamDataWriter(schema, avroJson, path, codec, partitionId,
+      epochId, confEntries)
+}
+
+/** Per-task epoch writer: temp container now, canonical rename deferred
+  * to the driver's epoch commit (see AvroStreamingWrite). */
+class AvroStreamDataWriter(schema: StructType, avroJson: String, dir: String,
+    codec: String, partitionId: Int, epochId: Long,
+    confEntries: Map[String, String]) extends DataWriter[InternalRow] {
+
+  private val conf = AvroContainerSource.confFrom(confEntries)
+  private val avroSchema = new Schema.Parser().parse(avroJson)
+  private val toRecord = AvroDatum.recordWriter(schema, avroSchema)
+  private val finalPath =
+    new Path(dir, f"part-e$epochId-p$partitionId%05d.avro")
+  private val tmpPath = new Path(dir, s".tmp-${UUID.randomUUID()}.avro")
+  private val fs = finalPath.getFileSystem(conf)
+  fs.mkdirs(finalPath.getParent)
+  private val out = fs.create(tmpPath, true)
+  private val writer = new DataFileWriter[GenericRecord](
+    new GenericDatumWriter[GenericRecord](avroSchema))
+  writer.setCodec(AvroWrite.codecFactory(codec))
+  writer.create(avroSchema, out)
+
+  override def write(row: InternalRow): Unit = writer.append(toRecord(row))
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    AvroEpochMessage(tmpPath.toString, finalPath.toString)
+  }
+
+  override def abort(): Unit = {
+    try writer.close() catch { case _: Exception => () }
+    fs.delete(tmpPath, false)
+  }
+
+  override def close(): Unit = ()
 }
 
 case class AvroBatchWrite(schema: StructType, path: String, codec: String,

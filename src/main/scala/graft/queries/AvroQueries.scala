@@ -141,6 +141,29 @@ object AvroQueries {
     math.max(1L, (total + target - 1) / target).toInt
   }
 
+  /** Streaming SINK through the graft-avro DSv2 write path: events
+    * parquet consumed as a stream, drained into avro containers via the
+    * epoch-committed streaming writer (temp→canonical rename per epoch,
+    * idempotent on replay — see AvroStreamingWrite), then read back
+    * batch-side. Lossless → identity oracle over events. */
+  private def qAvroStreamSink(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = freshDir(s"avro_ss_${math.abs(d.hashCode)}")
+    val ckpt = freshDir(s"avro_ss_ck_${math.abs(d.hashCode)}")
+    val schema = t(s, d, "events").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .select(col("event_id"), col("event_type"), expr("ts div 1000").as("us"))
+      .writeStream.format("graft-avro")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start(dir)
+    try q.processAllAvailable() finally q.stop()
+    s.read.format("graft-avro").load(dir)
+      .select(col("event_id"), col("event_type"))
+      .orderBy("event_id")
+  }
+
   /** File-metadata scan (reference A4's S3 listing as a DataFrame).
     * Relative names + sizes are deterministic; paths aren't → no oracle. */
   private def qSourceBinary(s: SparkSession, d: String): DataFrame =
@@ -169,6 +192,7 @@ object AvroQueries {
 
   val defs: Map[String, Relational.Q] = Map(
     "q_avro_compact" -> (qAvroCompact _),
+    "q_avro_stream_sink" -> (qAvroStreamSink _),
     "q_avro_roundtrip" -> (qAvroRoundtrip _),
     "q_avro_partitioned" -> (qAvroPartitioned _),
     "q_avro_stream" -> (qAvroStream _),
@@ -181,6 +205,9 @@ object AvroQueries {
   val sql: Map[String, String] = Map(
     // compaction must be content-lossless: identity oracle over events
     "q_avro_compact" ->
+      """SELECT event_id, event_type FROM events ORDER BY event_id""",
+    // the streamed epoch-committed write must also be lossless
+    "q_avro_stream_sink" ->
       """SELECT event_id, event_type FROM events ORDER BY event_id""",
     "q_avro_partitioned" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -477,6 +477,30 @@ class AvroSubsystemSpec extends AnyFunSuite {
     assert(sm.values.sum == report.length)
   }
 
+  test("streaming sink epoch commit is idempotent under replay") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("sink-epoch")
+    val sw = AvroStreamingWrite(new StructType().add("x", LongType),
+      dir, "null", AvroContainerSource.serializableConfEntries())
+    val fs = new Path(dir).getFileSystem(AvroContainerSource.hadoopConf())
+    def attempt(content: String): graft.avro.AvroEpochMessage = {
+      val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}.avro")
+      val os = fs.create(tmp, true)
+      os.write(content.getBytes); os.close()
+      graft.avro.AvroEpochMessage(tmp.toString,
+        new Path(dir, "part-e7-p00000.avro").toString)
+    }
+    sw.commit(7L, Array(attempt("first")))
+    sw.commit(7L, Array(attempt("replay"))) // epoch replayed after failure
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-e7"))
+    assert(parts.length == 1, s"replay duplicated the epoch: ${parts.toSeq}")
+    val bytes = java.nio.file.Files.readAllBytes(parts(0).toPath)
+    assert(new String(bytes) == "replay", "replay did not overwrite")
+    // leftover temps would leak into readers' directory listings
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith(".tmp")))
+  }
+
   test("compaction collapses small files to the computed bin count") {
     val sf = "/root/testdata/sf0.001"
     // run the full operator (writes 40 small containers, compacts them)
