@@ -54,7 +54,9 @@ case class AvroWriteBuilder(schema: StructType, options: Map[String, String])
   * the DRIVER-side epoch commit renames every temp to its canonical
   * `part-e<epoch>-p<partition>.avro` name. The canonical name is
   * deterministic per (epoch, partition), and the rename overwrites, so
-  * a replayed epoch after failure recovery lands on the same files —
+  * a replayed epoch after failure recovery lands on the same files, and
+  * the epoch commit first sweeps canonical files of the SAME epoch that
+  * the replay did not re-produce (a replay may plan fewer partitions) —
   * idempotent output without a metadata log (the FileStreamSink
   * discipline, minus the read-side log: readers see files, and a crash
   * BETWEEN renames of one epoch can expose a partial epoch until the
@@ -73,10 +75,27 @@ case class AvroStreamingWrite(schema: StructType, path: String,
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val conf = AvroContainerSource.confFrom(confEntries)
-    messages.collect { case m: AvroEpochMessage => m }.foreach { m =>
+    val ms = messages.collect { case m: AvroEpochMessage => m }
+    // A replayed epoch may plan FEWER partitions than the dead attempt
+    // (shuffle.partitions changed across restart, listing split
+    // differently) — canonical files of this epoch that the replay does
+    // not re-produce must go, or their rows double forever.
+    val keep = ms.map(m => new Path(m.finalPath).getName).toSet
+    val dirPath = new Path(path)
+    val fs = dirPath.getFileSystem(conf)
+    if (fs.exists(dirPath)) {
+      val it = fs.listStatus(dirPath).iterator
+      val prefix = s"part-e$epochId-"
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (n.startsWith(prefix) && !keep.contains(n))
+          fs.delete(st.getPath, false)
+      }
+    }
+    ms.foreach { m =>
       val tmp = new Path(m.tmpPath)
       val fin = new Path(m.finalPath)
-      val fs = fin.getFileSystem(conf)
       if (fs.exists(fin)) fs.delete(fin, false) // epoch replay: overwrite
       if (!fs.rename(tmp, fin))
         throw new java.io.IOException(

@@ -121,10 +121,7 @@ object AvroQueries {
     events(s, d).select(col("event_id"), col("event_type"), col("us"))
       .repartition(40) // manufacture the small-file problem
       .write.format("graft-avro").mode("append").save(src)
-    val total = s.read.format("binaryFile").load(s"$src/*.avro")
-      .agg(sum(col("length"))).collect()(0).getLong(0)
-    val target = 256L << 10 // 256 KiB target for the test corpus
-    val nBins = math.max(1L, (total + target - 1) / target).toInt
+    val nBins = compactionBins(s, src, target = 256L << 10) // 256 KiB
     s.read.format("graft-avro").load(src)
       .coalesce(nBins)
       .write.format("graft-avro").mode("append").save(dst)

@@ -215,7 +215,11 @@ object LlmSim {
     * size), and the centroid reassembles via a sorted collect_list —
     * bounded by the embedding dimension. 6-dp round before output (and
     * the norm computed FROM the rounded centroid) keeps the float-sum
-    * ordering noise out of the hash compare. */
+    * ordering noise out of the hash compare. The centroid ships as a
+    * comma-joined string of micro-units (round(m·10⁶) as int): the
+    * driver compare can't hash array cells, and double→string rendering
+    * differs between engines (Spark "1.0E-6" vs DuckDB "1e-06") —
+    * integers are bit-identical text on both sides. */
   private def qEmbedCentroids(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings")
       .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
@@ -224,9 +228,14 @@ object LlmSim {
       .groupBy(col("label"))
       .agg(max(col("n")).as("n_vectors"),
         expr("""transform(array_sort(collect_list(named_struct('i', i, 'm', sx / n))),
-                p -> round(p.m, 6))""").as("centroid"))
+                p -> round(p.m, 6))""").as("cvec"))
       .withColumn("centroid_norm", round(sqrt(expr(
-        "aggregate(centroid, cast(0.0 as double), (acc, y) -> acc + y * y)")), 6))
+        "aggregate(cvec, cast(0.0 as double), (acc, y) -> acc + y * y)")), 6))
+      .select(col("label"), col("n_vectors"),
+        expr("""concat_ws(',', transform(cvec,
+                y -> cast(cast(round(y * 1000000) as bigint) as string)))""")
+          .as("centroid_q6"),
+        col("centroid_norm"))
       .orderBy("label")
 
   val defs: Map[String, Relational.Q] = Map(
@@ -241,7 +250,9 @@ object LlmSim {
   val sql: Map[String, String] = Map(
     // aligned unnest + generate_subscripts index the vector; per-(label,
     // dim) mean rounded 6dp, norm recomputed from the ROUNDED centroid so
-    // both engines feed identical inputs to the final sqrt
+    // both engines feed identical inputs to the final sqrt; the centroid
+    // itself serializes as comma-joined micro-unit integers (see Spark
+    // side — array cells and double rendering are not hash-portable)
     "q_embed_centroids" ->
       """WITH x AS (SELECT label, i, CAST(v AS DOUBLE) AS v FROM (
         |    SELECT label, unnest(embedding) AS v,
@@ -251,7 +262,10 @@ object LlmSim {
         |c AS (SELECT label, MAX(n) AS n_vectors,
         |        list(ROUND(sx / n, 6) ORDER BY i) AS centroid
         |      FROM g GROUP BY label)
-        |SELECT label, CAST(n_vectors AS BIGINT) AS n_vectors, centroid,
+        |SELECT label, CAST(n_vectors AS BIGINT) AS n_vectors,
+        |  COALESCE(array_to_string(list_transform(centroid,
+        |    y -> CAST(CAST(ROUND(y * 1000000) AS BIGINT) AS VARCHAR)), ','),
+        |    '') AS centroid_q6,
         |  ROUND(sqrt(list_sum(list_transform(centroid, y -> y * y))), 6)
         |    AS centroid_norm
         |FROM c ORDER BY label""".stripMargin,

@@ -66,9 +66,13 @@ object LlmText3 {
           size(col("ws")), 6).as("dup_token_ratio"),
         round(col("top_tok").cast("double") / size(col("ws")), 6)
           .as("top_token_share"),
-        round(lit(1.0) - size(array_distinct(col("bg"))).cast("double") /
-          size(col("bg")), 6).as("dup_bigram_ratio"),
-        round(col("top_bg").cast("double") / size(col("bg")), 6)
+        // single-token docs have no bigrams; ANSI mode (Spark 4 default)
+        // turns the /0 into an error, so the ratios are explicitly NULL
+        when(size(col("bg")) > 0,
+          round(lit(1.0) - size(array_distinct(col("bg"))).cast("double") /
+            size(col("bg")), 6)).as("dup_bigram_ratio"),
+        when(size(col("bg")) > 0,
+          round(col("top_bg").cast("double") / size(col("bg")), 6))
           .as("top_bigram_share"))
       .orderBy("doc_id")
 
@@ -180,11 +184,13 @@ object LlmText3 {
         |  round(CAST(list_max(list_transform(list_distinct(ws),
         |      x -> len(list_filter(ws, w -> w = x)))) AS DOUBLE) / len(ws), 6)
         |    AS top_token_share,
-        |  round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
-        |    AS dup_bigram_ratio,
-        |  round(CAST(list_max(list_transform(list_distinct(bg),
+        |  CASE WHEN len(bg) > 0 THEN
+        |    round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
+        |  END AS dup_bigram_ratio,
+        |  CASE WHEN len(bg) > 0 THEN
+        |    round(CAST(list_max(list_transform(list_distinct(bg),
         |      x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg), 6)
-        |    AS top_bigram_share
+        |  END AS top_bigram_share
         |FROM b ORDER BY doc_id""".stripMargin,
     "q_text_boilerplate" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

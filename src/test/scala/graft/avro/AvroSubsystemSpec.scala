@@ -499,6 +499,20 @@ class AvroSubsystemSpec extends AnyFunSuite {
     assert(new String(bytes) == "replay", "replay did not overwrite")
     // leftover temps would leak into readers' directory listings
     assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith(".tmp")))
+    // a replay planning FEWER partitions must sweep the dead attempt's
+    // extra canonical files, or their rows double forever
+    def attemptP(p: Int): graft.avro.AvroEpochMessage = {
+      val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}.avro")
+      val os = fs.create(tmp, true); os.write("x".getBytes); os.close()
+      graft.avro.AvroEpochMessage(tmp.toString,
+        new Path(dir, f"part-e9-p$p%05d.avro").toString)
+    }
+    sw.commit(9L, Array(attemptP(0), attemptP(1), attemptP(2)))
+    sw.commit(9L, Array(attemptP(0))) // narrower replay
+    val e9 = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-e9")).map(_.getName).sorted
+    assert(e9.toSeq == Seq("part-e9-p00000.avro"),
+      s"stale partitions from the dead attempt survive: ${e9.toSeq}")
   }
 
   test("compaction collapses small files to the computed bin count") {

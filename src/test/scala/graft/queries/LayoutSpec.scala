@@ -15,9 +15,6 @@ class LayoutSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // AQE wraps the plan and hides scan metrics from collectLeaves —
-    // the skip measurement below needs the raw executed plan
-    .config("spark.sql.adaptive.enabled", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -35,6 +32,17 @@ class LayoutSpec extends AnyFunSuite {
   }
 
   test("z-order layout prunes row groups on BOTH key dimensions") {
+    // AQE wraps the plan and hides scan metrics from collectLeaves — the
+    // skip measurement needs the raw executed plan. Scoped + restored:
+    // suites share one session, and later plan assertions must validate
+    // the AQE regime Bench and the driver actually run with.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try zorderSkipCheck()
+    finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  private def zorderSkipCheck(): Unit = {
     val dir = ScalePatterns.zorderDir(spark, sf)
     val total = spark.read.parquet(dir).count()
     // box predicate on px alone, py alone, and both: a z-ordered layout

@@ -32,6 +32,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  /** Every node of the executed plan, descending THROUGH AQE query-stage
+    * leaves: `collect` on the adaptive plan alone sees only the stage
+    * boundaries (QueryStageExec children are empty), so node-type
+    * assertions written against it are vacuously true. */
+  private def deepNodes(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        flatten(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        flatten(r.child)
+      case _ => p.children.flatMap(flatten)
+    })
+    flatten(df.queryExecution.executedPlan)
+  }
+
   test("scan pruning: filter is pushed down and only needed columns read") {
     val p = plan("q_scan_pruned")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
@@ -113,26 +132,21 @@ class PlanSpec extends AnyFunSuite {
       "sketch rejects non-building keys") {
     val df = SparkEntry.queries("q_join_bloom")(spark, sf)
     df.collect()
-    val exec = df.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan
-      case other => other
-    }
     // the graft_bloom_contains probe must sit in a Filter that has a
     // FileSourceScan descendant (fact side, pre-shuffle) — not above a
-    // join. AQE wraps materialized stages in QueryStageExec leaves, so
-    // the traversal must descend into stage plans explicitly.
+    // join.
     def flatten(p: org.apache.spark.sql.execution.SparkPlan):
         Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
       case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
         flatten(q.plan)
       case _ => p.children.flatMap(flatten)
     })
-    val probeFilters = flatten(exec).collect {
+    val probeFilters = deepNodes(df).collect {
       case f: org.apache.spark.sql.execution.FilterExec
           if f.condition.toString.toLowerCase.contains("bloomcontains") => f
     }
-    assert(probeFilters.nonEmpty, s"no bloom probe Filter in plan:\n$exec")
+    assert(probeFilters.nonEmpty,
+      s"no bloom probe Filter in plan:\n${df.queryExecution.executedPlan}")
     probeFilters.foreach { f =>
       val sub = flatten(f)
       val hasScanBelow = sub.exists(
@@ -140,7 +154,7 @@ class PlanSpec extends AnyFunSuite {
       val hasJoinBelow = sub.exists(
         _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
       assert(hasScanBelow && !hasJoinBelow,
-        s"bloom probe is not a scan-side pre-join filter:\n$exec")
+        s"bloom probe is not a scan-side pre-join filter:\n$f")
     }
     // sketch semantics: a key that is certainly absent must be rejected
     val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
@@ -166,21 +180,18 @@ class PlanSpec extends AnyFunSuite {
   test("sequence packing never funnels the corpus through one window task") {
     val df = SparkEntry.queries("q_text_pack")(spark, sf)
     df.collect()
-    val exec = df.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan
-      case other => other
-    }
-    val globalWindows = exec.collect {
+    val nodes = deepNodes(df)
+    val globalWindows = nodes.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty => w
     }
     assert(globalWindows.isEmpty,
-      s"partition-less Window (single-task cumsum) in plan:\n$exec")
+      s"partition-less Window (single-task cumsum) in plan:\n" +
+        df.queryExecution.executedPlan)
     // single-partition stages may only carry pre-aggregated scalars (the
     // min/max bounds), never the corpus: every SinglePartition exchange
     // must sit directly on a partial HashAggregate
-    val single = exec.collect {
+    val single = nodes.collect {
       case ex: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
           if ex.outputPartitioning.numPartitions == 1 => ex
     }
@@ -198,19 +209,17 @@ class PlanSpec extends AnyFunSuite {
   test("IVF ANN ranks candidates with the native top-k heaps, not a window sort") {
     val df = SparkEntry.queries("q_sim_ann_ivf")(spark, sf)
     df.collect()
-    val exec = df.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan
-      case other => other
-    }
-    val p = exec.toString
-    assert("TopKPerGroup".r.findAllIn(p).length >= 2,
-      s"expected partial+final TopKPerGroupExec:\n$p")
-    val searchWindows = exec.collect {
+    val nodes = deepNodes(df)
+    val topk = nodes.count(
+      _.getClass.getSimpleName.startsWith("TopKPerGroupExec"))
+    assert(topk >= 2, s"expected partial+final TopKPerGroupExec:\n" +
+      df.queryExecution.executedPlan)
+    val searchWindows = nodes.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty => w
     }
-    assert(searchWindows.isEmpty, s"global window sort in ANN search:\n$p")
+    assert(searchWindows.isEmpty,
+      s"global window sort in ANN search:\n${df.queryExecution.executedPlan}")
   }
 
   test("stratified sample is seed-deterministic and respects fractions") {
@@ -241,19 +250,19 @@ class PlanSpec extends AnyFunSuite {
   test("sessionization pays one shuffle for both window passes") {
     val df = SparkEntry.queries("q_win_session")(spark, sf)
     df.collect()
-    val exec = df.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan
-      case other => other
-    }
     // lag + running-sum share (user_id, us, event_id) clustering; the
     // session agg reuses it too. Allowed exchanges: one hashpartitioning
     // on user_id + the final presentation sort's rangepartitioning.
-    val exchanges = exec.collect {
+    val exchanges = deepNodes(df).collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
-    val hashing = exchanges.count(_.outputPartitioning.toString.contains("hashpartitioning"))
-    assert(hashing <= 1, s"window passes re-shuffled:\n$exec")
+    assert(exchanges.nonEmpty, "expected at least the presentation sort " +
+      "exchange — the traversal itself must see inside AQE stages")
+    val hashing = exchanges.count(
+      _.outputPartitioning.toString.contains("hashpartitioning"))
+    assert(hashing == 1,
+      s"window passes re-shuffled ($hashing hash exchanges):\n" +
+        df.queryExecution.executedPlan)
   }
 
   test("dedup clustering converges to recursive-CTE components") {
