@@ -26,7 +26,8 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val probeDir = graft.queries.Tables.freshDir(s"scaleprobe_$factor")
+    val mode = args.lift(2).getOrElse("documents")
+    val probeDir = graft.queries.Tables.freshDir(s"scaleprobe_${mode}_$factor")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     (0 until factor).map { i =>
       docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
@@ -35,10 +36,26 @@ object ScaleProbe {
         (col("n_chars") + (i % 3)).as("n_chars"))
     }.reduce(_ union _)
       .write.mode("overwrite").parquet(s"$probeDir/documents.parquet")
-    val n = spark.read.parquet(s"$probeDir/documents.parquet").count()
-    val ops = Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
-      "q_dedup_ngram", "q_text_ngrams", "q_text_tfidf", "q_dedup_cluster",
-      "q_text_decontaminate", "q_text_boilerplate", "q_text_repetition")
+    // embeddings inflate with small deterministic perturbations, so
+    // replicas stay near-duplicates of the base vector (the LSH buckets
+    // get denser) while ids and labels shift
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    (0 until factor).map { i =>
+      emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        expr(s"transform(embedding, (x, j) -> x + cast($i as float) * 1e-4f * cast(j % 7 as float))")
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$probeDir/embeddings.parquet")
+    val n = spark.read.parquet(s"$probeDir/${if (mode == "embeddings") "embeddings" else "documents"}.parquet").count()
+    val ops =
+      if (mode == "embeddings")
+        Seq("q_embed_centroids", "q_sim_cosine_topk", "q_sim_ann_ivf",
+          "q_dedup_embed", "q_embed_norm", "q_embed_quantize")
+      else
+        Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+          "q_dedup_ngram", "q_text_ngrams", "q_text_tfidf", "q_dedup_cluster",
+          "q_text_decontaminate", "q_text_boilerplate", "q_text_repetition")
     val times = ops.map { id =>
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(id)(spark, probeDir).count()
@@ -47,7 +64,7 @@ object ScaleProbe {
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = times.map { case (k, (s, r)) =>
       s""""$k":{"sec":${f(s)},"rows":$r}""" }.mkString("{", ",", "}")
-    println(s"""{"probe":"documents","docs":$n,"factor":$factor,"ops":$qs}""")
+    println(s"""{"probe":"$mode","rows":$n,"factor":$factor,"ops":$qs}""")
     spark.stop()
   }
 }
