@@ -2,6 +2,8 @@ package graft.queries
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -161,6 +163,53 @@ object AvroQueries {
       .orderBy("event_id")
   }
 
+  /** Schema-drift report over a container directory — the lake-hygiene
+    * operator for the reference's production shape, where files written
+    * across deploys carry different embedded schemas. A metadata-only
+    * pass: one task per file batch opens just the container HEADER
+    * (schema + codec, no record decode — at 100 TB the IO is a few KB
+    * per file regardless of file size), fingerprints the writer schema
+    * (Avro parsing-canonical-form fingerprint, so doc/alias-only changes
+    * collapse), and the report groups files per distinct schema with
+    * the field list — the operator a migration runbook starts from.
+    * File-level rows depend on generated names → the grouped report is
+    * the output; ScalaTest pins the two-generation fixture. */
+  private def qAvroSchemaDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = freshDir(s"avro_drift_${math.abs(d.hashCode)}")
+    // manufacture drift: generation 1 (2 columns, 3 files), then a
+    // deploy that added a column (3 columns, 2 files)
+    events(s, d).select(col("event_id"), col("event_type"))
+      .repartition(3)
+      .write.format("graft-avro").mode("append").save(dir)
+    events(s, d).select(col("event_id"), col("event_type"), col("value"))
+      .repartition(2)
+      .write.format("graft-avro").mode("append").save(dir)
+    val files = graft.avro.AvroContainerSource.listFiles(dir).map(_._1)
+    val confEntries = graft.avro.AvroContainerSource.serializableConfEntries()
+    val perFile = s.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 8)))
+      .map { p =>
+        val conf = graft.avro.AvroContainerSource.confFrom(confEntries)
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val in = hp.getFileSystem(conf).open(hp)
+        val st = new org.apache.avro.file.DataFileStream[AnyRef](in,
+          new org.apache.avro.generic.GenericDatumReader[AnyRef]())
+        try {
+          val schema = st.getSchema
+          val fp = org.apache.avro.SchemaNormalization
+            .parsingFingerprint64(schema)
+          val fields = schema.getFields.asScala.map(_.name)
+            .sorted.mkString(",")
+          (fp, fields, schema.getFields.size)
+        } finally st.close()
+      }
+    perFile.toDF("schema_fp", "fields", "n_fields")
+      .groupBy(col("schema_fp"), col("fields"), col("n_fields"))
+      .agg(count(lit(1)).as("n_files"))
+      .orderBy(col("n_files").desc, col("n_fields").asc)
+  }
+
   /** File-metadata scan (reference A4's S3 listing as a DataFrame).
     * Relative names + sizes are deterministic; paths aren't → no oracle. */
   private def qSourceBinary(s: SparkSession, d: String): DataFrame =
@@ -190,6 +239,7 @@ object AvroQueries {
   val defs: Map[String, Relational.Q] = Map(
     "q_avro_compact" -> (qAvroCompact _),
     "q_avro_stream_sink" -> (qAvroStreamSink _),
+    "q_avro_schema_drift" -> (qAvroSchemaDrift _),
     "q_avro_roundtrip" -> (qAvroRoundtrip _),
     "q_avro_partitioned" -> (qAvroPartitioned _),
     "q_avro_stream" -> (qAvroStream _),

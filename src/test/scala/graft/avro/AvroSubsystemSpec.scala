@@ -515,6 +515,18 @@ class AvroSubsystemSpec extends AnyFunSuite {
       s"stale partitions from the dead attempt survive: ${e9.toSeq}")
   }
 
+  test("schema-drift report groups files by embedded writer schema") {
+    val rows = graft.SparkEntry.queries("q_avro_schema_drift")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 2, s"expected 2 schema generations: ${rows.toSeq}")
+    // majority generation first (3 files, 2 fields), drifted second
+    assert(rows(0).getLong(3) == 3L && rows(0).getInt(2) == 2)
+    assert(rows(1).getLong(3) == 2L && rows(1).getInt(2) == 3)
+    assert(rows(1).getString(1).split(",").contains("value"),
+      "drifted generation should carry the added column")
+    assert(rows(0).getLong(0) != rows(1).getLong(0), "fingerprints collide")
+  }
+
   test("compaction collapses small files to the computed bin count") {
     val sf = "/root/testdata/sf0.001"
     // run the full operator (writes 40 small containers, compacts them)
