@@ -202,6 +202,30 @@ object Relational3 {
         |ORDER BY s_suppkey""".stripMargin)
   }
 
+  /** Recursive CTE (Spark 4.1 WITH RECURSIVE): a generated calendar
+    * spine left-joined to daily order aggregates — the gap-filling
+    * time-series pattern (days with zero orders appear as explicit
+    * zero rows, which a plain GROUP BY can never produce). The
+    * recursion depth is the calendar length (90 days), independent of
+    * data size; the join is the only corpus-touching stage. DuckDB
+    * runs the identical SQL. */
+  private def qCteRecursive(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """WITH RECURSIVE cal(day) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL
+        |  SELECT CAST(day + INTERVAL 1 DAY AS DATE) FROM cal
+        |  WHERE day < DATE '1995-03-31')
+        |SELECT cal.day, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders,
+        |  CAST(COALESCE(o.sp, 0) AS DOUBLE) AS sum_price
+        |FROM cal LEFT JOIN (
+        |  SELECT CAST(o_orderdate AS DATE) AS dd, COUNT(*) AS n,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS sp
+        |  FROM orders GROUP BY 1) o ON o.dd = cal.day
+        |ORDER BY cal.day""".stripMargin)
+  }
+
   /** Calendar functions: quarter, month truncation, end-of-month,
     * add-months clamping, days-in-month. */
   private def qFnDatetime2(s: SparkSession, d: String): DataFrame = {
@@ -247,6 +271,7 @@ object Relational3 {
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_scd2" -> (qScd2 _),
     "q_cte" -> (qCte _),
+    "q_cte_recursive" -> (qCteRecursive _),
     "q_fn_datetime2" -> (qFnDatetime2 _),
   )
 
@@ -342,6 +367,19 @@ object Relational3 {
         |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
         |    DATE '9999-12-31') = DATE '9999-12-31' AS is_current
         |FROM orders ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
+    "q_cte_recursive" ->
+      """WITH RECURSIVE cal(day) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL
+        |  SELECT CAST(day + INTERVAL 1 DAY AS DATE) FROM cal
+        |  WHERE day < DATE '1995-03-31')
+        |SELECT cal.day, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders,
+        |  CAST(COALESCE(o.sp, 0) AS DOUBLE) AS sum_price
+        |FROM cal LEFT JOIN (
+        |  SELECT CAST(o_orderdate AS DATE) AS dd, COUNT(*) AS n,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS sp
+        |  FROM orders GROUP BY 1) o ON o.dd = cal.day
+        |ORDER BY cal.day""".stripMargin,
     "q_cte" ->
       """WITH rev AS (
         |  SELECT l_suppkey AS sk,
