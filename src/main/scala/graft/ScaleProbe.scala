@@ -28,25 +28,29 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val mode = args.lift(2).getOrElse("documents")
     val probeDir = graft.queries.Tables.freshDir(s"scaleprobe_${mode}_$factor")
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    (0 until factor).map { i =>
-      docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-        concat(col("text"), lit(s" v$i")).as("text"),
-        col("lang"), col("source"),
-        (col("n_chars") + (i % 3)).as("n_chars"))
-    }.reduce(_ union _)
-      .write.mode("overwrite").parquet(s"$probeDir/documents.parquet")
-    // embeddings inflate with small deterministic perturbations, so
-    // replicas stay near-duplicates of the base vector (the LSH buckets
-    // get denser) while ids and labels shift
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    (0 until factor).map { i =>
-      emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
-        expr(s"transform(embedding, (x, j) -> x + cast($i as float) * 1e-4f * cast(j % 7 as float))")
-          .as("embedding"),
-        col("label"))
-    }.reduce(_ union _)
-      .write.mode("overwrite").parquet(s"$probeDir/embeddings.parquet")
+    if (mode == "embeddings") {
+      // embeddings inflate with small deterministic perturbations, so
+      // replicas stay near-duplicates of the base vector (the LSH
+      // buckets get denser); vec_ids shift, labels pass through (which
+      // keeps centroid cardinality fixed while membership grows)
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      (0 until factor).map { i =>
+        emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          expr(s"transform(embedding, (x, j) -> x + cast($i as float) * 1e-4f * cast(j % 7 as float))")
+            .as("embedding"),
+          col("label"))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$probeDir/embeddings.parquet")
+    } else {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      (0 until factor).map { i =>
+        docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          concat(col("text"), lit(s" v$i")).as("text"),
+          col("lang"), col("source"),
+          (col("n_chars") + (i % 3)).as("n_chars"))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$probeDir/documents.parquet")
+    }
     val n = spark.read.parquet(s"$probeDir/${if (mode == "embeddings") "embeddings" else "documents"}.parquet").count()
     val ops =
       if (mode == "embeddings")

@@ -79,18 +79,25 @@ case class AvroStreamingWrite(schema: StructType, path: String,
     // A replayed epoch may plan FEWER partitions than the dead attempt
     // (shuffle.partitions changed across restart, listing split
     // differently) — canonical files of this epoch that the replay does
-    // not re-produce must go, or their rows double forever.
+    // not re-produce must go, or their rows double forever. Listing the
+    // whole sink per commit would be O(files ever written) — so probe
+    // one canonical name first: partition 0 exists in every attempt, so
+    // any hit means this epoch was committed before (replay) and only
+    // then is the directory listed for the sweep.
     val keep = ms.map(m => new Path(m.finalPath).getName).toSet
     val dirPath = new Path(path)
     val fs = dirPath.getFileSystem(conf)
-    if (fs.exists(dirPath)) {
+    val isReplay = ms.nonEmpty && fs.exists(new Path(ms.head.finalPath))
+    if (isReplay && fs.exists(dirPath)) {
       val it = fs.listStatus(dirPath).iterator
       val prefix = s"part-e$epochId-"
       while (it.hasNext) {
         val st = it.next()
         val n = st.getPath.getName
-        if (n.startsWith(prefix) && !keep.contains(n))
-          fs.delete(st.getPath, false)
+        if (n.startsWith(prefix) && !keep.contains(n) &&
+            !fs.delete(st.getPath, false) && fs.exists(st.getPath))
+          throw new java.io.IOException(
+            s"epoch $epochId replay sweep failed: cannot delete ${st.getPath}")
       }
     }
     ms.foreach { m =>

@@ -192,17 +192,26 @@ object AvroQueries {
       .map { p =>
         val conf = graft.avro.AvroContainerSource.confFrom(confEntries)
         val hp = new org.apache.hadoop.fs.Path(p)
+        // per-file capture: a junk/truncated header becomes ONE report
+        // row, never an aborted run (the reference's A18 defect — same
+        // discipline as RepairPipeline)
         val in = hp.getFileSystem(conf).open(hp)
-        val st = new org.apache.avro.file.DataFileStream[AnyRef](in,
-          new org.apache.avro.generic.GenericDatumReader[AnyRef]())
         try {
-          val schema = st.getSchema
-          val fp = org.apache.avro.SchemaNormalization
-            .parsingFingerprint64(schema)
-          val fields = schema.getFields.asScala.map(_.name)
-            .sorted.mkString(",")
-          (fp, fields, schema.getFields.size)
-        } finally st.close()
+          val st = new org.apache.avro.file.DataFileStream[AnyRef](in,
+            new org.apache.avro.generic.GenericDatumReader[AnyRef]())
+          try {
+            val schema = st.getSchema
+            val fp = org.apache.avro.SchemaNormalization
+              .parsingFingerprint64(schema)
+            val fields = schema.getFields.asScala.map(_.name)
+              .sorted.mkString(",")
+            (fp, fields, schema.getFields.size)
+          } finally st.close()
+        } catch {
+          case _: Exception => (0L, "<unreadable>", -1)
+        } finally {
+          try in.close() catch { case _: Exception => () }
+        }
       }
     perFile.toDF("schema_fp", "fields", "n_fields")
       .groupBy(col("schema_fp"), col("fields"), col("n_fields"))

@@ -36,20 +36,20 @@ class PlanSpec extends AnyFunSuite {
     * leaves: `collect` on the adaptive plan alone sees only the stage
     * boundaries (QueryStageExec children are empty), so node-type
     * assertions written against it are vacuously true. */
+  private def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      flattenPlan(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      flattenPlan(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      flattenPlan(r.child)
+    case _ => p.children.flatMap(flattenPlan)
+  })
+
   private def deepNodes(df: org.apache.spark.sql.DataFrame)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        flatten(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        flatten(q.plan)
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-        flatten(r.child)
-      case _ => p.children.flatMap(flatten)
-    })
-    flatten(df.queryExecution.executedPlan)
-  }
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    flattenPlan(df.queryExecution.executedPlan)
 
   test("scan pruning: filter is pushed down and only needed columns read") {
     val p = plan("q_scan_pruned")
@@ -135,12 +135,6 @@ class PlanSpec extends AnyFunSuite {
     // the graft_bloom_contains probe must sit in a Filter that has a
     // FileSourceScan descendant (fact side, pre-shuffle) — not above a
     // join.
-    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
-        Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        flatten(q.plan)
-      case _ => p.children.flatMap(flatten)
-    })
     val probeFilters = deepNodes(df).collect {
       case f: org.apache.spark.sql.execution.FilterExec
           if f.condition.toString.toLowerCase.contains("bloomcontains") => f
@@ -148,7 +142,7 @@ class PlanSpec extends AnyFunSuite {
     assert(probeFilters.nonEmpty,
       s"no bloom probe Filter in plan:\n${df.queryExecution.executedPlan}")
     probeFilters.foreach { f =>
-      val sub = flatten(f)
+      val sub = flattenPlan(f)
       val hasScanBelow = sub.exists(
         _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
       val hasJoinBelow = sub.exists(
