@@ -163,6 +163,32 @@ object AvroQueries {
       .orderBy("event_id")
   }
 
+  /** End-to-end streaming avro pipeline: container directory consumed
+    * through the graft-avro SOURCE (durable batch manifest), a real
+    * transform (filter + derived column), drained back out through the
+    * graft-avro streaming SINK (epoch-committed) — the full
+    * ingest→clean→publish loop the reference's production layout runs,
+    * as one structured-streaming query. Lossless and deterministic →
+    * arithmetic oracle over events. */
+  private def qAvroStreamE2e(s: SparkSession, d: String): DataFrame = {
+    val src = freshDir(s"avro_e2e_src_${math.abs(d.hashCode)}")
+    val dst = freshDir(s"avro_e2e_dst_${math.abs(d.hashCode)}")
+    val ckpt = freshDir(s"avro_e2e_ck_${math.abs(d.hashCode)}")
+    events(s, d).select(col("event_id"), col("event_type"), col("value"))
+      .write.format("graft-avro").mode("append").save(src)
+    val q = s.readStream.format("graft-avro").load(src)
+      .filter(col("event_type") =!= "click")
+      .withColumn("v2", col("value") * 2) // exact binary fp op
+      .writeStream.format("graft-avro")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start(dst)
+    try q.processAllAvailable() finally q.stop()
+    s.read.format("graft-avro").load(dst)
+      .select(col("event_id"), col("event_type"), col("v2"))
+      .orderBy("event_id")
+  }
+
   /** Schema-drift report over a container directory — the lake-hygiene
     * operator for the reference's production shape, where files written
     * across deploys carry different embedded schemas. A metadata-only
@@ -249,6 +275,7 @@ object AvroQueries {
     "q_avro_compact" -> (qAvroCompact _),
     "q_avro_stream_sink" -> (qAvroStreamSink _),
     "q_avro_schema_drift" -> (qAvroSchemaDrift _),
+    "q_avro_stream_e2e" -> (qAvroStreamE2e _),
     "q_avro_roundtrip" -> (qAvroRoundtrip _),
     "q_avro_partitioned" -> (qAvroPartitioned _),
     "q_avro_stream" -> (qAvroStream _),
@@ -265,6 +292,10 @@ object AvroQueries {
     // the streamed epoch-committed write must also be lossless
     "q_avro_stream_sink" ->
       """SELECT event_id, event_type FROM events ORDER BY event_id""",
+    // source→transform→sink round trip: filter + exact-double derivation
+    "q_avro_stream_e2e" ->
+      """SELECT event_id, event_type, value * 2 AS v2
+        |FROM events WHERE event_type <> 'click' ORDER BY event_id""".stripMargin,
     "q_avro_partitioned" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v,

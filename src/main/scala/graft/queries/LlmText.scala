@@ -52,31 +52,73 @@ object LlmText {
     * agreement as the similarity estimate. Pair generation only inside
     * buckets. Shared by q_dedup_minhash and q_dedup_ngram (the verify
     * stage reuses these candidates instead of re-deriving them). */
-  private def minhashCandidates(sh: DataFrame): DataFrame = {
-    // hash each shingle string ONCE, then derive the 16 signature hashes
-    // by mixing the long — 1 string pass + 16 cheap long passes instead
-    // of 16 string passes
-    val sigs = sh
-      .withColumn("hs", transform(col("shingles"), x => xxhash64(x)))
+  /** (doc_id, sig, band, bkey) rows: 16 seeded minhashes — hash each
+    * shingle string ONCE, then derive the 16 signature hashes by mixing
+    * the long (1 string pass + 16 cheap long passes instead of 16
+    * string passes) — exploded into 4 bands of 4 rows each. */
+  private def bandedSigs(sh: DataFrame): DataFrame =
+    sh.withColumn("hs", transform(col("shingles"), x => xxhash64(x)))
       .withColumn("sig", array(
         (0 until 16).map(i =>
           array_min(transform(col("hs"), h => xxhash64(lit(i), h)))): _*))
-      .select(col("doc_id"), col("sig"))
-    val bands = sigs.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until 4).map(b =>
-        xxhash64(lit(b), slice(col("sig"), b * 4 + 1, 4))): _*))
-        .as(Seq("band", "bkey")))
+      .select(col("doc_id"), col("sig"),
+        posexplode(array((0 until 4).map(b =>
+          xxhash64(lit(b), slice(col("sig"), b * 4 + 1, 4))): _*))
+          .as(Seq("band", "bkey")))
+
+  /** Sig-agreement fraction between two 16-hash signatures. */
+  private def sigAgreement(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), bb => bb)) / lit(16.0)
+
+  private def minhashCandidates(sh: DataFrame): DataFrame = {
+    val bands = bandedSigs(sh)
     val a = bands.select(col("band"), col("bkey"), col("doc_id").as("a"),
       col("sig").as("sig_a"))
     val b = bands.select(col("band"), col("bkey"), col("doc_id").as("b"),
       col("sig").as("sig_b"))
     a.join(b, Seq("band", "bkey")).filter(col("a") < col("b"))
       .dropDuplicates("a", "b")
-      .withColumn("est_sim",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          bb => bb)) / lit(16.0))
+      .withColumn("est_sim", sigAgreement(col("sig_a"), col("sig_b")))
       .filter(col("est_sim") >= 0.5)
       .select(col("a"), col("b"), col("est_sim"))
+  }
+
+  /** Incremental dedup — the shape that matters at 100 TB, where the
+    * corpus is already deduped and only the DELTA is new: band the
+    * delta, join it against the corpus band index (in production a
+    * pre-materialized table — here derived in-query from the doc_id%5
+    * split), and drop delta docs that near-dup any corpus doc (either
+    * id order) or a lower-id delta doc. The corpus is never self-joined
+    * again — per-batch cost tracks the delta size and its collision
+    * count, not the corpus. xxhash-based → no DuckDB oracle; the spec
+    * cross-checks the drop set against q_dedup_minhash's pair list. */
+  private def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val bands = bandedSigs(shingled(s, d))
+    val corpus = bands.filter(col("doc_id") % 5 =!= 0)
+    val delta = bands.filter(col("doc_id") % 5 === 0)
+    val vsCorpus = delta
+      .select(col("band"), col("bkey"), col("doc_id").as("x"),
+        col("sig").as("sig_x"))
+      .join(corpus.select(col("band"), col("bkey"), col("sig").as("sig_c")),
+        Seq("band", "bkey"))
+      .filter(sigAgreement(col("sig_x"), col("sig_c")) >= 0.5)
+      .select(col("x")).distinct()
+    val withinDelta = {
+      val a = delta.select(col("band"), col("bkey"), col("doc_id").as("a"),
+        col("sig").as("sig_a"))
+      val b = delta.select(col("band"), col("bkey"), col("doc_id").as("b"),
+        col("sig").as("sig_b"))
+      a.join(b, Seq("band", "bkey")).filter(col("a") < col("b"))
+        .filter(sigAgreement(col("sig_a"), col("sig_b")) >= 0.5)
+        .select(col("b").as("x")).distinct()
+    }
+    val dropped = vsCorpus.union(withinDelta).distinct()
+    delta.select(col("doc_id")).distinct()
+      .join(dropped, col("doc_id") === dropped("x"), "left_outer")
+      .select(col("doc_id"),
+        when(col("x").isNotNull, lit("dup")).otherwise(lit("kept"))
+          .as("status"))
+      .orderBy("doc_id")
   }
 
   private def qDedupMinhash(s: SparkSession, d: String): DataFrame =
@@ -400,6 +442,7 @@ object LlmText {
   val defs: Map[String, Relational.Q] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_text_stats" -> (qTextStats _),

@@ -118,6 +118,29 @@ class LlmText3Spec extends AnyFunSuite {
     assert(url.contains(r.getString(3)) && url.endsWith("&v=2"))
   }
 
+  test("incremental dedup drop set matches the full minhash pair list") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q_dedup_incremental")(spark, sf)
+      .as[(Long, String)].collect().toMap
+    val pairs = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+      .select("a", "b").as[(Long, Long)].collect()
+    val delta = out.keySet
+    assert(delta.forall(_ % 5 == 0) && delta.nonEmpty)
+    // x is a dup iff it pairs with a corpus doc (either side) or a
+    // lower-id delta doc — exactly the incremental acceptance rule
+    val expectDup = delta.filter { x =>
+      pairs.exists { case (a, b) =>
+        (a == x && b % 5 != 0) || (b == x && a % 5 != 0) ||
+          (b == x && a % 5 == 0)
+      }
+    }
+    val gotDup = out.filter(_._2 == "dup").keySet
+    assert(gotDup == expectDup,
+      s"diff: extra=${gotDup -- expectDup} missing=${expectDup -- gotDup}")
+    assert(gotDup.nonEmpty && gotDup.size < delta.size,
+      "fixture should exercise both statuses")
+  }
+
   test("variant introspection: schema_of_variant sees the built shape") {
     import org.apache.spark.sql.functions._
     val schema = spark.range(1)
