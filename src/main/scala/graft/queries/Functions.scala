@@ -115,7 +115,21 @@ object Functions {
         try_variant_get(col("v"), "$.missing", "int").as("missing"))
       .orderBy("event_id")
 
+  /** Data masking (`mask` built-in, codegen'd): the PII-redaction pass
+    * applied before data leaves a trust boundary — default masking
+    * (upper→X, lower→x, digit→n) and a custom-character variant that
+    * keeps digits visible. The DuckDB oracle reproduces the same
+    * character classes with regexp chains. */
+  private def qFnMask(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .select(col("c_custkey"),
+        mask(col("c_name")).as("masked"),
+        mask(col("c_name"), lit("U"), lit("l"), lit("#"), lit("*"))
+          .as("masked_custom"))
+      .orderBy("c_custkey")
+
   val defs: Map[String, Relational.Q] = Map(
+    "q_fn_mask" -> (qFnMask _),
     "q_fn_variant" -> (qFnVariant _),
     "q_fn_string" -> (qFnString _),
     "q_fn_date" -> (qFnDate _),
@@ -195,6 +209,19 @@ object Functions {
         |  json_extract_string(props, '$.k') AS k_str,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int
         |FROM events ORDER BY event_id""".stripMargin,
+    // Spark mask(): upper→X lower→x digit→n, other kept; the custom
+    // variant maps upper→U lower→l digit→# other→*. The custom oracle
+    // masks the "other" class FIRST so an original '#' becomes '*'
+    // while digits masked TO '#' afterwards stay '#'.
+    "q_fn_mask" ->
+      """SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(c_name,
+        |    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+        |    AS masked,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(c_name,
+        |    '[^A-Za-z0-9]', '*', 'g'), '[A-Z]', 'U', 'g'),
+        |    '[a-z]', 'l', 'g'), '[0-9]', '#', 'g') AS masked_custom
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     // recomputed from source columns: the variant build/extract round
     // trip on the Spark side must land back on exactly these values
     "q_fn_variant" ->

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based round-trip invariants for the lib-free byte-format
+  * codecs: any emitter-produced header parses back to exactly the
+  * emitted parameters, and byte-level mutations never crash the parser
+  * (they may downgrade to None — never a throw or a loop).
+  * (Generators driven directly with deterministic seeds — the
+  * scalatest-scalacheck bridge isn't in the offline cache.) */
+class HeaderPropertySpec extends AnyFunSuite {
+
+  private case class Wav(ch: Int, rate: Int, bits: Int, frames: Int)
+
+  private val genWav: Gen[Wav] = for {
+    ch <- Gen.oneOf(1, 2, 4)
+    rate <- Gen.choose(8000, 96000)
+    bits <- Gen.oneOf(8, 16, 24, 32)
+    frames <- Gen.choose(0, 4000)
+  } yield Wav(ch, rate, bits, frames)
+
+  private def cases[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("WAV round-trip: parse(wav(p)) == p for arbitrary parameters") {
+    cases(genWav, 200).foreach { w =>
+      val m = AudioHeader.parse(
+        AudioHeader.wav(w.ch, w.rate, w.bits, w.frames))
+      assert(m.contains(AudioHeader.Meta(w.ch, w.rate, w.bits,
+        w.frames.toLong, w.frames.toLong * 1000 / w.rate)), s"case $w")
+    }
+  }
+
+  test("WAV parser is total under random single-byte mutations") {
+    val base = AudioHeader.wav(2, 44100, 16, 64)
+    val genMut = for {
+      pos <- Gen.choose(0, base.length - 1)
+      v <- Gen.choose(0, 255)
+    } yield (pos, v.toByte)
+    cases(genMut, 300).foreach { case (pos, v) =>
+      val b = base.clone(); b(pos) = v
+      AudioHeader.parse(b) // must terminate without throwing
+    }
+  }
+
+  test("image round-trip: parse(emit(w,h)) == (w,h) across formats") {
+    val genDims = for {
+      w <- Gen.choose(1, 1 << 15)
+      h <- Gen.choose(1, 1 << 15)
+    } yield (w, h)
+    cases(genDims, 200).foreach { case (w, h) =>
+      assert(ImageHeader.parse(ImageHeader.png(w, h))
+        .contains(ImageHeader.Meta("png", w, h)))
+      assert(ImageHeader.parse(ImageHeader.bmp(w, h))
+        .contains(ImageHeader.Meta("bmp", w, h)))
+      // GIF dims are u16le
+      val (gw, gh) = (w & 0xffff, h & 0xffff)
+      if (gw > 0 && gh > 0)
+        assert(ImageHeader.parse(ImageHeader.gif(gw, gh))
+          .contains(ImageHeader.Meta("gif", gw, gh)))
+    }
+  }
+
+  test("image parser is total under random truncation") {
+    val base = ImageHeader.png(640, 480) ++ ImageHeader.gif(10, 10)
+    val genLen = Gen.choose(0, base.length)
+    cases(genLen, 200).foreach { n =>
+      ImageHeader.parse(base.take(n)) // must terminate without throwing
+    }
+  }
+}
