@@ -19,19 +19,9 @@ object AvroQueries {
 
   private val workRoot = "/root/repo/target/qtmp"
 
-  private def freshDir(tag: String): String = {
-    val p = s"$workRoot/$tag"
-    val dir = new java.io.File(p)
-    if (dir.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(dir)
-    }
-    dir.mkdirs()
-    p
-  }
+  // scratch dirs come from the one shared helper — a second copy here
+  // would silently diverge if the scratch root ever moves
+  private def freshDir(tag: String): String = Tables.freshDir(tag)
 
   /** events → hive-layout partitioned avro write (the reference's
     * production `data=…` shape, A-layout) → partition-column-surfacing

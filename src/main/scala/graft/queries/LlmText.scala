@@ -46,12 +46,6 @@ object LlmText {
       .withColumn("shingles", array_distinct(expr(
         "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
 
-  /** MinHash+LSH candidate pairs from a pre-shingled input: 16 seeded
-    * minhashes (UDF-free — xxhash64 with the seed as a leading column),
-    * 4 bands × 4 rows, band-bucket join for candidates, signature
-    * agreement as the similarity estimate. Pair generation only inside
-    * buckets. Shared by q_dedup_minhash and q_dedup_ngram (the verify
-    * stage reuses these candidates instead of re-deriving them). */
   /** (doc_id, sig, band, bkey) rows: 16 seeded minhashes — hash each
     * shingle string ONCE, then derive the 16 signature hashes by mixing
     * the long (1 string pass + 16 cheap long passes instead of 16
@@ -70,8 +64,9 @@ object LlmText {
   private def sigAgreement(a: Column, b: Column): Column =
     size(filter(zip_with(a, b, (x, y) => x === y), bb => bb)) / lit(16.0)
 
-  private def minhashCandidates(sh: DataFrame): DataFrame = {
-    val bands = bandedSigs(sh)
+  /** Candidate pairs (a < b, sig agreement ≥ 0.5) from banded-signature
+    * rows: pair generation only inside band buckets, never all-pairs. */
+  private def candidatePairs(bands: DataFrame): DataFrame = {
     val a = bands.select(col("band"), col("bkey"), col("doc_id").as("a"),
       col("sig").as("sig_a"))
     val b = bands.select(col("band"), col("bkey"), col("doc_id").as("b"),
@@ -83,6 +78,12 @@ object LlmText {
       .select(col("a"), col("b"), col("est_sim"))
   }
 
+  /** MinHash+LSH candidate pairs from a pre-shingled input. Shared by
+    * q_dedup_minhash and q_dedup_ngram (the verify stage reuses these
+    * candidates instead of re-deriving them). */
+  private def minhashCandidates(sh: DataFrame): DataFrame =
+    candidatePairs(bandedSigs(sh))
+
   /** Incremental dedup — the shape that matters at 100 TB, where the
     * corpus is already deduped and only the DELTA is new: band the
     * delta, join it against the corpus band index (in production a
@@ -93,7 +94,11 @@ object LlmText {
     * count, not the corpus. xxhash-based → no DuckDB oracle; the spec
     * cross-checks the drop set against q_dedup_minhash's pair list. */
   private def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
-    val bands = bandedSigs(shingled(s, d))
+    // persisted: the banded-signature stage feeds four branches (both
+    // sides of the corpus join, the within-delta pair scan) — without it
+    // the scan+shingle+hash pipeline re-runs per branch (same discipline
+    // as qDedupNgram); ContextCleaner unpersists once unreferenced
+    val bands = bandedSigs(shingled(s, d)).persist()
     val corpus = bands.filter(col("doc_id") % 5 =!= 0)
     val delta = bands.filter(col("doc_id") % 5 === 0)
     val vsCorpus = delta
@@ -103,17 +108,11 @@ object LlmText {
         Seq("band", "bkey"))
       .filter(sigAgreement(col("sig_x"), col("sig_c")) >= 0.5)
       .select(col("x")).distinct()
-    val withinDelta = {
-      val a = delta.select(col("band"), col("bkey"), col("doc_id").as("a"),
-        col("sig").as("sig_a"))
-      val b = delta.select(col("band"), col("bkey"), col("doc_id").as("b"),
-        col("sig").as("sig_b"))
-      a.join(b, Seq("band", "bkey")).filter(col("a") < col("b"))
-        .filter(sigAgreement(col("sig_a"), col("sig_b")) >= 0.5)
-        .select(col("b").as("x")).distinct()
-    }
+    val withinDelta = candidatePairs(delta).select(col("b").as("x")).distinct()
     val dropped = vsCorpus.union(withinDelta).distinct()
-    delta.select(col("doc_id")).distinct()
+    // status for EVERY delta doc, including ones too short to shingle
+    // (< 3 words — no shingles means nothing to collide with → kept)
+    t(s, d, "documents").filter(col("doc_id") % 5 === 0).select(col("doc_id"))
       .join(dropped, col("doc_id") === dropped("x"), "left_outer")
       .select(col("doc_id"),
         when(col("x").isNotNull, lit("dup")).otherwise(lit("kept"))

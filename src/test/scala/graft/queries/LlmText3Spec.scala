@@ -126,6 +126,12 @@ class LlmText3Spec extends AnyFunSuite {
       .select("a", "b").as[(Long, Long)].collect()
     val delta = out.keySet
     assert(delta.forall(_ % 5 == 0) && delta.nonEmpty)
+    // the report must cover EVERY delta doc — including any too short
+    // to shingle — not just the ones that entered the band index
+    val allDelta = spark.read.parquet(s"$sf/documents.parquet")
+      .filter("doc_id % 5 = 0").select("doc_id").as[Long].collect().toSet
+    assert(delta == allDelta,
+      s"report missing delta docs: ${allDelta -- delta}")
     // x is a dup iff it pairs with a corpus doc (either side) or a
     // lower-id delta doc — exactly the incremental acceptance rule
     val expectDup = delta.filter { x =>
