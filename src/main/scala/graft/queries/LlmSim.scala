@@ -69,49 +69,54 @@ object LlmSim {
   private def qSimAnnIvf(s: SparkSession, d: String): DataFrame =
     annIvf(s, d, cells = 8, nprobe = 6, k = 3)
 
-  private[queries] def annIvf(s: SparkSession, d: String, cells: Int,
-      nprobe: Int, k: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
+  private def unit(v: Array[Float]): Array[Float] = {
+    val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+    v.map(x => (x / n).toFloat)
+  }
+
+  /** Map-only nearest-centroid assignment over literal centroids.
+    * Cosine argmax needs only dot(e, c/|c|) — |e| is a common positive
+    * factor; struct max orders by (sim, -cell) so ties pick the lowest
+    * cell. */
+  private def cellOf(cents: Array[Array[Float]]): Column = {
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        call_function("float_dot", col("embedding"), typedlit(unit(c)))
+          .as("s"),
+        lit(-i).as("negcell"))
+    }: _*)
+    (lit(0) - array_max(scored).getField("negcell")).as("cell")
+  }
+
+  /** Deterministic coarse quantizer: hash-sample `cells` vectors, one
+    * Lloyd refinement (assign map-only, per-cell mean via a cell×dim
+    * aggregate — never a whole-vector shuffle). Collected to the driver
+    * like MLlib KMeans model state: cells×dim floats. */
+  private def trainCoarse(s: SparkSession, e: DataFrame, cells: Int)
+      : Array[Array[Float]] = {
     import s.implicits._
-    val e = t(s, d, "embeddings")
-
-    def unit(v: Array[Float]): Array[Float] = {
-      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
-      v.map(x => (x / n).toFloat)
-    }
-    // cosine argmax needs only dot(e, c/|c|) — |e| is a common positive
-    // factor; struct max orders by (sim, -cell) so ties pick the lowest cell
-    def cellOf(cents: Array[Array[Float]]): Column = {
-      val scored = array(cents.zipWithIndex.map { case (c, i) =>
-        struct(
-          call_function("float_dot", col("embedding"), typedlit(unit(c)))
-            .as("s"),
-          lit(-i).as("negcell"))
-      }: _*)
-      (lit(0) - array_max(scored).getField("negcell")).as("cell")
-    }
-
-    // coarse quantizer: deterministic hash-sample of `cells` vectors ...
     val seed: Array[Array[Float]] = e
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(cells).select(col("embedding")).as[Array[Float]].collect()
-    // ... plus one Lloyd round (assign map-only, per-cell mean via a
-    // cell×dim aggregate — never a whole-vector shuffle)
     val dim = seed.head.length
     val means = e.withColumn("cell", cellOf(seed))
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-    val refined: Array[Array[Float]] = {
-      val cs = seed.map(_.clone())
-      means.groupBy(_._1).foreach { case (c, rows) =>
-        val v = new Array[Float](dim)
-        rows.foreach { case (_, p, m) => v(p) = m.toFloat }
-        cs(c) = v
-      }
-      cs
+    val cs = seed.map(_.clone())
+    means.groupBy(_._1).foreach { case (c, rows) =>
+      val v = new Array[Float](dim)
+      rows.foreach { case (_, p, m) => v(p) = m.toFloat }
+      cs(c) = v
     }
+    cs
+  }
 
+  private[queries] def annIvf(s: SparkSession, d: String, cells: Int,
+      nprobe: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = t(s, d, "embeddings")
+    val refined = trainCoarse(s, e, cells)
     val assigned = e.withColumn("cell", cellOf(refined))
     // each probe's nprobe nearest cells, from the same literal quantizer
     val probeCells = probes(s, d)
@@ -131,6 +136,178 @@ object LlmSim {
     graft.plans.TopKPerGroup(scored, groupCols = Seq("label"),
       orderCol = "sim", tieCols = Seq("vec_id"), k = k)
       .select(col("label"), col("vec_id"), col("sim"), col("rnk").as("k"))
+      .orderBy("label", "k")
+  }
+
+  /** IVF-PQ ANN — the memory architecture that actually fits 100 TB of
+    * vectors: each vector is stored as `subspaces` small codebook indices
+    * (8 bytes here vs 256 for the raw floats, 32×), and search scans the
+    * codes with table lookups instead of touching the vectors.
+    *
+    * Pipeline (all model state driver-collected, MLlib-KMeans-style —
+    * cells×dim + subspaces×codeBook×dsub doubles, a few KB):
+    *   1. unit-normalize map-only (squared-L2 on unit vectors ranks
+    *      exactly like cosine: ‖a−b‖² = 2 − 2·cos);
+    *   2. product-quantize: split each unit vector into `subspaces`
+    *      sub-vectors; per subspace, a `codeBook`-entry codebook
+    *      (deterministic hash-sample seed + one Lloyd round) maps the
+    *      sub-vector to its nearest-centroid index. Assignment is a
+    *      broadcast join against the ≤128-row codebook + a min(struct)
+    *      per (vector, subspace) — the per-vector work is bounded by
+    *      subspaces×codeBook, never by corpus size;
+    *   3. IVF routing reuses the shared coarse quantizer: probes search
+    *      only their `nprobe` nearest cells;
+    *   4. ADC (asymmetric distance): each probe precomputes a
+    *      subspaces×codeBook table of exact sub-distances to every
+    *      codebook centroid; a candidate's approximate distance is then
+    *      `subspaces` table lookups summed — map-only over broadcast
+    *      tables, no vector arithmetic in the scan;
+    *   5. the native TopKPerGroup operator shortlists per probe
+    *      (bounded heaps, ≤shortlist rows per partition shuffle), and an
+    *      exact cosine rerank over the tiny shortlist restores true
+    *      similarities — the standard prune→compress→rerank funnel.
+    *
+    * Lloyd means route through DECIMAL(28,18) so the codebook is
+    * bit-stable across runs (double SUM is summation-order-dependent;
+    * discrete codes would flip on borderline sub-vectors).
+    * Approximate by construction → no SQL oracle; the ScalaTest pins the
+    * funnel's exactness limit (nprobe=cells + full-width shortlist ≡ the
+    * brute-force baseline) and recall at the operating point. */
+  private def qSimAnnIvfPq(s: SparkSession, d: String): DataFrame =
+    annIvfPq(s, d, cells = 8, nprobe = 6, subspaces = 8, codeBook = 16,
+      shortlist = 32, k = 3)
+
+  private[queries] def annIvfPq(s: SparkSession, d: String, cells: Int,
+      nprobe: Int, subspaces: Int, codeBook: Int, shortlist: Int, k: Int)
+      : DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val e = t(s, d, "embeddings")
+
+    def unitD(v: Array[Float]): Array[Double] = {
+      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+      v.map(_.toDouble / n)
+    }
+
+    // 1. map-only normalize + IVF cell assignment (shared quantizer)
+    val coarse = trainCoarse(s, e, cells)
+    val en = e
+      .withColumn("l2", sqrt(norm2("embedding")))
+      .withColumn("un", expr("transform(embedding, x -> cast(x as double) / l2)"))
+      .withColumn("cell", cellOf(coarse))
+
+    val dim = e.select(size(col("embedding"))).as[Int].head()
+    require(dim % subspaces == 0, s"dim $dim not divisible by $subspaces")
+    val dsub = dim / subspaces
+
+    // long sub-vector form: subspaces rows per vector
+    def subExplode(df: DataFrame): DataFrame = df.select(
+      col("vec_id"), col("cell"),
+      explode(array((0 until subspaces).map(m => struct(lit(m).as("m"),
+        slice(col("un"), m * dsub + 1, dsub).as("sl"))): _*)).as("s"))
+      .select(col("vec_id"), col("cell"), col("s.m").as("m"),
+        col("s.sl").as("sl"))
+    val sub = subExplode(en)
+    // Codebook TRAINING runs on a bounded hash-sample (per-partition
+    // heaps via TakeOrdered — no full sort): at 100 TB the Lloyd pass
+    // touches ≤trainCap vectors, never the corpus; only the single
+    // final encode pass is corpus-sized.
+    val trainCap = 4096
+    val subTrain = subExplode(
+      en.orderBy(xxhash64(col("vec_id"), lit(2)), col("vec_id"))
+        .limit(trainCap))
+
+    // 2. PQ codebooks: hash-sample seed (salted differently from the
+    // coarse seed), one Lloyd round with decimal-routed means
+    def encode(sub: DataFrame, cb: Seq[(Int, Int, Seq[Double])]): DataFrame =
+      sub.join(broadcast(cb.toDF("m", "j", "cv")), Seq("m"))
+        .withColumn("dist", expr(
+          """aggregate(zip_with(sl, cv, (x, y) -> (x - y) * (x - y)),
+            | cast(0.0 as double), (a, t) -> a + t)""".stripMargin))
+        .groupBy(col("vec_id"), col("cell"), col("m"))
+        .agg(min(struct(col("dist"), col("j"))).getField("j").as("code"))
+    val pqSeed: Array[Array[Double]] = en
+      .orderBy(xxhash64(col("vec_id"), lit(1)), col("vec_id"))
+      .limit(codeBook).select(col("un")).as[Array[Double]].collect()
+    val cb0: Seq[(Int, Int, Seq[Double])] = for {
+      m <- 0 until subspaces; j <- 0 until codeBook
+    } yield (m, j, pqSeed(j).slice(m * dsub, (m + 1) * dsub).toSeq)
+    val cb1: Seq[(Int, Int, Seq[Double])] = {
+      val means = subTrain.join(encode(subTrain, cb0), Seq("vec_id", "cell", "m"))
+        .select(col("m"), col("code"), posexplode(col("sl")).as(Seq("pos", "x")))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg((sum(col("x").cast("decimal(28,18)")) / count(lit(1)))
+          .cast("double").as("mu"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getDouble(3))))
+        .groupBy(_._1)
+      cb0.map { case (m, j, v0) =>
+        means.get((m, j)) match {
+          case Some(rows) =>
+            val v = v0.toArray.clone()
+            rows.foreach { case (_, (p, mu)) => v(p) = mu }
+            (m, j, v.toSeq)
+          case None => (m, j, v0) // empty cluster keeps its seed
+        }
+      }
+    }
+    val cbArr: Array[Array[Array[Double]]] = {
+      val a = Array.ofDim[Array[Double]](subspaces, codeBook)
+      cb1.foreach { case (m, j, v) => a(m)(j) = v.toArray }
+      a
+    }
+
+    // packed codes: ONE array<int> column per vector — this (plus the
+    // cell id) is the entire search-time representation of the corpus
+    val packed = encode(sub, cb1).groupBy(col("vec_id"), col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(m, code))), p -> p.code)")
+        .as("codes"))
+
+    // 3.+4. per-probe: nprobe nearest cells + exact ADC distance table,
+    // both computed driver-side from the tiny collected probe set
+    val probeRows: Seq[(Int, Int, Seq[Seq[Double]])] =
+      probes(s, d).collect().toSeq.flatMap { r =>
+        val lab = r.getInt(0)
+        val pu = unitD(r.getSeq[Float](1).toArray)
+        val dt: Seq[Seq[Double]] = (0 until subspaces).map { m =>
+          val ps = pu.slice(m * dsub, (m + 1) * dsub)
+          (0 until codeBook).map { j =>
+            val c = cbArr(m)(j)
+            var acc = 0.0; var i = 0
+            while (i < dsub) { val t = ps(i) - c(i); acc += t * t; i += 1 }
+            acc
+          }
+        }
+        val nearCells = coarse.zipWithIndex.map { case (c, i) =>
+          val cu = unitD(c)
+          (pu.zip(cu).map { case (x, y) => x * y }.sum, i)
+        }.sortBy(t => (-t._1, t._2)).take(nprobe).map(_._2)
+        nearCells.map(c => (lab, c, dt))
+      }
+    val probeDf = probeRows.toDF("p_label", "cell", "dtable")
+
+    // ADC: map-only table-lookup sum over the broadcast probe tables
+    val adc = packed.join(broadcast(probeDf), Seq("cell"))
+      .withColumn("adc", expr(
+        """aggregate(zip_with(codes, dtable, (c, row) -> element_at(row, c + 1)),
+          | cast(0.0 as double), (a, x) -> a + x)""".stripMargin))
+      // TopKPerGroup ranks descending; negate for nearest-first
+      .withColumn("negadc", lit(0.0) - col("adc"))
+      .select(col("p_label"), col("vec_id"), col("negadc"))
+
+    // 5. bounded-heap shortlist, then exact rerank of the tiny survivor set
+    val short = graft.plans.TopKPerGroup(adc, groupCols = Seq("p_label"),
+      orderCol = "negadc", tieCols = Seq("vec_id"), k = shortlist)
+      .select(col("p_label"), col("vec_id"))
+    e.select(col("vec_id"), col("embedding")).join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(probes(s, d)), Seq("p_label"))
+      .withColumn("sim", round(
+        dot("pe", "embedding") /
+          (sqrt(norm2("pe")) * sqrt(norm2("embedding"))), 6))
+      .withColumn("k", row_number().over(Window.partitionBy(col("p_label"))
+        .orderBy(col("sim").desc, col("vec_id").asc)))
+      .filter(col("k") <= k)
+      .select(col("p_label").as("label"), col("vec_id"), col("sim"), col("k"))
       .orderBy("label", "k")
   }
 
@@ -242,6 +419,7 @@ object LlmSim {
     "q_embed_centroids" -> (qEmbedCentroids _),
     "q_sim_cosine_topk" -> (qSimCosineTopk _),
     "q_sim_ann_ivf" -> (qSimAnnIvf _),
+    "q_sim_ann_ivfpq" -> (qSimAnnIvfPq _),
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_embed_norm" -> (qEmbedNorm _),
     "q_embed_quantize" -> (qEmbedQuantize _),

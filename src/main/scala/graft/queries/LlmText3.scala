@@ -21,6 +21,27 @@ import Tables._
   * same distributed shape as q_mm_decode. */
 object LlmText3 {
 
+  /** Leakage-proof train/holdout split: the split key is the CONTENT
+    * fingerprint (md5 of whitespace-normalized text), not the doc id, so
+    * byte-identical duplicates can never straddle the boundary and leak
+    * eval data into training — the assignment mistake dedup-then-split
+    * pipelines make when they split first. First hex nibble ≤ 'b' →
+    * train (12/16 = 75%); deterministic, uniform, and engine-portable
+    * (both engines emit lowercase-hex md5 over the same utf8 bytes).
+    * Map-only assignment + one aggregation shuffle; no corpus-size
+    * state anywhere. */
+  private def qSplitHoldout(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("ck", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withColumn("split",
+        when(substring(col("ck"), 1, 1) <= "b", "train")
+          .otherwise("holdout"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("ck")).as("n_groups"),
+        sum(col("n_chars")).as("chars"))
+      .orderBy("split", "lang")
+
   /** Benchmark decontamination: flag training documents sharing any
     * 8-token shingle with the held-out eval set (docs with
     * doc_id % 97 == 0 stand in for a benchmark). The eval shingle set is
@@ -150,6 +171,7 @@ object LlmText3 {
   }
 
   val defs: Map[String, Relational.Q] = Map(
+    "q_split_holdout" -> (qSplitHoldout _),
     "q_text_decontaminate" -> (qTextDecontaminate _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_text_boilerplate" -> (qTextBoilerplate _),
@@ -158,6 +180,18 @@ object LlmText3 {
   )
 
   val sql: Map[String, String] = Map(
+    // SUM(BIGINT) widens to HUGEINT in DuckDB — cast back; 'g' flag =
+    // replace-all (Spark's regexp_replace default)
+    "q_split_holdout" ->
+      """WITH k AS (SELECT lang, n_chars,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ck
+        |  FROM documents),
+        |s AS (SELECT *, CASE WHEN substr(ck, 1, 1) <= 'b'
+        |    THEN 'train' ELSE 'holdout' END AS split FROM k)
+        |SELECT split, lang, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT ck) AS n_groups,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "q_text_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |g AS (SELECT doc_id,

@@ -58,6 +58,40 @@ object ScalePatterns {
       .orderBy("o_orderpriority")
   }
 
+  /** AQE-managed skew join — the runtime counterpart of q_join_salted:
+    * instead of pre-salting by hand, the join is left on its natural
+    * (here: deliberately skewed) key and Spark's adaptive execution
+    * splits oversized shuffle partitions at runtime
+    * (OptimizeSkewedJoin replicates the matching build-side partition
+    * per split — no semantic change, no manual salt plumbing). Every
+    * 4th lineitem row collapses onto one hot key, so a static plan
+    * would funnel >25% of the shuffle through a single reducer. The
+    * `merge` hint keeps the join a sort-merge join (the skew-split
+    * target; a broadcast would dodge the skew instead of demonstrating
+    * its handling — at 100 TB the build side isn't broadcastable).
+    * The oracle proves result ≡ the plain skewed-key join; PlanSpec
+    * executes it under tightened skew thresholds and asserts the SMJ
+    * actually ran with isSkewJoin=true. */
+  private def qJoinSkewAqe(s: SparkSession, d: String): DataFrame = {
+    // The repartition models the producer layout (fact data lands
+    // clustered by supplier, not by the join key) — and it matters for
+    // the skew demo: AQE splits a hot reduce partition at MAPPER
+    // granularity, and the testdata is one parquet file = one mapper,
+    // which would make the hot partition unsplittable. At 100 TB the
+    // input always has thousands of mappers; 8 stands in for that here.
+    val li = t(s, d, "lineitem")
+      .repartition(8, col("l_suppkey"))
+      .withColumn("jk",
+        when(pmod(col("l_orderkey"), lit(4)) === 0, lit(1L))
+          .otherwise(col("l_orderkey")))
+    val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+    li.hint("merge").join(o, col("jk") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        dbl(sum(dec(col("l_extendedprice")))).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Bucketed co-located join: both sides written bucketed by the join
     * key (8 buckets), then joined — the physical plan has no shuffle
     * exchange on either side (asserted in PlanSpec). */
@@ -234,6 +268,7 @@ object ScalePatterns {
   val defs: Map[String, Relational.Q] = Map(
     "q_scan_partitioned" -> (qScanPartitioned _),
     "q_join_salted" -> (qJoinSalted _),
+    "q_join_skew_aqe" -> (qJoinSkewAqe _),
     "q_join_bucketed" -> (qJoinBucketed _),
     "q_join_bloom" -> (qJoinBloom _),
     "q_layout_zorder" -> (qLayoutZorder _),
@@ -251,6 +286,15 @@ object ScalePatterns {
       """SELECT o_orderpriority, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // plain skewed-key join — AQE's runtime splitting must not change
+    // the result
+    "q_join_skew_aqe" ->
+      """WITH li AS (SELECT CASE WHEN l_orderkey % 4 = 0 THEN 1
+        |    ELSE l_orderkey END AS jk, l_extendedprice FROM lineitem)
+        |SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM li JOIN orders ON jk = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_join_bucketed" ->
       """SELECT o_orderstatus, COUNT(*) AS n_items,

@@ -241,6 +241,38 @@ class PlanSpec extends AnyFunSuite {
     assert(native.forall(_._2 <= 3), "rank exceeded k")
   }
 
+  test("AQE splits the manufactured skew partition (SMJ runs isSkewJoin)") {
+    // Tighten the skew thresholds so the sf0.01 hot key (25% of lineitem
+    // on one join key) is over the bar — at production scale the default
+    // 256 MB threshold plays the same role. Restore in finally: the
+    // session is shared across suites.
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("q_join_skew_aqe")(spark, "/root/testdata/sf0.01")
+      df.collect()
+      val smj = deepNodes(df).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty,
+        s"skew query lost its sort-merge join:\n${df.queryExecution.executedPlan}")
+      assert(smj.exists(_.isSkewJoin),
+        s"AQE did not mark the join skew-optimized:\n${df.queryExecution.executedPlan}")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => spark.conf.set(k, x)
+                case None => spark.conf.unset(k) }
+    }
+  }
+
   test("sessionization pays one shuffle for both window passes") {
     val df = SparkEntry.queries("q_win_session")(spark, sf)
     df.collect()

@@ -139,6 +139,17 @@ class StreamingLlmSpec extends AnyFunSuite {
       s"blocking recall broken: missed ${expected -- found}, extra ${found -- expected}")
   }
 
+  test("holdout split is content-keyed: exact dups never straddle the boundary") {
+    // craftedDir docs 1 and 3 are byte-identical: with a content-keyed
+    // split they MUST land on the same side, so across the whole corpus
+    // exactly one duplicate collapses into its group (4 docs, 3 groups).
+    // A doc_id-keyed split would show 4 groups whenever 1 and 3 diverge.
+    val rows = SparkEntry.queries("q_split_holdout")(spark, craftedDir)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).sum == 4 && rows.map(_._2).sum == 3,
+      s"content grouping broken: $rows")
+  }
+
   test("exact dedup keeps lowest doc_id per normalized text") {
     val kept = SparkEntry.queries("q_dedup_exact")(spark, craftedDir)
       .collect().map(_.getLong(0)).toSet
@@ -172,6 +183,34 @@ class StreamingLlmSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
     assert((exact intersect narrow).size <= (exact intersect approx).size,
       "shrinking nprobe increased recall")
+  }
+
+  test("IVF-PQ ANN: degrades to exact when nothing is pruned; " +
+      "recall holds at the operating point; self-hit survives quantization") {
+    // exactness limit: searching every cell with a corpus-wide shortlist
+    // leaves only the exact rerank → must EQUAL the brute-force baseline
+    val exact = SparkEntry.queries("q_sim_cosine_topk")(spark, sf).collect()
+      .filter(_.getInt(3) <= 3)
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = LlmSim.annIvfPq(spark, sf, cells = 8, nprobe = 8,
+      subspaces = 8, codeBook = 16, shortlist = 1000, k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full == exact,
+      s"unpruned IVF-PQ diverged from exact: missing ${exact -- full}, extra ${full -- exact}")
+
+    // operating point (the q_sim_ann_ivfpq defaults): ADC over 8-byte
+    // codes + nprobe 6/8 + shortlist 32 + exact rerank. The isotropic
+    // synthetic corpus is PQ's worst case (no cluster structure to
+    // quantize); the shortlist width is the recall dial
+    val ann = SparkEntry.queries("q_sim_ann_ivfpq")(spark, sf).collect()
+    val top1 = ann.filter(_.getInt(3) == 1).map(r => (r.getInt(0), r.getDouble(2)))
+    assert(top1.length == 10 && top1.forall(_._2 == 1.0),
+      s"probe lost its own vector to quantization: ${top1.toSeq}")
+    val exactIds = exact.map(t => (t._1, t._2))
+    val approx = ann.map(r => (r.getInt(0), r.getLong(1))).toSet
+    val recall = (exactIds intersect approx).size.toDouble / exactIds.size
+    assert(recall >= 0.7,
+      s"IVF-PQ recall $recall < 0.7 (hits ${(exactIds intersect approx).size}/${exactIds.size})")
   }
 
   /** OR-amplification check for the multi-band embedding LSH: a near-dup
