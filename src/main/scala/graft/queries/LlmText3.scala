@@ -21,6 +21,69 @@ import Tables._
   * same distributed shape as q_mm_decode. */
 object LlmText3 {
 
+  /** Training-mixture materialization: per-source sampling rates (2×
+    * upsample / keep / 0.5 / 0.25 by source group) applied
+    * deterministically — the integer part of the rate replicates rows
+    * (explode over a sequence), the fractional part keeps a row iff its
+    * md5 nibble-pair clears the rate threshold (uniform in 0..255,
+    * engine-portable, reproducible run-to-run — a seeded `sample()`
+    * is not, across engines). Map-only per row; no shuffle except the
+    * presentation sort. At 100 TB this is how a weighted data mixture
+    * ships to training without ever materializing an intermediate
+    * shuffled copy. */
+  private def qSampleMixture(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("grp", expr("cast(substring(source, 4) as int) % 4"))
+      .withColumn("rate", expr(
+        "CASE grp WHEN 0 THEN 2.0D WHEN 1 THEN 1.0D WHEN 2 THEN 0.5D" +
+          " ELSE 0.25D END"))
+      .withColumn("u", expr("substring(md5(cast(doc_id as string)), 1, 2)"))
+      .withColumn("n_copies", expr(
+        """cast(floor(rate) as int) +
+          | IF(u < CASE grp WHEN 2 THEN '80' WHEN 3 THEN '40' ELSE '00' END,
+          |    1, 0)""".stripMargin))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("rate"),
+        explode(expr("sequence(1, n_copies)")).as("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
+
+  /** Data-quality expectations — the pre-training corpus gate: seven
+    * constraint metrics (null/empty text, char-count range, language
+    * domain, n_chars↔length consistency, doc_id uniqueness) computed in
+    * ONE aggregation pass (count_if row-level checks share the scan;
+    * the distinct-count rides the same partial-agg shuffle via Spark's
+    * Expand), then unpivoted to a constant-size (check, violations,
+    * pass) report. At 100 TB this is one corpus scan regardless of how
+    * many expectations are declared — the shape that matters vs one
+    * pass per check. */
+  private def qQualityExpectations(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .agg(
+        expr("cast(count(*) as bigint)").as("n_rows"),
+        expr("cast(count_if(text IS NULL) as bigint)").as("null_text"),
+        expr("cast(count_if(length(trim(text)) = 0) as bigint)")
+          .as("empty_text"),
+        expr("cast(count_if(n_chars < 1 OR n_chars > 100000) as bigint)")
+          .as("chars_range"),
+        expr("cast(count_if(lang NOT IN ('de','en','es','fr','zh')) as bigint)")
+          .as("lang_domain"),
+        expr("cast(count_if(n_chars <> length(text)) as bigint)")
+          .as("chars_consistent"),
+        expr("cast(count(*) - count(DISTINCT doc_id) as bigint)")
+          .as("dup_doc_id"))
+      .selectExpr("n_rows",
+        """stack(6,
+          |  'chars_consistent', chars_consistent,
+          |  'chars_range', chars_range,
+          |  'dup_doc_id', dup_doc_id,
+          |  'empty_text', empty_text,
+          |  'lang_domain', lang_domain,
+          |  'null_text', null_text) AS (check_name, n_violations)"""
+          .stripMargin)
+      .select(col("check_name"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"), col("n_rows"))
+      .orderBy("check_name")
+
   /** Leakage-proof train/holdout split: the split key is the CONTENT
     * fingerprint (md5 of whitespace-normalized text), not the doc id, so
     * byte-identical duplicates can never straddle the boundary and leak
@@ -171,6 +234,8 @@ object LlmText3 {
   }
 
   val defs: Map[String, Relational.Q] = Map(
+    "q_quality_expectations" -> (qQualityExpectations _),
+    "q_sample_mixture" -> (qSampleMixture _),
     "q_split_holdout" -> (qSplitHoldout _),
     "q_text_decontaminate" -> (qTextDecontaminate _),
     "q_text_repetition" -> (qTextRepetition _),
@@ -180,6 +245,51 @@ object LlmText3 {
   )
 
   val sql: Map[String, String] = Map(
+    // rate literals land as DECIMAL in DuckDB's CASE — cast to DOUBLE;
+    // unnest(range(...)) is the row-wise explode (1-based upper-exclusive)
+    "q_sample_mixture" ->
+      """WITH x AS (SELECT doc_id, source,
+        |    CAST(substr(source, 4) AS INTEGER) % 4 AS grp,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS u
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, grp,
+        |    CASE grp WHEN 0 THEN 2.0 WHEN 1 THEN 1.0 WHEN 2 THEN 0.5
+        |      ELSE 0.25 END AS rate,
+        |    CAST(FLOOR(CASE grp WHEN 0 THEN 2.0 WHEN 1 THEN 1.0
+        |        WHEN 2 THEN 0.5 ELSE 0.25 END) AS INTEGER)
+        |      + CASE WHEN u < (CASE grp WHEN 2 THEN '80' WHEN 3 THEN '40'
+        |          ELSE '00' END) THEN 1 ELSE 0 END AS n
+        |  FROM x)
+        |SELECT doc_id, source, CAST(rate AS DOUBLE) AS rate,
+        |  CAST(unnest(range(1, n + 1)) AS INTEGER) AS copy_idx
+        |FROM r WHERE n > 0
+        |ORDER BY doc_id, copy_idx""".stripMargin,
+    // COUNT(*) FILTER = Spark's count_if; every metric cast BIGINT on
+    // both sides
+    "q_quality_expectations" ->
+      """WITH m AS (SELECT
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) FILTER (WHERE text IS NULL) AS BIGINT) AS null_text,
+        |  CAST(COUNT(*) FILTER (WHERE length(trim(text)) = 0) AS BIGINT)
+        |    AS empty_text,
+        |  CAST(COUNT(*) FILTER (WHERE n_chars < 1 OR n_chars > 100000)
+        |    AS BIGINT) AS chars_range,
+        |  CAST(COUNT(*) FILTER (WHERE lang NOT IN
+        |    ('de','en','es','fr','zh')) AS BIGINT) AS lang_domain,
+        |  CAST(COUNT(*) FILTER (WHERE n_chars <> length(text)) AS BIGINT)
+        |    AS chars_consistent,
+        |  CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS dup_doc_id
+        |  FROM documents)
+        |SELECT check_name, n_violations, n_violations = 0 AS pass, n_rows
+        |FROM (
+        |  SELECT 'chars_consistent' AS check_name,
+        |         chars_consistent AS n_violations, n_rows FROM m
+        |  UNION ALL SELECT 'chars_range', chars_range, n_rows FROM m
+        |  UNION ALL SELECT 'dup_doc_id', dup_doc_id, n_rows FROM m
+        |  UNION ALL SELECT 'empty_text', empty_text, n_rows FROM m
+        |  UNION ALL SELECT 'lang_domain', lang_domain, n_rows FROM m
+        |  UNION ALL SELECT 'null_text', null_text, n_rows FROM m)
+        |ORDER BY check_name""".stripMargin,
     // SUM(BIGINT) widens to HUGEINT in DuckDB — cast back; 'g' flag =
     // replace-all (Spark's regexp_replace default)
     "q_split_holdout" ->
