@@ -149,6 +149,88 @@ object ImageHeader {
     out.toByteArray
   }
 
+  // ------------------------------------------------- BMP pixel codec
+  // 24-bpp uncompressed BMP is the one raster format whose PIXELS are
+  // decodable with pure byte arithmetic (no entropy coding): rows are
+  // stored bottom-up (top-down when height is negative) with each row
+  // padded to a 4-byte boundary, pixel order B,G,R. This is the real
+  // pixel-level decode behind q_mm_phash.
+
+  /** Emit a complete grayscale 24-bpp BMP; `gray(x, y)` gives the level
+    * (0-255) at top-down coordinates. */
+  def bmpPixels(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val out = new Array[Byte](54 + stride * h)
+    bmp(w, h).copyToArray(out)
+    putLeU32(out, 2, out.length) // real file size
+    var y = 0
+    while (y < h) {
+      val rowOff = 54 + (h - 1 - y) * stride // bottom-up on disk
+      var x = 0
+      while (x < w) {
+        val g = (math.max(0, math.min(255, gray(x, y)))).toByte
+        val o = rowOff + x * 3
+        out(o) = g; out(o + 1) = g; out(o + 2) = g
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decode a 24-bpp BMP to a top-down grayscale matrix [y][x],
+    * honoring bfOffBits, row direction, and the 4-byte row stride.
+    * None for non-BMP/unsupported-bpp/truncated payloads. */
+  def bmpGray(b: Array[Byte]): Option[Array[Array[Int]]] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val off = leI32(b, 10)
+    val w = leI32(b, 18)
+    val hRaw = leI32(b, 22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    if (leU16(b, 28) != 24 || w <= 0 || h == 0) return None
+    val stride = (w * 3 + 3) & ~3
+    if (off < 54 || off.toLong + stride.toLong * h > b.length) return None
+    Some(Array.tabulate(h, w) { (y, x) =>
+      val row = if (topDown) y else h - 1 - y
+      val o = off + row * stride + x * 3
+      ((b(o) & 0xff) + (b(o + 1) & 0xff) + (b(o + 2) & 0xff)) / 3
+    })
+  }
+
+  /** 64-bit difference hash (dHash): block-average the grayscale image
+    * to a 9×8 grid, bit (row*8+col) set iff cell(col) > cell(col+1) in
+    * that row. Gradient-based, so it is invariant to uniform brightness
+    * shifts and robust to small local edits — hamming distance between
+    * dhashes is the standard image near-dup signal. */
+  def dhash64(g: Array[Array[Int]]): Long = {
+    val h = g.length
+    val w = g(0).length
+    def cell(cx: Int, cy: Int): Double = {
+      val x0 = cx * w / 9; val x1 = math.max((cx + 1) * w / 9, x0 + 1)
+      val y0 = cy * h / 8; val y1 = math.max((cy + 1) * h / 8, y0 + 1)
+      var s = 0.0; var n = 0
+      var y = y0
+      while (y < y1 && y < h) {
+        var x = x0
+        while (x < x1 && x < w) { s += g(y)(x); n += 1; x += 1 }
+        y += 1
+      }
+      s / n
+    }
+    var bits = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        if (cell(cx, cy) > cell(cx + 1, cy)) bits |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    bits
+  }
+
   private def putBeU32(b: Array[Byte], o: Int, v: Int): Unit = {
     b(o) = (v >>> 24).toByte; b(o + 1) = (v >>> 16).toByte
     b(o + 2) = (v >>> 8).toByte; b(o + 3) = v.toByte

@@ -88,21 +88,29 @@ object LlmSim {
     (lit(0) - array_max(scored).getField("negcell")).as("cell")
   }
 
-  /** Deterministic coarse quantizer: hash-sample `cells` vectors, one
-    * Lloyd refinement (assign map-only, per-cell mean via a cell×dim
-    * aggregate — never a whole-vector shuffle). Collected to the driver
+  /** Deterministic coarse quantizer: hash-sample `cells` seed vectors,
+    * one Lloyd refinement over a BOUNDED hash-sample of the corpus
+    * (assign map-only, per-cell mean via a cell×dim aggregate — never a
+    * whole-vector shuffle, and never a full-corpus training pass: at
+    * 100 TB quantizer training touches ≤trainCap vectors, exactly like
+    * sampled k-means in production ANN builds). Collected to the driver
     * like MLlib KMeans model state: cells×dim floats. */
-  private def trainCoarse(s: SparkSession, e: DataFrame, cells: Int)
-      : Array[Array[Float]] = {
+  private def trainCoarse(s: SparkSession, e: DataFrame, cells: Int,
+      trainCap: Int = 4096): Array[Array[Float]] = {
     import s.implicits._
-    val seed: Array[Array[Float]] = e
+    val train = e
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(trainCap)
+      .select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val seed: Array[Array[Float]] = train
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(cells).select(col("embedding")).as[Array[Float]].collect()
     val dim = seed.head.length
-    val means = e.withColumn("cell", cellOf(seed))
+    val means = train.withColumn("cell", cellOf(seed))
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    train.unpersist(false)
     val cs = seed.map(_.clone())
     means.groupBy(_._1).foreach { case (c, rows) =>
       val v = new Array[Float](dim)
@@ -196,7 +204,11 @@ object LlmSim {
       .withColumn("un", expr("transform(embedding, x -> cast(x as double) / l2)"))
       .withColumn("cell", cellOf(coarse))
 
-    val dim = e.select(size(col("embedding"))).as[Int].head()
+    // PQ seed doubles as the dim probe — one collect, no extra job
+    val pqSeed: Array[Array[Double]] = en
+      .orderBy(xxhash64(col("vec_id"), lit(1)), col("vec_id"))
+      .limit(codeBook).select(col("un")).as[Array[Double]].collect()
+    val dim = pqSeed.head.length
     require(dim % subspaces == 0, s"dim $dim not divisible by $subspaces")
     val dsub = dim / subspaces
 
@@ -226,9 +238,6 @@ object LlmSim {
             | cast(0.0 as double), (a, t) -> a + t)""".stripMargin))
         .groupBy(col("vec_id"), col("cell"), col("m"))
         .agg(min(struct(col("dist"), col("j"))).getField("j").as("code"))
-    val pqSeed: Array[Array[Double]] = en
-      .orderBy(xxhash64(col("vec_id"), lit(1)), col("vec_id"))
-      .limit(codeBook).select(col("un")).as[Array[Double]].collect()
     val cb0: Seq[(Int, Int, Seq[Double])] = for {
       m <- 0 until subspaces; j <- 0 until codeBook
     } yield (m, j, pqSeed(j).slice(m * dsub, (m + 1) * dsub).toSeq)

@@ -21,6 +21,60 @@ import Tables._
   * same distributed shape as q_mm_decode. */
 object LlmText3 {
 
+  /** Perceptual-hash image near-dup — pixel-level multimodal dedup:
+    * each document synthesizes a 32×32 grayscale 24-bpp BMP (the corpus
+    * ships no media; groups of 5 consecutive doc_ids share a base
+    * pattern, variants get one-pixel edits → true near-dups), the REAL
+    * BMP pixel decoder (`ImageHeader.bmpGray` — bfOffBits, bottom-up
+    * rows, 4-byte stride) recovers the raster, and a 64-bit dHash
+    * (9×8 block-mean gradient sign) fingerprints it. A one-pixel edit
+    * moves one block mean → ≤2 hash bits, so within-group pairs sit at
+    * hamming ≤4 while unrelated patterns scatter ~32.
+    *
+    * Pair generation is pigeonhole-blocked for hamming ≤ 8: the 64 bits
+    * split into 9 disjoint blocks (8+7×8); ≤8 differing bits dirty ≤8
+    * blocks, so every qualifying pair agrees exactly on ≥1 block and
+    * collides in that equi-join — full recall, never an O(n²) self-join.
+    * Hashing is batched mapPartitions (binary in, 8-byte hash out: at
+    * 100 TB only hashes and ids ever shuffle, never pixels). xxhash-free
+    * and deterministic; no SQL oracle (pixel decode + bit blocks are not
+    * DuckDB-expressible) → structural ScalaTest. */
+  private def qMmPhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.ImageHeader
+    val hashed = t(s, d, "documents").select(col("doc_id"))
+      .as[Long].mapPartitions(_.map { id =>
+        val group = id / 5
+        val variant = (id % 5).toInt
+        val img = ImageHeader.bmpPixels(32, 32, (x, y) => {
+          val fx = (group % 97 + 1) * 0.11
+          val fy = (group % 89 + 1) * 0.07
+          (math.sin(fx * (x + 1)) * 55 + math.cos(fy * (y + 1)) * 55
+            + 128).toInt +
+            (if (variant != 0 && x == 3 + variant && y == 2 * variant) 40
+             else 0)
+        })
+        val gray = ImageHeader.bmpGray(img).getOrElse(Array(Array(0)))
+        (id, ImageHeader.dhash64(gray))
+      }).toDF("doc_id", "ph")
+    val widths = Seq(8, 7, 7, 7, 7, 7, 7, 7, 7)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val blocks = hashed.select(col("doc_id"), col("ph"),
+      posexplode(array(widths.zip(offsets).map { case (wd, off) =>
+        shiftrightunsigned(col("ph"), off).bitwiseAND(lit((1L << wd) - 1))
+      }: _*)).as(Seq("blk", "bkey")))
+    val a = blocks.select(col("blk"), col("bkey"), col("doc_id").as("a"),
+      col("ph").as("ph_a"))
+    val b = blocks.select(col("blk"), col("bkey"), col("doc_id").as("b"),
+      col("ph").as("ph_b"))
+    a.join(b, Seq("blk", "bkey")).filter(col("a") < col("b"))
+      .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
+      .filter(col("hamming") <= 8)
+      .dropDuplicates("a", "b")
+      .select(col("a"), col("b"), col("hamming"))
+      .orderBy("a", "b")
+  }
+
   /** Training-mixture materialization: per-source sampling rates (2×
     * upsample / keep / 0.5 / 0.25 by source group) applied
     * deterministically — the integer part of the rate replicates rows
@@ -236,6 +290,7 @@ object LlmText3 {
   val defs: Map[String, Relational.Q] = Map(
     "q_quality_expectations" -> (qQualityExpectations _),
     "q_sample_mixture" -> (qSampleMixture _),
+    "q_mm_phash" -> (qMmPhash _),
     "q_split_holdout" -> (qSplitHoldout _),
     "q_text_decontaminate" -> (qTextDecontaminate _),
     "q_text_repetition" -> (qTextRepetition _),

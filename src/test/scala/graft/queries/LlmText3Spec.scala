@@ -111,6 +111,56 @@ class LlmText3Spec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------------------------- BMP / dHash
+
+  test("BMP pixel codec round-trips odd widths (row stride padding)") {
+    import graft.functions.ImageHeader
+    // w=5 → raw row 15 bytes, padded stride 16: a decoder that ignores
+    // padding reads shifted pixels from row 1 on
+    def pat(x: Int, y: Int): Int = (x * 7 + y * 31) % 256
+    val img = ImageHeader.bmpPixels(5, 4, pat)
+    val g = ImageHeader.bmpGray(img).get
+    assert(g.length == 4 && g(0).length == 5)
+    for (y <- 0 until 4; x <- 0 until 5)
+      assert(g(y)(x) == pat(x, y), s"pixel ($x,$y)")
+    // header-only BMP (no pixel array) must be rejected, not misread
+    assert(ImageHeader.bmpGray(ImageHeader.bmp(5, 4)).isEmpty)
+  }
+
+  test("dHash is brightness-shift invariant and flips on real edits") {
+    import graft.functions.ImageHeader
+    def base(x: Int, y: Int): Int =
+      (math.sin(0.3 * x) * 50 + math.cos(0.2 * y) * 50 + 128).toInt
+    val h0 = ImageHeader.dhash64(
+      ImageHeader.bmpGray(ImageHeader.bmpPixels(32, 32, base)).get)
+    val hBright = ImageHeader.dhash64(ImageHeader.bmpGray(
+      ImageHeader.bmpPixels(32, 32, (x, y) => base(x, y) + 30)).get)
+    assert(h0 == hBright, "uniform brightness shift must not change dHash")
+    val hOther = ImageHeader.dhash64(ImageHeader.bmpGray(
+      ImageHeader.bmpPixels(32, 32, (x, y) => base(y, x) + x)).get)
+    assert(java.lang.Long.bitCount(h0 ^ hOther) > 8,
+      "a structurally different image must be far in hamming space")
+  }
+
+  test("phash near-dup blocking finds every within-group pair") {
+    // groups of 5 consecutive doc_ids share a base pattern with ≤2-pixel
+    // edits → dhash hamming ≤4 by construction; the 9-block pigeonhole
+    // guarantees full recall at the ≤8 threshold
+    val pairs = SparkEntry.queries("q_mm_phash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_._3 <= 8), "pair over the hamming threshold")
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val expected = (for {
+      a <- ids; b <- ids
+      if a < b && a / 5 == b / 5
+    } yield (a, b)).toSet
+    assert((expected -- found).isEmpty,
+      s"missed within-group near-dups: ${(expected -- found).take(5)}")
+  }
+
   test("url components agree with parse_url semantics") {
     val r = SparkEntry.queries("q_fn_url")(spark, sf).limit(1).collect()(0)
     val url = r.getString(1)
