@@ -21,6 +21,35 @@ import Tables._
   * same distributed shape as q_mm_decode. */
 object LlmText3 {
 
+  /** Unigram-LM quality scoring — the corpus-trained language-model
+    * scorer behind perplexity-style quality filters: train a unigram LM
+    * on the corpus itself (Laplace-smoothed p(w) = (c+1)/(T+V)), score
+    * each document by its average negative log-likelihood. Common-word
+    * documents score low, rare/garbled ones high.
+    *
+    * Scale shape: the vocabulary aggregate is bounded by DISTINCT words
+    * (not corpus size) and broadcasts back onto the exploded token
+    * stream; the per-doc reduce is a partial-agg'd one-row-per-doc
+    * shuffle. Determinism: each token's log-prob is rounded to 9 dp and
+    * summed in DECIMAL (exact, order-independent — a double sum would
+    * depend on summation order and differ between engines). */
+  private def qTextUnigramLm(s: SparkSession, d: String): DataFrame = {
+    val tok = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = tok.agg(count(lit(1)).cast("double").as("T"))
+      .crossJoin(vocab.agg(count(lit(1)).cast("double").as("V")))
+    tok.join(broadcast(vocab), "w")
+      .crossJoin(broadcast(totals))
+      .withColumn("lp", expr(
+        "cast(round(ln((c + 1.0) / (T + V)), 9) as decimal(18,9))"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lp")).as("s"), count(lit(1)).as("n_toks"))
+      .select(col("doc_id"), col("n_toks"),
+        round(-(col("s").cast("double")) / col("n_toks"), 6).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   /** Perceptual-hash image near-dup — pixel-level multimodal dedup:
     * each document synthesizes a 32×32 grayscale 24-bpp BMP (the corpus
     * ships no media; groups of 5 consecutive doc_ids share a base
@@ -291,6 +320,7 @@ object LlmText3 {
     "q_quality_expectations" -> (qQualityExpectations _),
     "q_sample_mixture" -> (qSampleMixture _),
     "q_mm_phash" -> (qMmPhash _),
+    "q_text_unigram_lm" -> (qTextUnigramLm _),
     "q_split_holdout" -> (qSplitHoldout _),
     "q_text_decontaminate" -> (qTextDecontaminate _),
     "q_text_repetition" -> (qTextRepetition _),
@@ -300,6 +330,23 @@ object LlmText3 {
   )
 
   val sql: Map[String, String] = Map(
+    // per-token round(ln, 9) → DECIMAL sum: exact and order-independent
+    // on both engines (ln IS natural log in DuckDB; log() is log10)
+    "q_text_unigram_lm" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |v AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+        |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS T,
+        |    CAST((SELECT COUNT(*) FROM v) AS DOUBLE) AS V FROM tok),
+        |lp AS (SELECT t.doc_id,
+        |    CAST(ROUND(ln((v.c + 1.0) / (tot.T + tot.V)), 9)
+        |      AS DECIMAL(18,9)) AS lp
+        |  FROM tok t JOIN v USING (w) CROSS JOIN tot),
+        |agg AS (SELECT doc_id, SUM(lp) AS s, COUNT(*) AS n
+        |  FROM lp GROUP BY doc_id)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_toks,
+        |  ROUND(-CAST(s AS DOUBLE) / n, 6) AS avg_nll
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // rate literals land as DECIMAL in DuckDB's CASE — cast to DOUBLE;
     // unnest(range(...)) is the row-wise explode (1-based upper-exclusive)
     "q_sample_mixture" ->
