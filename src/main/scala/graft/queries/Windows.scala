@@ -106,7 +106,29 @@ object Windows {
       .orderBy("user_id", "sess_id")
   }
 
+  /** Rolling distinct users (7-day trailing window) — the rolling-cohort
+    * metric COUNT(DISTINCT) can't express directly (distinct aggregates
+    * are not frameable). Two-level shape: the corpus reduces to ONE row
+    * per day (collect_set of users — bounded by daily actives), and only
+    * that calendar-bounded daily table flows through the global range
+    * window, so the unpartitioned window is safe at any corpus size
+    * (its input is ≤ #days rows, never event rows). */
+  private def qWinDistinct(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .select(expr("us div 86400000000").as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(collect_set(col("user_id")).as("su"),
+        countDistinct(col("user_id")).as("u1"))
+    val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
+    daily
+      .withColumn("u7",
+        size(array_distinct(flatten(collect_list(col("su")).over(w)))))
+      .select(col("day"), col("u1"), col("u7"))
+      .orderBy("day")
+  }
+
   val defs: Map[String, Relational.Q] = Map(
+    "q_win_distinct" -> (qWinDistinct _),
     "q_win_session" -> (qWinSession _),
     "q_win_rank" -> (qWinRank _),
     "q_win_analytic" -> (qWinAnalytic _),
@@ -116,6 +138,19 @@ object Windows {
   )
 
   val sql: Map[String, String] = Map(
+    // epoch-micro day bucketing both sides (ts is TIMESTAMP(NANOS):
+    // Spark reads long nanos, DuckDB TIMESTAMP_NS → epoch_us)
+    "q_win_distinct" ->
+      """WITH e AS (SELECT
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT)
+        |      AS day, user_id FROM events),
+        |d1 AS (SELECT DISTINCT day FROM e)
+        |SELECT d1.day,
+        |  (SELECT CAST(COUNT(DISTINCT e2.user_id) AS BIGINT) FROM e e2
+        |    WHERE e2.day = d1.day) AS u1,
+        |  (SELECT CAST(COUNT(DISTINCT e3.user_id) AS INTEGER) FROM e e3
+        |    WHERE e3.day BETWEEN d1.day - 6 AND d1.day) AS u7
+        |FROM d1 ORDER BY day""".stripMargin,
     // CAST(ts AS TIMESTAMP) truncates TIMESTAMP_NS to micros = Spark's
     // `ts div 1000`; the running SUM window needs the same (us, event_id)
     // tie-break as the lag pass
