@@ -24,13 +24,13 @@ object LlmSim {
   private def norm2(a: String): Column = dot(a, a)
 
   /** One deterministic probe vector per label: the embedding of the
-    * label's minimum vec_id. */
-  private def probes(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    * label's minimum vec_id — a min_by hash aggregate (partial-agg'd,
+    * no per-partition sort), not a window: the shuffle carries one row
+    * per (label, input partition) instead of the whole table. */
+  private def probes(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings")
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("label").as("p_label"), col("embedding").as("pe"))
-  }
+      .groupBy(col("label").as("p_label"))
+      .agg(min_by(col("embedding"), col("vec_id")).as("pe"))
 
   /** Brute-force cosine top-5 per labeled probe. Exact baseline:
     * broadcast the 10 probes, stream the table once, rank per probe.
@@ -197,20 +197,27 @@ object LlmSim {
       v.map(_.toDouble / n)
     }
 
-    // 1. map-only normalize + IVF cell assignment (shared quantizer)
-    val coarse = trainCoarse(s, e, cells)
+    // 1. map-only normalize
     val en = e
       .withColumn("l2", sqrt(norm2("embedding")))
       .withColumn("un", expr("transform(embedding, x -> cast(x as double) / l2)"))
-      .withColumn("cell", cellOf(coarse))
 
-    // PQ seed doubles as the dim probe — one collect, no extra job
+    // PQ seed doubles as the dim probe AND the coarse-quantizer source —
+    // one collect instead of three driver jobs (seed + Lloyd means +
+    // dim): with nprobe close to cells, cell-boundary quality barely
+    // moves recall, so a hash-sampled quantizer without the Lloyd
+    // refinement is the right cost point here (the refined trainer
+    // stays in annIvf where nprobe is the only recall dial)
+    require(codeBook >= cells, s"codeBook $codeBook < cells $cells")
     val pqSeed: Array[Array[Double]] = en
       .orderBy(xxhash64(col("vec_id"), lit(1)), col("vec_id"))
       .limit(codeBook).select(col("un")).as[Array[Double]].collect()
     val dim = pqSeed.head.length
     require(dim % subspaces == 0, s"dim $dim not divisible by $subspaces")
     val dsub = dim / subspaces
+    val coarse: Array[Array[Float]] = pqSeed.take(cells)
+      .map(_.map(_.toFloat))
+    val enc = en.withColumn("cell", cellOf(coarse))
 
     // long sub-vector form: subspaces rows per vector
     def subExplode(df: DataFrame): DataFrame = df.select(
@@ -219,14 +226,13 @@ object LlmSim {
         slice(col("un"), m * dsub + 1, dsub).as("sl"))): _*)).as("s"))
       .select(col("vec_id"), col("cell"), col("s.m").as("m"),
         col("s.sl").as("sl"))
-    val sub = subExplode(en)
     // Codebook TRAINING runs on a bounded hash-sample (per-partition
     // heaps via TakeOrdered — no full sort): at 100 TB the Lloyd pass
     // touches ≤trainCap vectors, never the corpus; only the single
     // final encode pass is corpus-sized.
     val trainCap = 4096
     val subTrain = subExplode(
-      en.orderBy(xxhash64(col("vec_id"), lit(2)), col("vec_id"))
+      enc.orderBy(xxhash64(col("vec_id"), lit(2)), col("vec_id"))
         .limit(trainCap))
 
     // 2. PQ codebooks: hash-sample seed (salted differently from the
@@ -267,17 +273,39 @@ object LlmSim {
     }
 
     // packed codes: ONE array<int> column per vector — this (plus the
-    // cell id) is the entire search-time representation of the corpus
-    val packed = encode(sub, cb1).groupBy(col("vec_id"), col("cell"))
-      .agg(expr("transform(array_sort(collect_list(struct(m, code))), p -> p.code)")
-        .as("codes"))
+    // cell id) is the entire search-time representation of the corpus.
+    // The corpus-wide encode is a PURE MAP (argmin over the literal
+    // codebooks, the same fold arithmetic as the training encode): no
+    // explode, no join, no shuffle touches the corpus before the
+    // bounded-heap shortlist. Only training (≤trainCap rows) uses the
+    // long/join form, which the Lloyd means need anyway.
+    // one transform-over-literal-codebook per subspace (8 expressions,
+    // not 128): the 16-entry argmin loops inside the higher-order
+    // function, keeping the generated code small; the zip_with fold is
+    // byte-identical arithmetic to the training encode
+    val codesCol: Column = array((0 until subspaces).map { m =>
+      val sl = slice(col("un"), m * dsub + 1, dsub)
+      val cbm: Seq[(Seq[Double], Int)] =
+        (0 until codeBook).map(j => (cb1(m * codeBook + j)._3, j))
+      array_min(transform(typedlit(cbm), c =>
+        struct(
+          aggregate(
+            zip_with(sl, c.getField("_1"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, t) => a + t).as("d"),
+          c.getField("_2").as("j")))).getField("j")
+    }: _*)
+    val packed = enc.select(col("vec_id"), col("cell"),
+      codesCol.as("codes"))
 
     // 3.+4. per-probe: nprobe nearest cells + exact ADC distance table,
     // both computed driver-side from the tiny collected probe set
+    // (collected ONCE — the rerank reuses the same rows instead of
+    // re-running the probe window over the corpus)
+    val probeArr: Seq[(Int, Array[Float])] = probes(s, d).collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
     val probeRows: Seq[(Int, Int, Seq[Seq[Double]])] =
-      probes(s, d).collect().toSeq.flatMap { r =>
-        val lab = r.getInt(0)
-        val pu = unitD(r.getSeq[Float](1).toArray)
+      probeArr.flatMap { case (lab, pe) =>
+        val pu = unitD(pe)
         val dt: Seq[Seq[Double]] = (0 until subspaces).map { m =>
           val ps = pu.slice(m * dsub, (m + 1) * dsub)
           (0 until codeBook).map { j =>
@@ -309,7 +337,7 @@ object LlmSim {
       orderCol = "negadc", tieCols = Seq("vec_id"), k = shortlist)
       .select(col("p_label"), col("vec_id"))
     e.select(col("vec_id"), col("embedding")).join(broadcast(short), Seq("vec_id"))
-      .join(broadcast(probes(s, d)), Seq("p_label"))
+      .join(broadcast(probeArr.toDF("p_label", "pe")), Seq("p_label"))
       .withColumn("sim", round(
         dot("pe", "embedding") /
           (sqrt(norm2("pe")) * sqrt(norm2("embedding"))), 6))

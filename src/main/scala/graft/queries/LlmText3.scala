@@ -86,6 +86,9 @@ object LlmText3 {
         val gray = ImageHeader.bmpGray(img).getOrElse(Array(Array(0)))
         (id, ImageHeader.dhash64(gray))
       }).toDF("doc_id", "ph")
+      // the blocking self-join reads this twice — checkpoint the tiny
+      // (id, hash) table so pixels are synthesized/decoded exactly once
+      .localCheckpoint(true)
     val widths = Seq(8, 7, 7, 7, 7, 7, 7, 7, 7)
     val offsets = widths.scanLeft(0)(_ + _).init
     val blocks = hashed.select(col("doc_id"), col("ph"),
