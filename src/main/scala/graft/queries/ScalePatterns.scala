@@ -92,6 +92,37 @@ object ScalePatterns {
       .orderBy("o_orderpriority")
   }
 
+  /** Interval join with NO equi key — the grid-bucketing pattern: a
+    * pure point-in-interval predicate would plan as a broadcast-nested-
+    * loop (points × intervals); instead both sides bucketize time into
+    * fixed-width grid cells wide enough that an interval covers ≤ 2
+    * cells (cell = 14 d ≥ interval = 14 d), the interval side explodes
+    * to its covered cells, and the join becomes a plain equi join on
+    * the cell id + an exact containment post-filter. A point lives in
+    * exactly one cell, so no dedup is needed. At 100 TB each side
+    * shuffles once on the cell key and the per-task work is
+    * cell-local — the manufactured-equi-key answer whenever no natural
+    * join key exists. */
+  private def qJoinIntervalGrid(s: SparkSession, d: String): DataFrame = {
+    val cellW = 14
+    val iv = t(s, d, "lineitem").filter(col("l_partkey") < 10)
+      .select(expr("cast(datediff(cast(l_shipdate as date), date'1970-01-01') as bigint)")
+        .as("sd"))
+      .withColumn("ed", col("sd") + 13)
+      .withColumn("cell",
+        explode(expr(s"sequence(sd div $cellW, ed div $cellW)")))
+    val pts = t(s, d, "orders")
+      .select(expr("cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)")
+        .as("pd"))
+      .withColumn("cell", expr(s"pd div $cellW"))
+    iv.join(pts, "cell")
+      .filter(col("pd") >= col("sd") && col("pd") <= col("ed"))
+      .groupBy(col("sd"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("pd")).as("n_days"))
+      .orderBy("sd")
+  }
+
   /** Bucketed co-located join: both sides written bucketed by the join
     * key (8 buckets), then joined — the physical plan has no shuffle
     * exchange on either side (asserted in PlanSpec). */
@@ -269,6 +300,7 @@ object ScalePatterns {
     "q_scan_partitioned" -> (qScanPartitioned _),
     "q_join_salted" -> (qJoinSalted _),
     "q_join_skew_aqe" -> (qJoinSkewAqe _),
+    "q_join_interval_grid" -> (qJoinIntervalGrid _),
     "q_join_bucketed" -> (qJoinBucketed _),
     "q_join_bloom" -> (qJoinBloom _),
     "q_layout_zorder" -> (qLayoutZorder _),
@@ -287,6 +319,18 @@ object ScalePatterns {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // plain BETWEEN interval join — the grid-cell rewrite must be
+    // semantics-preserving
+    "q_join_interval_grid" ->
+      """WITH iv AS (SELECT CAST(datediff('day', DATE '1970-01-01',
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS sd
+        |    FROM lineitem WHERE l_partkey < 10),
+        |p AS (SELECT CAST(datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS pd FROM orders)
+        |SELECT sd, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(COUNT(DISTINCT pd) AS BIGINT) AS n_days
+        |FROM iv JOIN p ON pd BETWEEN sd AND sd + 13
+        |GROUP BY sd ORDER BY sd""".stripMargin,
     // plain skewed-key join — AQE's runtime splitting must not change
     // the result
     "q_join_skew_aqe" ->
