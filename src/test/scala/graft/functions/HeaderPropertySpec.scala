@@ -70,4 +70,42 @@ class HeaderPropertySpec extends AnyFunSuite {
       ImageHeader.parse(base.take(n)) // must terminate without throwing
     }
   }
+
+  test("BMP pixel round-trip for arbitrary dims (stride padding) " +
+      "and dhash determinism") {
+    val genDims = for {
+      w <- Gen.choose(1, 24) // odd widths hit the 4-byte row padding
+      h <- Gen.choose(1, 24)
+      kx <- Gen.choose(1, 13)
+      ky <- Gen.choose(1, 17)
+    } yield (w, h, kx, ky)
+    cases(genDims, 100).foreach { case (w, h, kx, ky) =>
+      def pat(x: Int, y: Int): Int = (x * kx + y * ky) % 256
+      val img = ImageHeader.bmpPixels(w, h, pat)
+      val g = ImageHeader.bmpGray(img)
+        .getOrElse(fail(s"decode failed for ${(w, h)}"))
+      assert(g.length == h && g(0).length == w, s"dims ${(w, h)}")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(g(y)(x) == pat(x, y), s"pixel ($x,$y) of ${(w, h, kx, ky)}")
+      // dhash must be a pure function of the pixels
+      assert(ImageHeader.dhash64(g) ==
+        ImageHeader.dhash64(ImageHeader.bmpGray(img).get))
+    }
+  }
+
+  test("BMP pixel decoder is total under random truncation and mutation") {
+    val base = ImageHeader.bmpPixels(7, 5, (x, y) => x * 31 + y)
+    val genCase = for {
+      n <- Gen.choose(0, base.length)
+      pos <- Gen.choose(0, base.length - 1)
+      v <- Gen.choose(0, 255)
+    } yield (n, pos, v.toByte)
+    cases(genCase, 300).foreach { case (n, pos, v) =>
+      ImageHeader.bmpGray(base.take(n)) // truncation: None or valid, no throw
+      val b = base.clone(); b(pos) = v
+      ImageHeader.bmpGray(b).foreach { g =>
+        assert(g.length > 0 && g(0).length > 0)
+      }
+    }
+  }
 }
