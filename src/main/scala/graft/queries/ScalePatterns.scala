@@ -92,6 +92,24 @@ object ScalePatterns {
       .orderBy("o_orderpriority")
   }
 
+  /** Shuffled-hash-join strategy control: for a build side too large to
+    * broadcast but far smaller than the probe side, SHJ beats the
+    * default sort-merge join — it hashes the small side per partition
+    * and STREAMS the big side unsorted, skipping both sort passes. The
+    * `shuffle_hash` hint is the production knob when the planner's
+    * size estimates miss; result ≡ the plain join (oracle), and
+    * PlanSpec asserts a ShuffledHashJoin actually ran with the small
+    * side as build. */
+  private def qJoinShj(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+    li.join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        dbl(sum(dec(col("l_quantity")))).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Interval join with NO equi key — the grid-bucketing pattern: a
     * pure point-in-interval predicate would plan as a broadcast-nested-
     * loop (points × intervals); instead both sides bucketize time into
@@ -301,6 +319,7 @@ object ScalePatterns {
     "q_join_salted" -> (qJoinSalted _),
     "q_join_skew_aqe" -> (qJoinSkewAqe _),
     "q_join_interval_grid" -> (qJoinIntervalGrid _),
+    "q_join_shj" -> (qJoinShj _),
     "q_join_bucketed" -> (qJoinBucketed _),
     "q_join_bloom" -> (qJoinBloom _),
     "q_layout_zorder" -> (qLayoutZorder _),
@@ -317,6 +336,12 @@ object ScalePatterns {
     "q_join_salted" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // plain join — the SHJ strategy hint must not change the result
+    "q_join_shj" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // plain BETWEEN interval join — the grid-cell rewrite must be

@@ -241,6 +241,16 @@ class PlanSpec extends AnyFunSuite {
     assert(native.forall(_._2 <= 3), "rank exceeded k")
   }
 
+  test("shuffle_hash hint yields a ShuffledHashJoin with the dim as build") {
+    val df = SparkEntry.queries("q_join_shj")(spark, sf)
+    df.collect()
+    val shj = deepNodes(df).collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shj.nonEmpty,
+      s"no ShuffledHashJoin in:\n${df.queryExecution.executedPlan}")
+  }
+
   test("AQE splits the manufactured skew partition (SMJ runs isSkewJoin)") {
     // Tighten the skew thresholds so the sf0.01 hot key (25% of lineitem
     // on one join key) is over the bar — at production scale the default
