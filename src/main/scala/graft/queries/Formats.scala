@@ -99,7 +99,27 @@ object Formats {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** File-lineage scan via the hidden `_metadata` struct — the
+    * provenance primitive a 100 TB pipeline uses to trace any row back
+    * to its source file and position (and to debug a bad file without
+    * re-listing storage): per input file, row count and the
+    * `row_index` span, plus a size sanity column. Purely scan-local —
+    * the metadata columns are populated by the reader, no extra I/O;
+    * one bounded agg (one row per file) follows. File NAMES are
+    * environment-stable but paths are not → no SQL oracle; FormatsSpec
+    * (LayoutSpec) pins the semantics. */
+  private def qScanMetadata(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(col("_metadata.file_name").as("file_name"),
+        col("_metadata.file_size").as("file_size"),
+        col("_metadata.row_index").as("ri"))
+      .groupBy(col("file_name"), col("file_size"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("ri")).as("ri_min"), max(col("ri")).as("ri_max"))
+      .orderBy("file_name")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_metadata" -> (qScanMetadata _),
     "q_fn_hash" -> (qFnHash _),
     "q_fn_binhex" -> (qFnBinhex _),
     "q_agg_pctl_disc" -> (qAggPctlDisc _),

@@ -57,6 +57,21 @@ class LayoutSpec extends AnyFunSuite {
     assert(both <= px && both <= py)
   }
 
+  test("_metadata lineage scan: row_index spans the file exactly once") {
+    val rows = graft.SparkEntry.queries("q_scan_metadata")(spark, sf)
+      .collect()
+    assert(rows.length == 1, s"expected one source file, got ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getAs[String]("file_name") == "orders.parquet")
+    val n = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(r.getAs[Long]("n_rows") == n)
+    assert(r.getAs[Long]("ri_min") == 0L &&
+      r.getAs[Long]("ri_max") == n - 1,
+      s"row_index not a 0-based dense file position: $r")
+    assert(r.getAs[Long]("file_size") ==
+      new java.io.File(s"$sf/orders.parquet").length())
+  }
+
   test("HLL sketch merge-of-months tracks direct build, near exact") {
     val rows = SparkEntry.queries("q_agg_sketch")(spark, sf).collect()
     assert(rows.length == 5) // one per order priority
