@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -262,6 +263,38 @@ object ScalePatterns {
     dir
   }
 
+  /** Distribution-drift monitor (PSI — population stability index)
+    * between the first and second half of the event stream: equi-width
+    * value bins, Laplace-smoothed bin fractions, per-bin drift terms
+    * (pa−pb)·ln(pa/pb) and their total. The standard production gate
+    * for "did this feed's distribution move" — at 100 TB it is two
+    * count_if aggregates over one scan plus a 10-row broadcast; nothing
+    * scales with the corpus. Per-bin terms round to 9 dp and total
+    * through DECIMAL so the index is summation-order-independent. */
+  private def qAggPsi(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .withColumn("bin",
+        least(floor(col("value") / 50).cast("int"), lit(9)))
+      // 2024-01-01 = epoch day 19723; split after day 14 of the stream
+      .withColumn("half",
+        when(expr("us div 86400000000") < 19738, "a").otherwise("b"))
+    val counts = ev.groupBy(col("bin"))
+      .agg(expr("count_if(half = 'a')").as("na"),
+        expr("count_if(half = 'b')").as("nb"))
+    val tot = ev.agg(expr("count_if(half = 'a')").as("ta"),
+      expr("count_if(half = 'b')").as("tb"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("pa", (col("na") + 1).cast("double") / (col("ta") + 10))
+      .withColumn("pb", (col("nb") + 1).cast("double") / (col("tb") + 10))
+      .withColumn("term", expr("round((pa - pb) * ln(pa / pb), 9)"))
+      .withColumn("psi_total", round(
+        sum(col("term").cast("decimal(18,9)"))
+          .over(Window.partitionBy(lit(1))).cast("double"), 6))
+      .select(col("bin"), col("na"), col("nb"), col("term"),
+        col("psi_total"))
+      .orderBy("bin")
+  }
+
   /** Two-level reaggregation — the materialized-rollup pattern: partial
     * aggregates per (priority, month) shard, then a final merge per
     * priority. Every partial is mergeable (count→sum, sum→sum, min/max→
@@ -324,6 +357,7 @@ object ScalePatterns {
     "q_join_bloom" -> (qJoinBloom _),
     "q_layout_zorder" -> (qLayoutZorder _),
     "q_agg_reagg" -> (qAggReagg _),
+    "q_agg_psi" -> (qAggPsi _),
     "q_agg_sketch" -> (qAggSketch _),
   )
 
@@ -386,6 +420,28 @@ object ScalePatterns {
         |  MIN(py) AS py_min, MAX(py) AS py_max,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin,
+    // identical binning/smoothing/rounding; epoch-day split both sides
+    "q_agg_psi" ->
+      """WITH e AS (SELECT
+        |    LEAST(CAST(FLOOR(value / 50) AS INTEGER), 9) AS bin,
+        |    CASE WHEN CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+        |        AS BIGINT) < 19738 THEN 'a' ELSE 'b' END AS half
+        |  FROM events),
+        |c AS (SELECT bin, COUNT(*) FILTER (WHERE half = 'a') AS na,
+        |    COUNT(*) FILTER (WHERE half = 'b') AS nb FROM e GROUP BY bin),
+        |t AS (SELECT COUNT(*) FILTER (WHERE half = 'a') AS ta,
+        |    COUNT(*) FILTER (WHERE half = 'b') AS tb FROM e),
+        |x AS (SELECT bin, na, nb,
+        |    CAST(na + 1 AS DOUBLE) / (ta + 10) AS pa,
+        |    CAST(nb + 1 AS DOUBLE) / (tb + 10) AS pb
+        |  FROM c CROSS JOIN t),
+        |y AS (SELECT bin, na, nb,
+        |    ROUND((pa - pb) * ln(pa / pb), 9) AS term FROM x)
+        |SELECT bin, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  term,
+        |  ROUND(CAST(SUM(CAST(term AS DECIMAL(18,9))) OVER () AS DOUBLE), 6)
+        |    AS psi_total
+        |FROM y ORDER BY bin""".stripMargin,
     // direct one-level aggregate: proves the two-level partial merge on
     // the Spark side is lossless
     "q_agg_reagg" ->
