@@ -242,27 +242,28 @@ object LlmText {
         round(col("quality"), 6).as("quality"))
       .orderBy("doc_id")
 
-  /** TF-IDF top-3 terms per document. Term counts and document length
-    * are computed per-row with nested higher-order functions (distinct
-    * terms × membership count — bounded by doc length), so the term
-    * table needs NO (doc, word) shuffle; document frequency is one
-    * vocabulary-sized aggregate that broadcasts back (vocabularies are
-    * millions of terms while corpora are billions of docs, so the
-    * broadcast side is the small one at 100 TB); corpus size joins in as
-    * a broadcast 1-row aggregate (no driver scalar). The only corpus
-    * shuffle left is the per-doc top-3 window. Scores are exact-int
-    * ratios × ln of exact-int ratios (6-dp pre-round keeps ranking
-    * portable). */
+  /** TF-IDF top-3 terms per document. Term counts are LINEAR in doc
+    * length: explode the token stream once, then one hash aggregate on
+    * (doc_id, w) with map-side partial combine — per-row cost O(tokens),
+    * not O(distinct×tokens) (a 100k-token document costs 100k aggregate
+    * probes, never 10⁹ array comparisons). Document frequency derives
+    * from that same aggregate (vocabulary-sized, broadcast back —
+    * vocabularies are millions of terms while corpora are billions of
+    * docs, so the broadcast side is the small one at 100 TB); corpus
+    * size joins in as a broadcast 1-row aggregate (no driver scalar).
+    * Corpus shuffles: the (doc_id, w) hash agg + the per-doc top-3
+    * window. Scores are exact-int ratios × ln of exact-int ratios (6-dp
+    * pre-round keeps ranking portable). */
   private def qTextTfidf(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").filter(col("doc_id") < 200)
-    // (doc_id, w, cnt, toks) with zero shuffles: per-row distinct+count
+    // (doc_id, w, cnt, toks): one explode, one hash aggregate. toks is
+    // functionally dependent on doc_id so grouping by it is free.
     val wc = docs
       .withColumn("ws", words(lower(col("text"))))
       .withColumn("toks", size(col("ws")).cast("bigint"))
-      .select(col("doc_id"), col("toks"), explode(expr(
-        "transform(array_distinct(ws), x -> struct(x AS w, cast(size(filter(ws, t -> t = x)) AS bigint) AS cnt))"))
-        .as("tc"))
-      .select(col("doc_id"), col("toks"), col("tc.w"), col("tc.cnt"))
+      .select(col("doc_id"), col("toks"), explode(col("ws")).as("w"))
+      .groupBy(col("doc_id"), col("toks"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
     val dfreq = wc.groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = wc.join(broadcast(dfreq), "w")

@@ -27,19 +27,23 @@ object LlmText3 {
     * each document by its average negative log-likelihood. Common-word
     * documents score low, rare/garbled ones high.
     *
-    * Scale shape: the vocabulary aggregate is bounded by DISTINCT words
-    * (not corpus size) and broadcasts back onto the exploded token
-    * stream; the per-doc reduce is a partial-agg'd one-row-per-doc
-    * shuffle. Determinism: each token's log-prob is rounded to 9 dp and
-    * summed in DECIMAL (exact, order-independent — a double sum would
-    * depend on summation order and differ between engines). */
+    * Scale shape: the vocabulary joins back onto the exploded token
+    * stream with a plain SHUFFLE join on `w` — on web-scale noisy text
+    * the distinct-token set (garbled strings included) is effectively
+    * unbounded, so a vocabulary broadcast has no safe size; the shuffle
+    * join is keyed by the same column the vocab aggregate already
+    * hashed on, spills, and AQE skew-splits hot tokens. The per-doc
+    * reduce is a partial-agg'd one-row-per-doc shuffle. Determinism:
+    * each token's log-prob is rounded to 9 dp and summed in DECIMAL
+    * (exact, order-independent — a double sum would depend on summation
+    * order and differ between engines). */
   private def qTextUnigramLm(s: SparkSession, d: String): DataFrame = {
     val tok = t(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
     val totals = tok.agg(count(lit(1)).cast("double").as("T"))
       .crossJoin(vocab.agg(count(lit(1)).cast("double").as("V")))
-    tok.join(broadcast(vocab), "w")
+    tok.join(vocab.hint("shuffle_hash"), "w")
       .crossJoin(broadcast(totals))
       .withColumn("lp", expr(
         "cast(round(ln((c + 1.0) / (T + V)), 9) as decimal(18,9))"))

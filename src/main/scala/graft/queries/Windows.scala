@@ -108,21 +108,27 @@ object Windows {
 
   /** Rolling distinct users (7-day trailing window) — the rolling-cohort
     * metric COUNT(DISTINCT) can't express directly (distinct aggregates
-    * are not frameable). Two-level shape: the corpus reduces to ONE row
-    * per day (collect_set of users — bounded by daily actives), and only
-    * that calendar-bounded daily table flows through the global range
-    * window, so the unpartitioned window is safe at any corpus size
-    * (its input is ≤ #days rows, never event rows). */
+    * are not frameable). Scale-safe exact form with NO per-day user-set
+    * materialization (a collect_set row for a hot day would hold that
+    * day's full distinct-user set in one aggregation buffer): dedup to
+    * (day, user) pairs, explode each pair into the ≤7 trailing days it
+    * covers, and countDistinct per covering day. Every aggregation
+    * buffer is a counter, every shuffle is keyed by (day, user) — both
+    * spillable and skew-splittable by AQE at any corpus size. The inner
+    * join restricts output to days actually observed (matching the
+    * oracle's d1), and both join sides are ≤ #days rows post-agg. */
   private def qWinDistinct(s: SparkSession, d: String): DataFrame = {
-    val daily = events(s, d)
+    val dayUser = events(s, d)
       .select(expr("us div 86400000000").as("day"), col("user_id"))
+      .distinct()
+    val u1 = dayUser.groupBy(col("day"))
+      .agg(count(lit(1)).as("u1"))
+    val u7 = dayUser
+      .select(explode(expr("sequence(day, day + 6)")).as("day"),
+        col("user_id"))
       .groupBy(col("day"))
-      .agg(collect_set(col("user_id")).as("su"),
-        countDistinct(col("user_id")).as("u1"))
-    val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
-    daily
-      .withColumn("u7",
-        size(array_distinct(flatten(collect_list(col("su")).over(w)))))
+      .agg(countDistinct(col("user_id")).cast("int").as("u7"))
+    u1.join(u7, "day")
       .select(col("day"), col("u1"), col("u7"))
       .orderBy("day")
   }
