@@ -66,6 +66,10 @@ case class AvroStreamingWrite(schema: StructType, path: String,
     codec: String, confEntries: Map[String, String])
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
+  // One recovery listing per query (re)start: sweeps orphan temps left
+  // by a driver crash, without paying O(files ever written) per commit.
+  @transient private var firstCommit = true
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     AvroStreamingWriterFactory(schema,
@@ -75,31 +79,55 @@ case class AvroStreamingWrite(schema: StructType, path: String,
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val conf = AvroContainerSource.confFrom(confEntries)
+    // Renames happen in ASCENDING partition order (the canonical name
+    // embeds a zero-padded partition id, so name order = partition
+    // order). Invariant relied on below: a commit attempt that crashes
+    // mid-rename leaves a canonical-file set that is a PREFIX of its
+    // planned partitions — never an arbitrary subset.
     val ms = messages.collect { case m: AvroEpochMessage => m }
+      .sortBy(m => new Path(m.finalPath).getName)
+    val keep = ms.map(m => new Path(m.finalPath).getName).toSet
+    val dirPath = new Path(path)
+    val fs = dirPath.getFileSystem(conf)
     // A replayed epoch may plan FEWER partitions than the dead attempt
     // (shuffle.partitions changed across restart, listing split
     // differently) — canonical files of this epoch that the replay does
     // not re-produce must go, or their rows double forever. Listing the
     // whole sink per commit would be O(files ever written) — so probe
-    // one canonical name first: partition 0 exists in every attempt, so
-    // any hit means this epoch was committed before (replay) and only
-    // then is the directory listed for the sweep.
-    val keep = ms.map(m => new Path(m.finalPath).getName).toSet
-    val dirPath = new Path(path)
-    val fs = dirPath.getFileSystem(conf)
-    val isReplay = ms.nonEmpty && fs.exists(new Path(ms.head.finalPath))
-    if (isReplay && fs.exists(dirPath)) {
+    // the canonical names of THIS attempt's partitions instead (same
+    // RPC class as the per-file renames below). Why any prior partial
+    // commit must hit one of these probes: the prefix invariant above
+    // means a crashed fresh attempt left partitions 0..k, and partition
+    // 0 is in every attempt's plan; a crashed REPLAY can additionally
+    // have deleted-but-not-re-renamed one canonical file, leaving a gap
+    // at the front — but its sweep completed before any rename started
+    // (sweep precedes renames, and sweep never deletes in-plan files),
+    // so some in-plan canonical file still exists and a probe hits.
+    val isReplay = ms.exists(m => fs.exists(new Path(m.finalPath)))
+    if ((isReplay || firstCommit) && fs.exists(dirPath)) {
       val it = fs.listStatus(dirPath).iterator
       val prefix = s"part-e$epochId-"
+      val currentTmps = ms.map(m => new Path(m.tmpPath).getName).toSet
       while (it.hasNext) {
         val st = it.next()
         val n = st.getPath.getName
-        if (n.startsWith(prefix) && !keep.contains(n) &&
+        val staleCanonical =
+          isReplay && n.startsWith(prefix) && !keep.contains(n)
+        // Epoch-tagged temps (.tmp-e<epoch>-p<part>-<uuid>.avro) from
+        // an epoch at or before this one that are not in this commit's
+        // message set are orphans of a dead attempt: their epoch has
+        // committed, or is being committed right now with fresh temps.
+        // Dot-prefixed so readers never saw them, but they accumulate
+        // unboundedly across crash-restarts unless swept here.
+        val orphanTmp = !currentTmps.contains(n) &&
+          AvroStreamingWrite.tmpEpoch(n).exists(_ <= epochId)
+        if ((staleCanonical || orphanTmp) &&
             !fs.delete(st.getPath, false) && fs.exists(st.getPath))
           throw new java.io.IOException(
             s"epoch $epochId replay sweep failed: cannot delete ${st.getPath}")
       }
     }
+    firstCommit = false
     ms.foreach { m =>
       val tmp = new Path(m.tmpPath)
       val fin = new Path(m.finalPath)
@@ -117,6 +145,17 @@ case class AvroStreamingWrite(schema: StructType, path: String,
       val hp = new Path(p)
       hp.getFileSystem(conf).delete(hp, false)
     }
+  }
+}
+
+object AvroStreamingWrite {
+  // Streaming temp layout: .tmp-e<epoch>-p<5-digit partition>-<uuid>.avro
+  // The -p\d{5}- tail keeps batch temps (.tmp-<uuid>.avro, whose UUID hex
+  // can start with 'e' + digits) from ever parsing as an epoch.
+  private val TmpEpoch = """^\.tmp-e(\d+)-p\d{5}-.*""".r
+  private[avro] def tmpEpoch(name: String): Option[Long] = name match {
+    case TmpEpoch(e) => scala.util.Try(e.toLong).toOption
+    case _ => None
   }
 }
 
@@ -144,7 +183,10 @@ class AvroStreamDataWriter(schema: StructType, avroJson: String, dir: String,
   private val toRecord = AvroDatum.recordWriter(schema, avroSchema)
   private val finalPath =
     new Path(dir, f"part-e$epochId-p$partitionId%05d.avro")
-  private val tmpPath = new Path(dir, s".tmp-${UUID.randomUUID()}.avro")
+  // epoch+partition tag → the driver's recovery sweep can prove a temp
+  // orphaned (its epoch committed/replayed) without a metadata log
+  private val tmpPath = new Path(dir,
+    f".tmp-e$epochId-p$partitionId%05d-${UUID.randomUUID()}.avro")
   private val fs = finalPath.getFileSystem(conf)
   fs.mkdirs(finalPath.getParent)
   private val out = fs.create(tmpPath, true)

@@ -189,8 +189,14 @@ object ImageHeader {
     val topDown = hRaw < 0
     val h = math.abs(hRaw)
     if (leU16(b, 28) != 24 || w <= 0 || h == 0) return None
-    val stride = (w * 3 + 3) & ~3
-    if (off < 54 || off.toLong + stride.toLong * h > b.length) return None
+    // Stride in LONG: a crafted width near Int.MaxValue/3 overflows
+    // w*3 in Int to a tiny positive stride, sneaking past the bounds
+    // check into a huge tabulate + wild offsets. A valid pixel array
+    // can never be smaller than one unpadded row, so reject first.
+    if (w.toLong * 3 > b.length) return None
+    val strideL = (w.toLong * 3 + 3) & ~3L
+    if (off < 54 || off.toLong + strideL * h > b.length) return None
+    val stride = strideL.toInt // ≤ b.length - off after the check above
     Some(Array.tabulate(h, w) { (y, x) =>
       val row = if (topDown) y else h - 1 - y
       val o = off + row * stride + x * 3
@@ -240,7 +246,7 @@ object ImageHeader {
     b(o) = v.toByte; b(o + 1) = (v >>> 8).toByte
   }
 
-  private def putLeU32(b: Array[Byte], o: Int, v: Int): Unit = {
+  private[graft] def putLeU32(b: Array[Byte], o: Int, v: Int): Unit = {
     b(o) = v.toByte; b(o + 1) = (v >>> 8).toByte
     b(o + 2) = (v >>> 16).toByte; b(o + 3) = (v >>> 24).toByte
   }

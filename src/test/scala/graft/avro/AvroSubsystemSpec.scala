@@ -515,6 +515,47 @@ class AvroSubsystemSpec extends AnyFunSuite {
       s"stale partitions from the dead attempt survive: ${e9.toSeq}")
   }
 
+  test("replay sweep fires when the lowest replayed partition is missing") {
+    // A crashed REPLAY commit can delete-but-not-re-rename partition 0
+    // (rename = delete old + rename temp), so the next replay must not
+    // key its sweep decision off any single canonical name: here p00000
+    // is gone, p00001 survives from the dead attempt, and stale p00002
+    // (the dead attempt planned 3 partitions, this replay plans 2) must
+    // still be swept. The old head-probe missed exactly this state.
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("sink-epoch-gap")
+    val sw = AvroStreamingWrite(new StructType().add("x", LongType),
+      dir, "null", AvroContainerSource.serializableConfEntries())
+    val fs = new Path(dir).getFileSystem(AvroContainerSource.hadoopConf())
+    def put(name: String, content: String): Unit = {
+      val os = fs.create(new Path(dir, name), true)
+      os.write(content.getBytes); os.close()
+    }
+    put("part-e13-p00001.avro", "dead-attempt") // renamed before the crash
+    put("part-e13-p00002.avro", "stale")        // not in the replay's plan
+    // orphan temp from an earlier epoch's dead attempt (driver crashed
+    // before its rename) — provably dead, must be swept with the listing
+    val orphan = ".tmp-e12-p00000-deadbeef.avro"
+    put(orphan, "orphan")
+    def attemptP(p: Int): graft.avro.AvroEpochMessage = {
+      val tmp = new Path(dir,
+        f".tmp-e13-p$p%05d-${java.util.UUID.randomUUID()}.avro")
+      val os = fs.create(tmp, true); os.write(s"new-$p".getBytes); os.close()
+      graft.avro.AvroEpochMessage(tmp.toString,
+        new Path(dir, f"part-e13-p$p%05d.avro").toString)
+    }
+    sw.commit(13L, Array(attemptP(1), attemptP(0))) // arbitrary msg order
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!names.contains("part-e13-p00002.avro"),
+      s"stale partition from the dead attempt survives: $names")
+    assert(!names.contains(orphan), s"orphan temp survives: $names")
+    assert(names.filter(_.startsWith("part-e13")) ==
+      Set("part-e13-p00000.avro", "part-e13-p00001.avro"), names.toString)
+    val p1 = java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "part-e13-p00001.avro").toPath)
+    assert(new String(p1) == "new-1", "replay did not overwrite p00001")
+  }
+
   test("schema-drift report groups files by embedded writer schema") {
     val rows = graft.SparkEntry.queries("q_avro_schema_drift")(
       spark, "/root/testdata/sf0.001").collect()

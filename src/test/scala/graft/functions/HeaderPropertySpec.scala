@@ -108,4 +108,22 @@ class HeaderPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("BMP decoder rejects overflow-crafted widths without allocating") {
+    // w ≈ 0x55555557: w*3 overflows Int to a tiny positive stride — the
+    // single-byte-mutation generator above can never reach these widths,
+    // so pin the adversarial corner explicitly. Must be None (never an
+    // OOM-sized tabulate or ArrayIndexOutOfBounds).
+    val base = ImageHeader.bmpPixels(7, 5, (x, y) => x * 31 + y)
+    def withWidth(wv: Int, hv: Int): Array[Byte] = {
+      val b = base.clone()
+      ImageHeader.putLeU32(b, 18, wv)
+      ImageHeader.putLeU32(b, 22, hv)
+      b
+    }
+    for (w <- Seq(0x55555557, 0x55555556, Int.MaxValue, Int.MaxValue / 3,
+                  0x40000001); h <- Seq(1, 5, Int.MaxValue))
+      assert(ImageHeader.bmpGray(withWidth(w, h)).isEmpty,
+        s"crafted w=$w h=$h must be rejected")
+  }
 }
