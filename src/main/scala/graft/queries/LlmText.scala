@@ -258,12 +258,19 @@ object LlmText {
     val docs = t(s, d, "documents").filter(col("doc_id") < 200)
     // (doc_id, w, cnt, toks): one explode, one hash aggregate. toks is
     // functionally dependent on doc_id so grouping by it is free.
+    // Persisted because BOTH consumers below (tf scores and document
+    // frequency) re-aggregate it — the MLlib-IDF discipline: tokenize
+    // the corpus once, materialize the (doc, term) table, run the two
+    // cheap follow-up aggregates over the materialized form instead of
+    // re-tokenizing per consumer (column pruning specializes the two
+    // subplans, so exchange reuse can never dedupe them unaided).
     val wc = docs
       .withColumn("ws", words(lower(col("text"))))
       .withColumn("toks", size(col("ws")).cast("bigint"))
       .select(col("doc_id"), col("toks"), explode(col("ws")).as("w"))
       .groupBy(col("doc_id"), col("toks"), col("w"))
       .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = wc.groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = wc.join(broadcast(dfreq), "w")
