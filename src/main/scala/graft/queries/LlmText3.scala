@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -64,14 +64,22 @@ object LlmText3 {
     * moves one block mean → ≤2 hash bits, so within-group pairs sit at
     * hamming ≤4 while unrelated patterns scatter ~32.
     *
-    * Pair generation is pigeonhole-blocked for hamming ≤ 8: the 64 bits
-    * split into 9 disjoint blocks (8+7×8); ≤8 differing bits dirty ≤8
-    * blocks, so every qualifying pair agrees exactly on ≥1 block and
-    * collides in that equi-join — full recall, never an O(n²) self-join.
-    * Hashing is batched mapPartitions (binary in, 8-byte hash out: at
-    * 100 TB only hashes and ids ever shuffle, never pixels). xxhash-free
-    * and deterministic; no SQL oracle (pixel decode + bit blocks are not
-    * DuckDB-expressible) → structural ScalaTest. */
+    * The fingerprint is 128 bits — dHash of the image ‖ dHash of its
+    * TRANSPOSE (vertical gradients): the second word costs nothing extra
+    * (the raster is already decoded) and doubles the bits available to
+    * the blocking stage. Pair generation is pigeonhole-blocked for
+    * hamming ≤ 8: the 128 bits split into 9 disjoint blocks (4×16 from
+    * the horizontal word, 13+13+13+13+12 from the vertical); ≤8
+    * differing bits dirty ≤8 blocks, so every qualifying pair agrees
+    * exactly on ≥1 block and collides in that equi-join — full recall,
+    * never an O(n²) self-join. Per-block key space is 2¹²–2¹⁶ (vs 2⁷–2⁸
+    * for 9 blocks of a 64-bit hash), so on dispersed hashes candidate
+    * volume drops ~2⁶ per block — the difference between workable and
+    * quadratic at billions of images. Hashing is batched mapPartitions
+    * (binary in, 16 hash bytes out: at 100 TB only hashes and ids ever
+    * shuffle, never pixels). xxhash-free and deterministic; no SQL
+    * oracle (pixel decode + bit blocks are not DuckDB-expressible) →
+    * structural ScalaTest. */
   private def qMmPhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.functions.ImageHeader
@@ -88,23 +96,29 @@ object LlmText3 {
              else 0)
         })
         val gray = ImageHeader.bmpGray(img).getOrElse(Array(Array(0)))
-        (id, ImageHeader.dhash64(gray))
-      }).toDF("doc_id", "ph")
+        (id, ImageHeader.dhash64(gray), ImageHeader.dhash64(gray.transpose))
+      }).toDF("doc_id", "ph1", "ph2")
       // the blocking self-join reads this twice — checkpoint the tiny
       // (id, hash) table so pixels are synthesized/decoded exactly once
       .localCheckpoint(true)
-    val widths = Seq(8, 7, 7, 7, 7, 7, 7, 7, 7)
-    val offsets = widths.scanLeft(0)(_ + _).init
-    val blocks = hashed.select(col("doc_id"), col("ph"),
-      posexplode(array(widths.zip(offsets).map { case (wd, off) =>
-        shiftrightunsigned(col("ph"), off).bitwiseAND(lit((1L << wd) - 1))
-      }: _*)).as(Seq("blk", "bkey")))
+    val blockCols: Seq[Column] =
+      Seq((16, 0), (16, 16), (16, 32), (16, 48)).map { case (wd, off) =>
+        shiftrightunsigned(col("ph1"), off).bitwiseAND(lit((1L << wd) - 1))
+      } ++
+      Seq((13, 0), (13, 13), (13, 26), (13, 39), (12, 52)).map {
+        case (wd, off) =>
+          shiftrightunsigned(col("ph2"), off).bitwiseAND(lit((1L << wd) - 1))
+      }
+    val blocks = hashed.select(col("doc_id"), col("ph1"), col("ph2"),
+      posexplode(array(blockCols: _*)).as(Seq("blk", "bkey")))
     val a = blocks.select(col("blk"), col("bkey"), col("doc_id").as("a"),
-      col("ph").as("ph_a"))
+      col("ph1").as("pa1"), col("ph2").as("pa2"))
     val b = blocks.select(col("blk"), col("bkey"), col("doc_id").as("b"),
-      col("ph").as("ph_b"))
+      col("ph1").as("pb1"), col("ph2").as("pb2"))
     a.join(b, Seq("blk", "bkey")).filter(col("a") < col("b"))
-      .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
+      .withColumn("hamming",
+        bit_count(col("pa1").bitwiseXOR(col("pb1"))) +
+          bit_count(col("pa2").bitwiseXOR(col("pb2"))))
       .filter(col("hamming") <= 8)
       .dropDuplicates("a", "b")
       .select(col("a"), col("b"), col("hamming"))

@@ -144,8 +144,9 @@ class LlmText3Spec extends AnyFunSuite {
 
   test("phash near-dup blocking finds every within-group pair") {
     // groups of 5 consecutive doc_ids share a base pattern with ≤2-pixel
-    // edits → dhash hamming ≤4 by construction; the 9-block pigeonhole
-    // guarantees full recall at the ≤8 threshold
+    // edits → each edit flips ≤2 bits in each of the two 64-bit words,
+    // so within-group pairs sit at 128-bit hamming ≤8 by construction;
+    // the 9-block pigeonhole guarantees full recall at that threshold
     val pairs = SparkEntry.queries("q_mm_phash")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs.nonEmpty)
