@@ -74,6 +74,27 @@ object AvroDatum {
             keys = in.map(kv => UTF8String.fromString(kv._1.toString)).toArray,
             values = in.map(kv => if (kv._2 == null) null else value(kv._2)).toArray)
         }
+      // struct-of-branches decode for multi-branch unions (resolve()
+      // leaves them as UNION): tag = dense index into the non-null
+      // branch list, exactly one member populated. resolveUnion gives
+      // the branch the datum was actually written with — the same
+      // dispatch GenericDatumReader used to decode it.
+      case (UNION, st: StructType) =>
+        val types = s.getTypes.asScala.toArray
+        val nonNullIdx = types.zipWithIndex
+          .filter(_._1.getType != NULL).map(_._2)
+        val denseOf = nonNullIdx.zipWithIndex.toMap // union idx → tag
+        val convs: Map[Int, Conv] = nonNullIdx.zipWithIndex.map {
+          case (ui, di) => ui -> reader(types(ui), st.fields(di + 1).dataType)
+        }.toMap
+        v => {
+          val ui = GenericData.get().resolveUnion(s, v)
+          val out = new Array[Any](st.fields.length)
+          val di = denseOf(ui)
+          out(0) = di
+          out(di + 1) = convs(ui)(v)
+          new GenericInternalRow(out)
+        }
       case (RECORD, st: StructType) =>
         val fieldConvs = st.fields.map { f =>
           val af = s.getField(f.name)

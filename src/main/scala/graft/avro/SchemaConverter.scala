@@ -17,8 +17,14 @@ import org.apache.spark.sql.types._
   */
 object SchemaConverter {
 
-  /** Avro → Spark. Unions other than `[null, T]` are rejected (they have
-    * no faithful relational shape); callers get a clear error. */
+  /** Avro → Spark. `[null, T]` unions collapse to nullable T; a union
+    * with several non-null branches has no single relational type, so it
+    * decodes as STRUCT-OF-BRANCHES — `struct<tag int, member_<branch>…>`
+    * with exactly one member set per value (`tag` = index into the
+    * non-null branch list). This keeps the source transparently
+    * schema-agnostic like the reference's GenericDatumReader pass-through
+    * (`repair-avro.ts:131`) while giving SQL a stable shape to filter and
+    * project on. */
   def toSpark(schema: Schema): DataType = schema.getType match {
     case BOOLEAN => BooleanType
     case INT =>
@@ -53,8 +59,12 @@ object SchemaConverter {
     case UNION =>
       nonNullBranch(schema) match {
         case Some(b) => toSpark(b)
-        case None => throw new IllegalArgumentException(
-          s"unsupported non-nullable union: $schema")
+        case None =>
+          StructType(
+            StructField("tag", IntegerType, nullable = false) +:
+              unionBranches(schema).map(b =>
+                StructField(s"member_${branchName(b)}", toSpark(b),
+                  nullable = true)))
       }
     case other => throw new IllegalArgumentException(s"unsupported avro type: $other")
   }
@@ -70,6 +80,18 @@ object SchemaConverter {
   def nonNullBranch(s: Schema): Option[Schema] = {
     val branches = s.getTypes.asScala.filter(_.getType != NULL)
     if (branches.size == 1) Some(branches.head) else None
+  }
+
+  /** The non-null branches of a union, in declaration order. */
+  def unionBranches(s: Schema): Seq[Schema] =
+    s.getTypes.asScala.toSeq.filter(_.getType != NULL)
+
+  /** Stable field-name suffix per union branch: the Avro branch name
+    * (type name for primitives, full name for named types) — unique
+    * within a union by spec, so member fields can never collide. */
+  def branchName(b: Schema): String = b.getType match {
+    case RECORD | ENUM | FIXED => b.getFullName.replace('.', '_')
+    case other => other.getName
   }
 
   /** Resolve a possibly-union schema to its effective value schema. */
