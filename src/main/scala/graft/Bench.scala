@@ -43,11 +43,28 @@ object Bench {
       case Some(ids) => SparkEntry.queries.filter(q => ids(q._1))
       case None => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
+    // Bench hygiene: the driver records whatever the machine was doing,
+    // so stamp the run with 1-min loadavg (start + end) and per-query
+    // JVM GC time — a contention-polluted sweep (r4: 162 s committed vs
+    // 98 s idle) is then diagnosable from the artifact itself instead
+    // of needing a manual re-run to explain.
+    import scala.jdk.CollectionConverters._
+    def gcSec(): Double = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum / 1e3
+    def loadAvg(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val load0 = loadAvg()
+    if (load0 > cpus.toInt / 2.0)
+      System.err.println(f"[bench] WARNING: 1-min loadavg $load0%.2f " +
+        f"at start of a local[$cpus] sweep - timings will be inflated " +
+        "by external load; re-run on an idle machine")
+    val withGc = selected.map { case (name, fn) =>
+      val g0 = gcSec()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> ((System.nanoTime() - t0) / 1e9, gcSec() - g0)
     }
+    val results = withGc.map { case (k, (sec, _)) => k -> sec }
     // The driver captures only the LAST ~2000 chars of output. A single
     // line carrying all ~130 per-query timings exceeds that, so the line
     // gets truncated mid-map and the driver records parsed=null (it did,
@@ -60,14 +77,19 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val byTime = results.toSeq.sortBy(-_._2)
-    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"queries":${jmap(byTime)},"sf":"$sfDir"}"""
+    val loadEnd = loadAvg()
+    val gcTotal = withGc.values.map(_._2).sum
+    val hygiene = s""""loadavg_start":${f(load0)},"loadavg_end":${f(loadEnd)},"gc_sec":${f(gcTotal)}"""
+    val gcByTime = withGc.map { case (k, (_, g)) => k -> g }.toSeq
+      .sortBy(-_._2)
+    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},$hygiene,"queries":${jmap(byTime)},"queries_gc":${jmap(gcByTime)},"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () } // read-only cwd must not kill the bench
     val head = byTime.take(40)
     val rest = total - head.map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"queries":${jmap(head)},"other_sec":${f(rest)},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},$hygiene,"queries":${jmap(head)},"other_sec":${f(rest)},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
