@@ -129,14 +129,76 @@ object LlmText2 {
           .as("n_removed"))
       .orderBy("doc_id")
 
+  /** Sub-document exact dedup (the CCNet paragraph-dedup analogue over
+    * flat text): documents split into fixed 10-word spans, a span kept
+    * only at its FIRST corpus occurrence (lowest (doc_id, idx) —
+    * deterministic), documents reconstructed from their surviving spans.
+    * This is the family member the whole-document passes can't express:
+    * boilerplate headers/footers repeated across millions of pages
+    * disappear while the unique bodies survive.
+    *
+    * Scale shape: the span table is one explode (O(tokens) rows); first
+    * ownership is a single min(struct) hash aggregate keyed by span
+    * text (map-side partials absorb hot boilerplate spans before the
+    * shuffle); the ownership table joins back on the same key the
+    * aggregate hashed on (shuffle join — span-keyed, AQE-skew-safe, no
+    * unbounded broadcast); reconstruction is a per-doc sorted
+    * collect_list bounded by document length. No stage holds more than
+    * one document's spans in a buffer. */
+  private def qDedupSpan(s: SparkSession, d: String): DataFrame = {
+    val spans = t(s, d, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_sp",
+        greatest(ceil(size(col("ws")) / lit(10.0)), lit(1)).cast("int"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, n_sp - 1)," +
+          " i -> array_join(slice(ws, i * 10 + 1, 10), ' '))"))
+        .as(Seq("idx", "span")))
+    val firstOwner = spans.groupBy(col("span"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("fst"))
+    spans.join(firstOwner, Seq("span"))
+      .withColumn("keep", col("doc_id") === col("fst.doc_id") &&
+        col("idx") === col("fst.idx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        expr("""array_join(transform(array_sort(
+          collect_list(CASE WHEN keep THEN struct(idx, span) END)),
+          p -> p.span), ' ')""").as("deduped"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stopwords" -> (qTextStopwords _),
     "q_text_scrub" -> (qTextScrub _),
     "q_text_ngrams" -> (qTextNgrams _),
     "q_dedup_cluster" -> (qDedupCluster _),
+    "q_dedup_span" -> (qDedupSpan _),
   )
 
   val sql: Map[String, String] = Map(
+    // 1-based inclusive list slicing in DuckDB (ws[a:b]) vs Spark's
+    // slice(ws, start, length); first-occurrence via a window rank
+    // ordered by (doc_id, idx) — same total order as Spark's
+    // min(struct(doc_id, idx))
+    "q_dedup_span" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |sp AS (SELECT doc_id, CAST(i AS INT) AS idx,
+        |         array_to_string(
+        |           ws[CAST(i AS INT)*10+1 : CAST(i AS INT)*10+10], ' ')
+        |           AS span
+        |       FROM (SELECT doc_id, ws, unnest(range(0,
+        |           GREATEST(CAST(ceil(len(ws)/10.0) AS BIGINT), 1))) AS i
+        |             FROM w)),
+        |k AS (SELECT doc_id, idx, span,
+        |        ROW_NUMBER() OVER (PARTITION BY span
+        |          ORDER BY doc_id, idx) = 1 AS keep FROM sp)
+        |SELECT doc_id, COUNT(*) AS n_spans,
+        |  CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+        |  COALESCE(string_agg(span, ' ' ORDER BY idx)
+        |    FILTER (WHERE keep), '') AS deduped
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_text_stopwords" ->
       """SELECT doc_id,
         |  array_to_string(list_filter(string_split(text, ' '),
