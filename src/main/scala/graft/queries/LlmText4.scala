@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Fourth LLM-pipeline wave: PII detection/redaction, URL-canonicalization
+  * dedup, and per-document entropy quality signals.
+  *
+  * Scale notes: PII and entropy are per-row map-only operators — no
+  * shuffle at any corpus size, whole-stage codegen'd regex/higher-order
+  * expressions. URL dedup is the canonical one-shuffle exact-dedup shape
+  * (groupBy on a bounded-length canonical key), the same plan as
+  * q_dedup_exact but keyed on a normalized URL instead of normalized
+  * text — the first stage of every web-crawl ingestion pipeline. The
+  * entropy operator deliberately avoids the explode→shuffle form: run
+  * lengths over a per-row sorted token array give Σ c·log2 c in one
+  * higher-order `aggregate`, O(len·log len) per document and bounded by
+  * document length (the same per-doc-bounded argument as
+  * q_text_repetition), where the naive per-distinct-token `filter` count
+  * would be O(distinct × tokens).
+  *
+  * The documents table carries no real PII or URLs, so both engines
+  * derive the same deterministic synthetic columns (doc_id-seeded) before
+  * applying the operator — the detection/redaction/canonicalization logic
+  * is what the oracle pins, over inputs with known per-class densities.
+  */
+object LlmText4 {
+
+  private val EmailRe = "[a-z0-9]+@[a-z0-9.]+"
+  private val PhoneRe = "555-[0-9]{4}"
+  private val IpRe = "10\\.0\\.[0-9]+\\.[0-9]+"
+
+  /** PII detection + redaction (the privacy-scrub stage of a training
+    * pipeline, cf. BigScience ROOTS / CCNet): typed match counts per
+    * class (email / phone / IPv4) and a class-tagged redacted text.
+    * Map-only: regexp_count + a regexp_replace chain per row; zero
+    * shuffles, codegen'd, scales with bytes scanned. */
+  private def qTextPii(s: SparkSession, d: String): DataFrame = {
+    val ptext = concat(
+      col("text"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com"))).otherwise(""),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(""),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") % 100).cast("string"))).otherwise(""))
+    t(s, d, "documents")
+      .select(col("doc_id"), ptext.as("ptext"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("ptext"), lit(EmailRe)).cast("int").as("n_emails"),
+        regexp_count(col("ptext"), lit(PhoneRe)).cast("int").as("n_phones"),
+        regexp_count(col("ptext"), lit(IpRe)).cast("int").as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("ptext"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          IpRe, "<IP>").as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  /** URL-canonicalization dedup — the first dedup stage of a web-crawl
+    * pipeline: lowercase scheme+host, strip default port, drop the
+    * fragment, drop `utm_*` tracking params, sort the surviving query
+    * params, then keep the first document per canonical URL. One shuffle
+    * on the canonical key (bounded-length string), identical plan shape
+    * to q_dedup_exact; everything before the groupBy is per-row codegen'd
+    * string/array work. Synthetic URLs are doc_id-seeded so ~200 id pairs
+    * at distance 300 collide only after canonicalization (case, :443,
+    * utm param, fragment all differ). */
+  private def qDedupUrl(s: SparkSession, d: String): DataFrame = {
+    val url = concat(
+      lit("HTTPS://WWW.Example-"), (col("doc_id") % 20).cast("string"),
+      lit(".COM:443/Docs/"), (col("doc_id") % 25).cast("string"),
+      lit("?b="), (col("doc_id") % 3).cast("string"),
+      lit("&utm_source=feed"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("&a="), (col("doc_id") % 4).cast("string"))).otherwise(""),
+      lit("#sec"), col("doc_id").cast("string"))
+    t(s, d, "documents")
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("nofrag", expr("split_part(url, '#', 1)"))
+      .withColumn("host",
+        lower(expr("replace(regexp_extract(nofrag, '://([^/]+)', 1), ':443', '')")))
+      .withColumn("pathq", regexp_extract(col("nofrag"), "://[^/]+(/.*)", 1))
+      .withColumn("path",
+        regexp_replace(expr("split_part(pathq, '?', 1)"), "/$", ""))
+      .withColumn("params", array_join(array_sort(
+        filter(split(expr("split_part(pathq, '?', 2)"), "&"),
+          x => !startswith(x, lit("utm_")) && x =!= "")), "&"))
+      .withColumn("canonical_url", concat(lit("https://"), col("host"),
+        col("path"),
+        when(col("params") =!= "", concat(lit("?"), col("params")))
+          .otherwise("")))
+      .groupBy("canonical_url")
+      .agg(min("doc_id").cast("long").as("keeper_doc_id"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("canonical_url")
+  }
+
+  /** Σ c·log2(c) over token run lengths of a per-row sorted array — the
+    * shuffle-free building block for per-document entropy:
+    * H = log2(n) − Σ c·log2(c) / n. */
+  private def runSumCLogC(arr: String): Column = expr(
+    s"""aggregate(
+       |  array_sort($arr),
+       |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L,
+       |               'acc', CAST(0.0 AS DOUBLE)),
+       |  (s, w) -> IF(s.prev IS NOT NULL AND w = s.prev,
+       |    named_struct('prev', s.prev, 'run', s.run + 1L, 'acc', s.acc),
+       |    named_struct('prev', w, 'run', 1L,
+       |      'acc', s.acc + IF(s.run > 0L,
+       |        s.run * log2(CAST(s.run AS DOUBLE)), CAST(0.0 AS DOUBLE)))),
+       |  s -> s.acc + IF(s.run > 0L,
+       |    s.run * log2(CAST(s.run AS DOUBLE)), CAST(0.0 AS DOUBLE)))"""
+      .stripMargin)
+
+  /** Per-document Shannon entropy at character and word level — the
+    * compression-style quality signal (low char entropy = repetitive
+    * boilerplate, abnormal word entropy = keyword stuffing / garbled
+    * text). Map-only: both entropies come from run lengths over per-row
+    * sorted arrays (no explode, no shuffle) via the H = log2(n) −
+    * Σ c·log2 c / n identity; cost is O(len·log len) per document,
+    * bounded by document length. */
+  private def qTextEntropy(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("cs", split(col("text"), ""))
+      .withColumn("ws", filter(split(col("text"), " "), x => x =!= ""))
+      .select(
+        col("doc_id"),
+        round(log2(size(col("cs"))) - runSumCLogC("cs") / size(col("cs")), 6)
+          .as("char_entropy"),
+        round(log2(size(col("ws"))) - runSumCLogC("ws") / size(col("ws")), 6)
+          .as("word_entropy"))
+      .orderBy("doc_id")
+
+  val defs: Map[String, Relational.Q] = Map(
+    "q_text_pii" -> (qTextPii _),
+    "q_dedup_url" -> (qDedupUrl _),
+    "q_text_entropy" -> (qTextEntropy _),
+  )
+
+  val sql: Map[String, String] = Map(
+    // regexp_extract_all+len = Spark's regexp_count; 'g' flag = Spark's
+    // replace-all default
+    "q_text_pii" ->
+      """WITH pii AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 2 = 0 THEN ' contact user' ||
+        |      CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' call 555-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' ||
+        |      CAST(doc_id % 256 AS VARCHAR) || '.' ||
+        |      CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS ptext
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(ptext, '[a-z0-9]+@[a-z0-9.]+'))
+        |    AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(ptext, '555-[0-9]{4}'))
+        |    AS INT) AS n_phones,
+        |  CAST(len(regexp_extract_all(ptext, '10\.0\.[0-9]+\.[0-9]+'))
+        |    AS INT) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(ptext,
+        |    '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g'),
+        |    '10\.0\.[0-9]+\.[0-9]+', '<IP>', 'g') AS redacted
+        |FROM pii ORDER BY doc_id""".stripMargin,
+    "q_dedup_url" ->
+      """WITH urls AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.Example-' || CAST(doc_id % 20 AS VARCHAR) ||
+        |    '.COM:443/Docs/' || CAST(doc_id % 25 AS VARCHAR) ||
+        |    '?b=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_source=feed' ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN '&a=' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END ||
+        |    '#sec' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |parts AS (SELECT doc_id, split_part(url, '#', 1) AS nofrag
+        |  FROM urls),
+        |comp AS (SELECT doc_id,
+        |    lower(replace(regexp_extract(nofrag, '://([^/]+)', 1),
+        |      ':443', '')) AS host,
+        |    regexp_replace(split_part(
+        |      regexp_extract(nofrag, '://[^/]+(/.*)', 1), '?', 1),
+        |      '/$', '') AS path,
+        |    array_to_string(list_sort(list_filter(
+        |      string_split(split_part(
+        |        regexp_extract(nofrag, '://[^/]+(/.*)', 1), '?', 2), '&'),
+        |      x -> x NOT LIKE 'utm_%' AND x <> '')), '&') AS params
+        |  FROM parts),
+        |canon AS (SELECT doc_id, 'https://' || host || path ||
+        |    CASE WHEN params <> '' THEN '?' || params ELSE '' END
+        |    AS canonical_url
+        |  FROM comp)
+        |SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+    // the explode→group form — equivalence with Spark's run-length
+    // per-row form is exactly what this oracle pins
+    "q_text_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |cc AS (SELECT doc_id, ch, count(*) AS c FROM chars
+        |  GROUP BY doc_id, ch),
+        |tot AS (SELECT doc_id, sum(c) AS n FROM cc GROUP BY doc_id),
+        |ce AS (SELECT cc.doc_id,
+        |    round(-sum((c * 1.0 / n) * log2(c * 1.0 / n)), 6)
+        |      AS char_entropy
+        |  FROM cc JOIN tot ON cc.doc_id = tot.doc_id
+        |  GROUP BY cc.doc_id, n),
+        |words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM words
+        |  WHERE w <> '' GROUP BY doc_id, w),
+        |wtot AS (SELECT doc_id, sum(c) AS n FROM wc GROUP BY doc_id),
+        |we AS (SELECT wc.doc_id,
+        |    round(-sum((c * 1.0 / n) * log2(c * 1.0 / n)), 6)
+        |      AS word_entropy
+        |  FROM wc JOIN wtot ON wc.doc_id = wtot.doc_id
+        |  GROUP BY wc.doc_id, n)
+        |SELECT ce.doc_id, char_entropy, word_entropy
+        |FROM ce JOIN we ON ce.doc_id = we.doc_id
+        |ORDER BY ce.doc_id""".stripMargin,
+  )
+}

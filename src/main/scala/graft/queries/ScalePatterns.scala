@@ -246,19 +246,42 @@ object ScalePatterns {
       .orderBy("zbucket")
   }
 
-  /** Write (once per sf) the z-ordered lineitem copy; returns its path. */
+  /** Write (once per sf) the z-ordered lineitem copy; returns its path.
+    *
+    * Each dimension is min-max bucketized into the 0..255 grid before
+    * interleaving — the same per-column range binning Delta/Iceberg
+    * z-order applies. A raw `key % 256` wastes grid resolution whenever
+    * the key's actual domain is narrower than 256 (l_suppkey spans only
+    * ~100 values at small sf, so its tiles were 64-tall over a 100-wide
+    * domain and a box predicate could not skip), and bucketization is
+    * what keeps tiles square at ANY domain width — at 100 TB the bounds
+    * aggregate is one cheap scan-reduce broadcast, independent of corpus
+    * size. The layout itself is one directory per aligned 64×64 z-tile
+    * (zval div 4096), which is deterministic — no sampled range
+    * boundaries — so every file's parquet min/max covers exactly one
+    * tile and a box predicate on either axis prunes 3/4 of the files. */
   private[queries] def zorderDir(s: SparkSession, d: String): String = {
-    val dir = s"$workRoot/lineitem_z_${math.abs(d.hashCode)}"
+    // v2: bucketized grid + tile-aligned layout (name versioned so a
+    // cached v1 directory is never mistaken for this layout)
+    val dir = s"$workRoot/lineitem_z2_${math.abs(d.hashCode)}"
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      val bounds = t(s, d, "lineitem")
+        .agg(min("l_partkey").as("mnp"), max("l_partkey").as("mxp"),
+          min("l_suppkey").as("mns"), max("l_suppkey").as("mxs"))
       t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("l_quantity"))
-        .withColumn("px", expr("l_partkey % 256"))
-        .withColumn("py", expr("l_suppkey % 256"))
-        .withColumn("zval", expr(zExpr("l_partkey % 256", "l_suppkey % 256")))
-        .repartitionByRange(16, col("zval"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("px",
+          expr("CAST(((l_partkey - mnp) * 256) div (mxp - mnp + 1) AS INT)"))
+        .withColumn("py",
+          expr("CAST(((l_suppkey - mns) * 256) div (mxs - mns + 1) AS INT)"))
+        .withColumn("zval", expr(zExpr("px", "py")))
+        .withColumn("ztile", expr("CAST(zval div 4096 AS INT)"))
+        .drop("mnp", "mxp", "mns", "mxs")
+        .repartition(16, col("ztile"))
         .sortWithinPartitions("zval")
-        .write.mode("overwrite").parquet(dir)
+        .write.mode("overwrite").partitionBy("ztile").parquet(dir)
     }
     dir
   }
@@ -411,10 +434,19 @@ object ScalePatterns {
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_layout_zorder" ->
-      s"""WITH z AS (
-        |  SELECT (${zExpr("l_partkey % 256", "l_suppkey % 256")}) AS zval,
-        |    l_partkey % 256 AS px, l_suppkey % 256 AS py, l_quantity
-        |  FROM lineitem)
+      s"""WITH b AS (
+        |  SELECT MIN(l_partkey) AS mnp, MAX(l_partkey) AS mxp,
+        |    MIN(l_suppkey) AS mns, MAX(l_suppkey) AS mxs FROM lineitem),
+        |sc AS (
+        |  SELECT CAST(((l_partkey - mnp) * 256) // (mxp - mnp + 1) AS INT)
+        |      AS px,
+        |    CAST(((l_suppkey - mns) * 256) // (mxs - mns + 1) AS INT)
+        |      AS py,
+        |    l_quantity
+        |  FROM lineitem CROSS JOIN b),
+        |z AS (
+        |  SELECT (${zExpr("px", "py")}) AS zval, px, py, l_quantity
+        |  FROM sc)
         |SELECT zval // 256 AS zbucket, COUNT(*) AS n,
         |  MIN(px) AS px_min, MAX(px) AS px_max,
         |  MIN(py) AS py_min, MAX(py) AS py_max,

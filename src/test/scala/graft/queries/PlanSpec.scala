@@ -301,6 +301,40 @@ class PlanSpec extends AnyFunSuite {
         df.queryExecution.executedPlan)
   }
 
+  test("PII scrub and entropy scoring are map-only: no shuffle, no explode") {
+    // Both ops must scale with bytes scanned: the only allowed exchange
+    // is the presentation sort's rangepartitioning. Entropy especially
+    // must NOT take the explode→groupBy form (its per-row sorted-run
+    // aggregate exists precisely to avoid shuffling the token stream).
+    for (q <- Seq("q_text_pii", "q_text_entropy")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val nodes = deepNodes(df)
+      val hashing = nodes.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("hashpartitioning") => e
+      }
+      assert(hashing.isEmpty,
+        s"$q shuffled (${hashing.size} hash exchanges):\n" +
+          df.queryExecution.executedPlan)
+      assert(!nodes.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.GenerateExec]),
+        s"$q exploded the token stream:\n" + df.queryExecution.executedPlan)
+    }
+  }
+
+  test("URL dedup pays exactly one shuffle (the canonical-key groupBy)") {
+    val df = SparkEntry.queries("q_dedup_url")(spark, sf)
+    df.collect()
+    val hashing = deepNodes(df).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }
+    assert(hashing.size == 1,
+      s"expected one canonical-key exchange, got ${hashing.size}:\n" +
+        df.queryExecution.executedPlan)
+  }
+
   test("dedup clustering converges to recursive-CTE components") {
     // 500 docs at sf0.001 → some multi-doc components; labels must be
     // the component-min doc_id and be stable across runs
