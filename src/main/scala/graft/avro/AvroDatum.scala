@@ -28,7 +28,11 @@ object AvroDatum {
       case (_, NullType) => _ => null
       case (BOOLEAN, BooleanType) => identity
       case (INT, DateType) => identity // days since epoch
+      case (INT, _: TimeType) => // time-millis → nanos-of-day
+        v => java.lang.Long.valueOf(v.asInstanceOf[Int].toLong * 1000000L)
       case (INT, IntegerType) => identity
+      case (LONG, _: TimeType) => // time-micros → nanos-of-day
+        v => java.lang.Long.valueOf(v.asInstanceOf[Long] * 1000L)
       case (LONG, TimestampType) | (LONG, TimestampNTZType) =>
         s.getLogicalType match {
           case _: LogicalTypes.TimestampMillis |
@@ -133,6 +137,8 @@ object AvroDatum {
       case LongType => (r, i) => java.lang.Long.valueOf(r.getLong(i))
       case TimestampType | TimestampNTZType =>
         (r, i) => java.lang.Long.valueOf(r.getLong(i)) // µs
+      case _: TimeType => // nanos-of-day → time-micros
+        (r, i) => java.lang.Long.valueOf(r.getLong(i) / 1000L)
       case FloatType => (r, i) => java.lang.Float.valueOf(r.getFloat(i))
       case DoubleType => (r, i) => java.lang.Double.valueOf(r.getDouble(i))
       case StringType => (r, i) => r.getUTF8String(i).toString
@@ -180,6 +186,8 @@ object AvroDatum {
     dt match {
       case BooleanType | IntegerType | LongType | FloatType | DoubleType |
            DateType | TimestampType | TimestampNTZType => identity
+      case _: TimeType => // nanos-of-day → time-micros
+        v => java.lang.Long.valueOf(v.asInstanceOf[Long] / 1000L)
       case ByteType => v => java.lang.Integer.valueOf(v.asInstanceOf[Byte].toInt)
       case ShortType => v => java.lang.Integer.valueOf(v.asInstanceOf[Short].toInt)
       case StringType => v => v.toString

@@ -30,7 +30,11 @@ object SchemaConverter {
     case INT =>
       schema.getLogicalType match {
         case _: LogicalTypes.Date => DateType
-        case _ => IntegerType // time-millis kept as raw int
+        // TIME is still flag-gated in Spark 4.1 (spark.sql.timeType
+        // .enabled); honor the session's regime — raw millis-of-day int
+        // (lossless) when the type is disabled, as before.
+        case _: LogicalTypes.TimeMillis if timeTypeEnabled => TimeType(3)
+        case _ => IntegerType
       }
     case LONG =>
       schema.getLogicalType match {
@@ -38,7 +42,8 @@ object SchemaConverter {
         case _: LogicalTypes.TimestampMicros => TimestampType
         case _: LogicalTypes.LocalTimestampMillis => TimestampNTZType
         case _: LogicalTypes.LocalTimestampMicros => TimestampNTZType
-        case _ => LongType // time-micros kept as raw long
+        case _: LogicalTypes.TimeMicros if timeTypeEnabled => TimeType(6)
+        case _ => LongType
       }
     case FLOAT => FloatType
     case DOUBLE => DoubleType
@@ -71,6 +76,13 @@ object SchemaConverter {
 
   def toSparkStruct(schema: Schema): StructType =
     toSpark(schema).asInstanceOf[StructType]
+
+  /** Spark 4.1 ships TIME as a preview type behind
+    * `spark.sql.timeType.enabled`; schema inference runs on the driver
+    * with the active session's conf. */
+  private def timeTypeEnabled: Boolean =
+    try org.apache.spark.sql.internal.SQLConf.get.isTimeTypeEnabled
+    catch { case _: Throwable => false }
 
   def isNullable(s: Schema): Boolean =
     s.getType == NULL ||
@@ -115,6 +127,8 @@ object SchemaConverter {
         LogicalTypes.timestampMicros().addToSchema(Schema.create(LONG))
       case TimestampNTZType =>
         LogicalTypes.localTimestampMicros().addToSchema(Schema.create(LONG))
+      case _: TimeType => // any precision widens losslessly to micros
+        LogicalTypes.timeMicros().addToSchema(Schema.create(LONG))
       case d: DecimalType =>
         LogicalTypes.decimal(d.precision, d.scale)
           .addToSchema(Schema.create(BYTES))

@@ -106,6 +106,64 @@ class AvroSubsystemSpec extends AnyFunSuite {
     assert(org.apache.avro.SchemaNormalization.parsingFingerprint64(sch) != 0L)
   }
 
+  test("time-millis/micros decode as TimeType and round-trip (µs)") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.spark.sql.types._
+    // TIME is flag-gated in Spark 4.1; the source honors the session
+    // regime (without the flag these columns stay raw int/long millis/
+    // micros-of-day, the pre-TIME behavior)
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    try timeRoundTrip()
+    finally spark.conf.set("spark.sql.timeType.enabled", "false")
+  }
+
+  private def timeRoundTrip(): Unit = {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("time")
+    val sch = new Schema.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"t3","type":{"type":"int","logicalType":"time-millis"}},
+        |{"name":"t6","type":["null",
+        |  {"type":"long","logicalType":"time-micros"}]}]}""".stripMargin)
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](sch))
+    w.create(sch, new java.io.File(dir, "t.avro"))
+    // 12:34:56.789 and 12:34:56.789123
+    for (i <- 0 until 4) {
+      val r = new GenericData.Record(sch)
+      r.put("id", i.toLong)
+      r.put("t3", Int.box(45296789 + i))
+      r.put("t6", if (i == 3) null else Long.box(45296789123L + i))
+      w.append(r)
+    }
+    w.close()
+    val df = spark.read.format("graft-avro").load(dir)
+    assert(df.schema("t3").dataType == TimeType(3))
+    assert(df.schema("t6").dataType == TimeType(6) && df.schema("t6").nullable)
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getAs[java.time.LocalTime]("t3") ==
+      java.time.LocalTime.of(12, 34, 56, 789000000))
+    assert(rows(0).getAs[java.time.LocalTime]("t6") ==
+      java.time.LocalTime.of(12, 34, 56, 789123000))
+    assert(rows(3).isNullAt(rows(3).fieldIndex("t6")))
+    // round-trips through the DSv2 writer (both widen to time-micros)
+    val dir2 = tmpDir("time-rt")
+    df.write.format("graft-avro").mode("append").save(dir2)
+    val back = spark.read.format("graft-avro").load(dir2)
+    assert(back.schema("t3").dataType == TimeType(6)) // written as µs
+    assert(back.orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getAs[java.time.LocalTime]("t3"),
+          r.getAs[java.time.LocalTime]("t6"))).toSeq ==
+      rows.map(r => (r.getLong(0), r.getAs[java.time.LocalTime]("t3"),
+        r.getAs[java.time.LocalTime]("t6"))).toSeq)
+  }
+
   test("avro fixtures decode via DataFileReader and match seeded ids") {
     val dir = tmpDir("fix")
     val bytes = AvroFixtures.containerBytes(500, "deflate")
