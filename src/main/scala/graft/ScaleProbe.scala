@@ -58,9 +58,10 @@ object ScaleProbe {
           "q_dedup_embed", "q_embed_norm", "q_embed_quantize")
       else
         Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
-          "q_dedup_ngram", "q_dedup_span", "q_text_ngrams", "q_text_tfidf",
-          "q_dedup_cluster", "q_text_decontaminate", "q_text_boilerplate",
-          "q_text_repetition")
+          "q_dedup_ngram", "q_dedup_span", "q_dedup_url", "q_text_ngrams",
+          "q_text_tfidf", "q_dedup_cluster", "q_text_decontaminate",
+          "q_text_boilerplate", "q_text_repetition", "q_text_pii",
+          "q_text_entropy")
     val times = ops.map { id =>
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(id)(spark, probeDir).count()

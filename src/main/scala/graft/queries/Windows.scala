@@ -133,7 +133,40 @@ object Windows {
       .orderBy("day")
   }
 
+  /** Gaps-and-islands: per-user consecutive-active-day streaks via the
+    * classic day − row_number() grouping key. Every window partitions by
+    * user_id (no global window task), the (user, day) dedup bounds all
+    * downstream cardinalities by active-days-per-user, and the
+    * longest-streak tie-break (earliest start) is an explicit equi-join
+    * on (user, max_len) — deterministic on both engines without relying
+    * on struct-ordering semantics. */
+  private def qWinIslands(s: SparkSession, d: String): DataFrame = {
+    val dayUser = events(s, d)
+      .select(col("user_id"), expr("us div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = dayUser
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("day")).as("streak_start"),
+        count(lit(1)).as("streak_len"))
+    val summary = islands.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"),
+        sum(col("streak_len")).as("n_days"),
+        max(col("streak_len")).as("max_streak"))
+    val best = islands
+      .join(summary.select(col("user_id"),
+        col("max_streak").as("streak_len")), Seq("user_id", "streak_len"))
+      .groupBy(col("user_id"))
+      .agg(min(col("streak_start")).as("best_start"))
+    summary.join(best, "user_id")
+      .select(col("user_id"), col("n_streaks"), col("n_days"),
+        col("max_streak"), col("best_start"))
+      .orderBy("user_id")
+  }
+
   val defs: Map[String, Relational.Q] = Map(
+    "q_win_islands" -> (qWinIslands _),
     "q_win_distinct" -> (qWinDistinct _),
     "q_win_session" -> (qWinSession _),
     "q_win_rank" -> (qWinRank _),
@@ -144,6 +177,29 @@ object Windows {
   )
 
   val sql: Map[String, String] = Map(
+    // same day-bucketing convention as q_win_distinct; COUNT(BIGINT)
+    // sums cast back from HUGEINT
+    "q_win_islands" ->
+      """WITH du AS (SELECT DISTINCT user_id,
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT)
+        |      AS day FROM events),
+        |isl AS (SELECT user_id, day - rn AS island,
+        |    MIN(day) AS streak_start, COUNT(*) AS streak_len
+        |  FROM (SELECT user_id, day,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        |    FROM du) x
+        |  GROUP BY user_id, day - rn),
+        |summary AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_streaks,
+        |    CAST(SUM(streak_len) AS BIGINT) AS n_days,
+        |    CAST(MAX(streak_len) AS BIGINT) AS max_streak
+        |  FROM isl GROUP BY user_id),
+        |best AS (SELECT i.user_id, MIN(i.streak_start) AS best_start
+        |  FROM isl i JOIN summary s
+        |    ON i.user_id = s.user_id AND i.streak_len = s.max_streak
+        |  GROUP BY i.user_id)
+        |SELECT s.user_id, n_streaks, n_days, max_streak, best_start
+        |FROM summary s JOIN best b ON s.user_id = b.user_id
+        |ORDER BY s.user_id""".stripMargin,
     // epoch-micro day bucketing both sides (ts is TIMESTAMP(NANOS):
     // Spark reads long nanos, DuckDB TIMESTAMP_NS → epoch_us)
     "q_win_distinct" ->
