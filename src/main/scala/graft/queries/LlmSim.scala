@@ -382,7 +382,15 @@ object LlmSim {
     * on the (tiny) deduped candidate set — the same funnel shape as the
     * minhash pipeline, never all-pairs and never shuffling the vectors
     * through the band explode. */
-  private def qDedupEmbed(s: SparkSession, d: String): DataFrame = {
+  private def qDedupEmbed(s: SparkSession, d: String): DataFrame =
+    embedDupPairs(s, d)
+      .select(col("a"), col("b"), col("sim"), col("is_dup"))
+      .orderBy("a", "b")
+
+  /** The banded-LSH candidate funnel + exact cosine verify shared by
+    * q_dedup_embed (pair report) and q_dedup_semantic (cluster+prune):
+    * (a, b, sim, is_dup) for every bucket-colliding pair, a < b. */
+  private def embedDupPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val nBands = 4
     val e = t(s, d, "embeddings")
@@ -404,8 +412,34 @@ object LlmSim {
         dot("ea", "eb") /
           (sqrt(norm2("ea")) * sqrt(norm2("eb"))), 6))
       .withColumn("is_dup", col("sim") >= 0.85)
-      .select(col("a"), col("b"), col("sim"), col("is_dup"))
-      .orderBy("a", "b")
+  }
+
+  /** Semantic dedup (the SemDeDup stage of an LLM data pipeline): group
+    * semantically-duplicate vectors into clusters and keep ONE
+    * representative per cluster. Composition of the two scale-safe
+    * primitives this engine already has — the banded-LSH→exact-verify
+    * funnel (never all-pairs) feeds its confirmed duplicate edges into
+    * min-label-propagation connected components (pointer doubling,
+    * O(log diameter) rounds) — so the whole pipeline shuffles candidate
+    * ids and labels, never the vectors. Representative = the cluster's
+    * minimum vec_id: deterministic on any engine (SemDeDup's
+    * closest-to-centroid variant derives by joining q_embed_centroids
+    * against cluster members; min-id keeps the oracle-free contract
+    * testable). Output: every vector with its cluster id, cluster size,
+    * and the keep/drop decision. */
+  private def qDedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val dupEdges = embedDupPairs(s, d).filter(col("is_dup"))
+      .select(col("a").as("x"), col("b").as("y"))
+    val vertices = t(s, d, "embeddings").select(col("vec_id").as("doc_id"))
+    val comp = LlmText2.connectedComponents(vertices, dupEdges)
+      .select(col("doc_id").as("vec_id"), col("grp").as("cluster_id"))
+    val sizes = comp.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "cluster_id")
+      .withColumn("is_kept", col("vec_id") === col("cluster_id"))
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+        col("is_kept"))
+      .orderBy("vec_id")
   }
 
   /** Embedding preprocessing stats: L2 norm, dimensionality, max
@@ -482,6 +516,7 @@ object LlmSim {
     "q_sim_ann_ivf" -> (qSimAnnIvf _),
     "q_sim_ann_ivfpq" -> (qSimAnnIvfPq _),
     "q_dedup_embed" -> (qDedupEmbed _),
+    "q_dedup_semantic" -> (qDedupSemantic _),
     "q_embed_norm" -> (qEmbedNorm _),
     "q_embed_quantize" -> (qEmbedQuantize _),
   )

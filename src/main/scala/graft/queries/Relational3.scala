@@ -39,6 +39,22 @@ object Relational3 {
         count(lit(1)).as("n_cust"))
       .orderBy("c_nationkey")
 
+  /** Deterministic statistical mode per group: most frequent value,
+    * smallest value on frequency ties. Engine-native `mode()` leaves
+    * tie-breaking unspecified on both engines, so the portable form is
+    * the two-level aggregate — (group, value) counts, then an arg-max
+    * on the composite key cnt·10⁶ − value (same integer-packing trick
+    * as q_agg_argmax; l_quantity ∈ [1,50] ≪ 10⁶): two bounded shuffles,
+    * partial-agg'd, no windows. */
+  private def qAggMode(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity").cast("bigint").as("q"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("max_by(q, cnt * 1000000 - q)").as("mode_qty"),
+        max(col("cnt")).as("mode_n"))
+      .orderBy("l_returnflag")
+
   /** Boolean aggregates: bool_and / bool_or / count_if. */
   private def qAggBool(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders")
@@ -260,6 +276,7 @@ object Relational3 {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topk_native" -> (qTopkNative _),
     "q_agg_argmax" -> (qAggArgmax _),
+    "q_agg_mode" -> (qAggMode _),
     "q_agg_bool" -> (qAggBool _),
     "q_agg_bitagg" -> (qAggBitagg _),
     "q_agg_hist" -> (qAggHist _),
@@ -290,6 +307,13 @@ object Relational3 {
         |  arg_min(c_name, CAST(round(c_acctbal*100) AS BIGINT)*1000000000000 + c_custkey) AS poorest,
         |  COUNT(*) AS n_cust
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_agg_mode" ->
+      """WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+        |    COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT))
+        |SELECT l_returnflag, arg_max(q, cnt * 1000000 - q) AS mode_qty,
+        |  CAST(MAX(cnt) AS BIGINT) AS mode_n
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_bool" ->
       """SELECT o_orderpriority,
         |  bool_and(o_totalprice > 1000) AS all_above_1k,

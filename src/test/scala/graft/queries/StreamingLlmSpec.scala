@@ -236,6 +236,39 @@ class StreamingLlmSpec extends AnyFunSuite {
       s"band-0 sign-flip near-dup not found as dup: $rows")
   }
 
+  /** SemDeDup composition: a planted chain of near-dups (a≈b, b≈c where
+    * a and c may not even collide directly) must collapse into ONE
+    * cluster keeping exactly its min-id member; singletons keep
+    * themselves; the result is deterministic across runs. */
+  test("semantic dedup keeps one representative per near-dup cluster") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val base = Array.fill(64)(rng.nextFloat() * 2f - 1f)
+    def jitter(eps: Float): Array[Float] =
+      base.zipWithIndex.map { case (x, i) => x + eps * (i % 3) * 0.001f }
+    val far = Array.fill(64)(rng.nextFloat() * 2f - 1f)
+    val dir = Files.createTempDirectory("graft-semdedup").toString
+    // 10≈11≈12 (chain), 20 and 21 unrelated singletons
+    Seq((10L, base, 0), (11L, jitter(1f), 0), (12L, jitter(2f), 0),
+      (20L, far, 1), (21L, far.map(-_), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    def run() = SparkEntry.queries("q_dedup_semantic")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2),
+        r.getBoolean(3)))
+    val rows = run()
+    assert(rows.map(_._2).toSet == Set(10L, 11L, 12L, 20L, 21L),
+      s"every vector must appear exactly once: ${rows.toSeq}")
+    val cluster10 = rows.filter(_._1 == 10L)
+    assert(cluster10.map(_._2).toSet == Set(10L, 11L, 12L) &&
+      cluster10.forall(_._3 == 3L),
+      s"chain didn't collapse into one cluster: ${rows.toSeq}")
+    assert(rows.count(_._4) == 3 &&
+      rows.filter(_._4).map(_._2).toSet == Set(10L, 20L, 21L),
+      s"survivors must be exactly the cluster minima: ${rows.toSeq}")
+    assert(run().toSeq == rows.toSeq, "semantic dedup not deterministic")
+  }
+
   test("connected components survives doc_ids near 2^62 (no Long-sum overflow)") {
     import spark.implicits._
     val huge = Long.MaxValue / 2
