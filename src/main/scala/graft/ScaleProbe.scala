@@ -55,7 +55,8 @@ object ScaleProbe {
     val ops =
       if (mode == "embeddings")
         Seq("q_embed_centroids", "q_sim_cosine_topk", "q_sim_ann_ivf",
-          "q_dedup_embed", "q_embed_norm", "q_embed_quantize")
+          "q_dedup_embed", "q_dedup_semantic", "q_embed_norm",
+          "q_embed_quantize")
       else
         Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
           "q_dedup_ngram", "q_dedup_span", "q_dedup_url", "q_text_ngrams",
