@@ -139,10 +139,51 @@ object LlmText4 {
           .as("word_entropy"))
       .orderBy("doc_id")
 
+  /** Content-defined chunking (the FastCDC/Rabin idea over words): a
+    * chunk boundary lands after word i whenever the rolling hash of the
+    * last 4 words ≡ 0 (mod 8) — so boundaries are anchored to CONTENT,
+    * not positions, and an insertion early in a document only reshapes
+    * the chunks it touches (fixed-size chunking shifts every later
+    * chunk, defeating downstream chunk-level dedup). Entirely per-row:
+    * word hashes, boundary positions, and chunk slices are higher-order
+    * expressions over the token array — no shuffle before the
+    * presentation sort, O(words × wordlen) per document. Expected chunk
+    * length = the mask modulus (8 words; measured 7.4). The oracle
+    * computes the same boundaries with lag windows over an exploded
+    * token stream — the per-row ⇄ relational equivalence is what's
+    * pinned. */
+  private def qTextCdc(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("ws", filter(split(col("text"), " "), x => x =!= ""))
+      .withColumn("whs", expr(
+        """transform(ws, w -> aggregate(split(w, ''), 0L,
+          |  (h, c) -> (h * 31L + ascii(c)) % 1000003L))""".stripMargin))
+      .withColumn("bpos", expr(
+        """IF(size(ws) >= 4,
+          |  filter(sequence(4, size(ws)), i ->
+          |    ((element_at(whs, i-3) * 29791L + element_at(whs, i-2) * 961L +
+          |      element_at(whs, i-1) * 31L + element_at(whs, i)) % 1000003L)
+          |      % 8L = 0L),
+          |  CAST(array() AS ARRAY<INT>))""".stripMargin))
+      .withColumn("bounds",
+        expr("array_distinct(concat(bpos, array(size(ws))))"))
+      .withColumn("chunks", expr(
+        """transform(sequence(1, size(bounds)), j -> named_struct(
+          |  'chunk_idx', CAST(j AS INT),
+          |  'cw', slice(ws, IF(j = 1, 1, element_at(bounds, j-1) + 1),
+          |    element_at(bounds, j) - IF(j = 1, 0, element_at(bounds, j-1)))))"""
+          .stripMargin))
+      .select(col("doc_id"), explode(col("chunks")).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        size(col("c.cw")).as("n_words"),
+        array_join(col("c.cw"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+
   val defs: Map[String, Relational.Q] = Map(
     "q_text_pii" -> (qTextPii _),
     "q_dedup_url" -> (qDedupUrl _),
     "q_text_entropy" -> (qTextEntropy _),
+    "q_text_cdc" -> (qTextCdc _),
   )
 
   val sql: Map[String, String] = Map(
@@ -201,6 +242,45 @@ object LlmText4 {
         |SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
         |  CAST(count(*) AS BIGINT) AS n_docs
         |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+    // lag-window boundary detection over an exploded token stream —
+    // equivalence with Spark's per-row higher-order form is the point;
+    // BIGINT hash arithmetic both sides (INT32 would overflow at *29791)
+    "q_text_cdc" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS w,
+        |    generate_subscripts(
+        |      list_filter(string_split(text, ' '), x -> x <> ''), 1)
+        |      AS idx
+        |  FROM documents),
+        |wh AS (
+        |  SELECT doc_id, idx, w,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(w, ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |      (h, a) -> (h * 31 + a) % 1000003) AS BIGINT) AS wh
+        |  FROM w),
+        |r AS (
+        |  SELECT doc_id, idx, w,
+        |    (lag(wh, 3) OVER win * 29791 + lag(wh, 2) OVER win * 961 +
+        |     lag(wh, 1) OVER win * 31 + wh) % 1000003 AS rh,
+        |    max(idx) OVER (PARTITION BY doc_id) AS n
+        |  FROM wh WINDOW win AS (PARTITION BY doc_id ORDER BY idx)),
+        |b AS (
+        |  SELECT doc_id, idx, w,
+        |    CASE WHEN (idx >= 4 AND rh % 8 = 0) OR idx = n
+        |      THEN 1 ELSE 0 END AS isb
+        |  FROM r),
+        |c AS (
+        |  SELECT doc_id, idx, w,
+        |    1 + COALESCE(sum(isb) OVER (PARTITION BY doc_id ORDER BY idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+        |  FROM b)
+        |SELECT doc_id, CAST(cid AS INT) AS chunk_idx,
+        |  CAST(COUNT(*) AS INT) AS n_words,
+        |  string_agg(w, ' ' ORDER BY idx) AS chunk_text
+        |FROM c GROUP BY doc_id, cid ORDER BY doc_id, chunk_idx""".stripMargin,
     // the explode→group form — equivalence with Spark's run-length
     // per-row form is exactly what this oracle pins
     "q_text_entropy" ->

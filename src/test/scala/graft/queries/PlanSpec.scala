@@ -323,6 +323,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("content-defined chunking computes boundaries per-row, no shuffle") {
+    // the chunk explode (Generate) is the OUTPUT, but boundary hashing
+    // must never take the explode→window form — no hash exchange allowed
+    val df = SparkEntry.queries("q_text_cdc")(spark, sf)
+    df.collect()
+    val hashing = deepNodes(df).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }
+    assert(hashing.isEmpty,
+      s"CDC shuffled (${hashing.size} hash exchanges):\n" +
+        df.queryExecution.executedPlan)
+  }
+
   test("URL dedup pays exactly one shuffle (the canonical-key groupBy)") {
     val df = SparkEntry.queries("q_dedup_url")(spark, sf)
     df.collect()
