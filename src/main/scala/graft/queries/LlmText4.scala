@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -179,7 +180,32 @@ object LlmText4 {
         array_join(col("c.cw"), " ").as("chunk_text"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Deterministic weighted sampling without replacement, k per group
+    * (Efraimidis–Spirakis A-ES): each doc draws a uniform u from the
+    * first 48 bits of md5(doc_id) and ranks by ln(u)/weight (the
+    * monotone image of u^(1/w)); the top-k per source are the sample.
+    * Longer documents (weight = n_chars) are proportionally likelier —
+    * the exact-k counterpart to q_sample_mixture's expected-rate
+    * sampling. Deterministic on any engine: the uniform is content-
+    * derived (no RNG state), the key is rounded to 12 dp before
+    * ranking, and doc_id breaks ties. One shuffle keyed by the group;
+    * every partition keeps only its k best via the window rank. */
+  private def qSampleWeighted(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("v", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint)"))
+      .withColumn("skey",
+        round(log((col("v") + lit(1.0)) / lit(281474976710657.0)) /
+          col("n_chars"), 12))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("skey").desc, col("doc_id"))).cast("int"))
+      .filter(col("rnk") <= 10)
+      .select(col("source"), col("rnk"), col("doc_id"), col("n_chars"))
+      .orderBy("source", "rnk")
+
   val defs: Map[String, Relational.Q] = Map(
+    "q_sample_weighted" -> (qSampleWeighted _),
     "q_text_pii" -> (qTextPii _),
     "q_dedup_url" -> (qDedupUrl _),
     "q_text_entropy" -> (qTextEntropy _),
@@ -187,6 +213,29 @@ object LlmText4 {
   )
 
   val sql: Map[String, String] = Map(
+    // hex→int via list_reduce (DuckDB has no conv()); ln IS natural log
+    // in DuckDB; 12-dp key round + doc_id tie-break make the rank
+    // boundary engine-portable
+    "q_sample_weighted" ->
+      """WITH k AS (
+        |  SELECT doc_id, source, n_chars,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(
+        |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 12), ''),
+        |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (h, d) -> h * 16 + d) AS v
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, n_chars,
+        |    round(ln((v + 1.0) / 281474976710657.0) / n_chars, 12) AS skey
+        |  FROM k),
+        |r AS (
+        |  SELECT source, doc_id, n_chars, skey,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY skey DESC, doc_id) AS rnk
+        |  FROM s)
+        |SELECT source, CAST(rnk AS INT) AS rnk, doc_id, n_chars
+        |FROM r WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin,
     // regexp_extract_all+len = Spark's regexp_count; 'g' flag = Spark's
     // replace-all default
     "q_text_pii" ->
