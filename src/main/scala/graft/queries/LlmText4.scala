@@ -204,7 +204,26 @@ object LlmText4 {
       .select(col("source"), col("rnk"), col("doc_id"), col("n_chars"))
       .orderBy("source", "rnk")
 
+  /** Heavy hitters over the corpus token stream via the native
+    * `approx_top_k` sketch aggregate (DataSketches frequent-items) —
+    * the sublinear-memory answer to "what are the most common tokens"
+    * that an exact groupBy can't give at web scale (its state is
+    * maxItemsTracked, not the vocabulary). Map-side partial sketches
+    * merge associatively, so the shuffle carries one sketch per
+    * partition. With tracked capacity ≥ the live vocabulary the
+    * estimates are exact — the spec pins that against an exact count;
+    * the explicit (est desc, w) sort makes tie order deterministic. */
+  private def qAggHeavyHitters(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(explode(filter(split(col("text"), " "), x => x =!= ""))
+        .as("w"))
+      .agg(expr("approx_top_k(w, 20, 10000)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("w"), col("e.count").as("est"))
+      .orderBy(col("est").desc, col("w"))
+
   val defs: Map[String, Relational.Q] = Map(
+    "q_agg_heavyhitters" -> (qAggHeavyHitters _),
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_text_pii" -> (qTextPii _),
     "q_dedup_url" -> (qDedupUrl _),

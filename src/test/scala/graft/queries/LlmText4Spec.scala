@@ -53,6 +53,21 @@ class LlmText4Spec extends AnyFunSuite {
       "chunks must reassemble the base document exactly")
   }
 
+  test("heavy-hitter sketch is exact when capacity covers the vocabulary") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q_agg_heavyhitters")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val exact = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(filter(split(col("text"), " "), x => x =!= ""))
+        .as("w"))
+      .groupBy("w").count()
+      .orderBy(col("count").desc, col("w"))
+      .limit(20).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == exact.toSeq,
+      s"sketch diverged from exact top-20:\n got=${got.toSeq}\n want=${exact.toSeq}")
+  }
+
   test("weighted sampler favors heavier docs and stays deterministic") {
     // two weight classes in one source: heavy docs (5000 chars) must be
     // overrepresented vs light docs (50 chars) in the top-10
