@@ -152,33 +152,49 @@ object LlmText4 {
     * length = the mask modulus (8 words; measured 7.4). The oracle
     * computes the same boundaries with lag windows over an exploded
     * token stream — the per-row ⇄ relational equivalence is what's
-    * pinned. */
-  private def qTextCdc(s: SparkSession, d: String): DataFrame =
+    * pinned.
+    *
+    * Implementation note: this is ONE fold over the token array carrying
+    * (last three word hashes, current chunk, finished chunks) — not a
+    * multi-column pipeline of whs/boundaries/slices. Catalyst's
+    * projection collapse INLINES a referenced column's expression into
+    * every use site, so a `bounds`→`bpos`→`whs` column chain re-evaluates
+    * the full word-hash transform per element_at probe — measured
+    * minutes per partition at sf0.1 vs sub-second for the fold. */
+  private def qTextCdc(s: SparkSession, d: String): DataFrame = {
+    // rolling hash over the last 4 word hashes, computed inside the fold
+    val wh = "aggregate(split(w, ''), 0L, (h, c) -> (h * 31L + ascii(c)) % 1000003L)"
+    val isB = s"acc.pos + 1 >= 4 AND ((acc.p1 * 29791L + acc.p2 * 961L + " +
+      s"acc.p3 * 31L + $wh) % 1000003L) % 8L = 0L"
     t(s, d, "documents")
       .withColumn("ws", filter(split(col("text"), " "), x => x =!= ""))
-      .withColumn("whs", expr(
-        """transform(ws, w -> aggregate(split(w, ''), 0L,
-          |  (h, c) -> (h * 31L + ascii(c)) % 1000003L))""".stripMargin))
-      .withColumn("bpos", expr(
-        """IF(size(ws) >= 4,
-          |  filter(sequence(4, size(ws)), i ->
-          |    ((element_at(whs, i-3) * 29791L + element_at(whs, i-2) * 961L +
-          |      element_at(whs, i-1) * 31L + element_at(whs, i)) % 1000003L)
-          |      % 8L = 0L),
-          |  CAST(array() AS ARRAY<INT>))""".stripMargin))
-      .withColumn("bounds",
-        expr("array_distinct(concat(bpos, array(size(ws))))"))
       .withColumn("chunks", expr(
-        """transform(sequence(1, size(bounds)), j -> named_struct(
-          |  'chunk_idx', CAST(j AS INT),
-          |  'cw', slice(ws, IF(j = 1, 1, element_at(bounds, j-1) + 1),
-          |    element_at(bounds, j) - IF(j = 1, 0, element_at(bounds, j-1)))))"""
-          .stripMargin))
-      .select(col("doc_id"), explode(col("chunks")).as("c"))
-      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
-        size(col("c.cw")).as("n_words"),
-        array_join(col("c.cw"), " ").as("chunk_text"))
+        s"""aggregate(
+           |  ws,
+           |  named_struct(
+           |    'p1', 0L, 'p2', 0L, 'p3', 0L, 'pos', 0,
+           |    'cur', CAST(array() AS ARRAY<STRING>),
+           |    'done', CAST(array() AS ARRAY<ARRAY<STRING>>)),
+           |  (acc, w) -> named_struct(
+           |    'p1', acc.p2,
+           |    'p2', acc.p3,
+           |    'p3', $wh,
+           |    'pos', acc.pos + 1,
+           |    'cur', IF($isB,
+           |      CAST(array() AS ARRAY<STRING>),
+           |      concat(acc.cur, array(w))),
+           |    'done', IF($isB,
+           |      concat(acc.done, array(concat(acc.cur, array(w)))),
+           |      acc.done)),
+           |  acc -> IF(size(acc.cur) > 0,
+           |    concat(acc.done, array(acc.cur)), acc.done))""".stripMargin))
+      .select(col("doc_id"),
+        posexplode(col("chunks")).as(Seq("ci0", "cw")))
+      .select(col("doc_id"), (col("ci0") + 1).cast("int").as("chunk_idx"),
+        size(col("cw")).as("n_words"),
+        array_join(col("cw"), " ").as("chunk_text"))
       .orderBy("doc_id", "chunk_idx")
+  }
 
   /** Deterministic weighted sampling without replacement, k per group
     * (Efraimidis–Spirakis A-ES): each doc draws a uniform u from the
