@@ -36,6 +36,18 @@ object Bench {
           Window.partitionBy(col("k")).orderBy(col("id"))))
         .collect()
     }
+    // ... and the Structured Streaming engine (micro-batch executor,
+    // state-store provider, streaming codegen paths): its first-use init
+    // is several seconds and otherwise lands entirely on whichever
+    // streaming query happens to run first in the sweep.
+    locally {
+      import graft.queries.StreamingQ
+      StreamingQ.runStream(spark,
+        Seq(StreamingQ.ev(1, 10), StreamingQ.ev(2, 20)),
+        Seq(StreamingQ.ev(3, 30)),
+        df => df.select(org.apache.spark.sql.functions.col("event_id")),
+        org.apache.spark.sql.streaming.OutputMode.Append()).collect()
+    }
     // Dev-only subset filter (unset for driver runs → full sweep).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
