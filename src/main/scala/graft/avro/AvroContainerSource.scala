@@ -15,7 +15,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource V2 reader for Avro Object Container Files, built directly on
@@ -49,12 +49,55 @@ class AvroContainerSource extends TableProvider with DataSourceRegister {
     if (paths.isEmpty) return new StructType()
     val conf = AvroContainerSource.hadoopConf()
     val fs = new Path(paths.head._1).getFileSystem(conf)
-    val in = fs.open(new Path(paths.head._1))
-    val record = try {
-      val s = new DataFileStream[GenericRecord](in,
-        new GenericDatumReader[GenericRecord]())
-      try SchemaConverter.toSparkStruct(s.getSchema) finally s.close()
-    } finally in.close()
+    // Schema-evolution-aware inference: a directory accumulates files
+    // written under successive schemas, and the first-listed file is
+    // usually the OLDEST — inferring from it alone silently drops every
+    // later-added column. Default merges the headers of an evenly
+    // spread ≤32-file sample (covers sorted listings where old files
+    // cluster first; header reads are O(KB) each, so cost is bounded at
+    // any corpus size). `mergeschema=all` reads every header,
+    // `mergeschema=first` restores single-file inference. The per-file
+    // read path null-fills fields a writer schema lacks, so the merged
+    // shape is readable against every generation.
+    val ps = paths.map(_._1)
+    val headerPaths = Option(options.get("mergeschema")).getOrElse("sample") match {
+      case "first" => Seq(ps.head)
+      case "all" => ps
+      case _ =>
+        if (ps.length <= 32) ps
+        else (0 until 32)
+          .map(i => ps(((ps.length - 1).toLong * i / 31).toInt)).distinct
+    }
+    def header(p: String): StructType = {
+      val in = fs.open(new Path(p))
+      try {
+        val s = new DataFileStream[GenericRecord](in,
+          new GenericDatumReader[GenericRecord]())
+        try SchemaConverter.toSparkStruct(s.getSchema) finally s.close()
+      } finally in.close()
+    }
+    val structs = headerPaths.map(header)
+    val record = {
+      val order = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+      val seenIn = scala.collection.mutable.Map.empty[String, Int]
+      structs.foreach(_.fields.foreach { f =>
+        seenIn(f.name) = seenIn.getOrElse(f.name, 0) + 1
+        order.get(f.name) match {
+          case None => order(f.name) = f
+          case Some(ex) =>
+            if (ex.dataType != f.dataType)
+              throw new IllegalArgumentException(
+                s"incompatible schema evolution for column '${f.name}': " +
+                  s"${ex.dataType.simpleString} vs ${f.dataType.simpleString}")
+            if (f.nullable && !ex.nullable)
+              order(f.name) = ex.copy(nullable = true)
+        }
+      })
+      // a field absent from any sampled generation null-fills there, so
+      // the merged schema must surface it as nullable
+      StructType(order.values.toSeq.map(f =>
+        if (seenIn(f.name) < structs.length) f.copy(nullable = true) else f))
+    }
     // hivepartitions=true: surface k=v path segments as string columns
     // (the reference's production layout is date-partitioned avro,
     // `repair-avro.ts:92`); a partition-scoped load path prunes by

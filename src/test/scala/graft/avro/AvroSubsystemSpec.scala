@@ -523,6 +523,20 @@ class AvroSubsystemSpec extends AnyFunSuite {
     val scores = spark.read.format("graft-avro").schema(schema).load(dir)
       .selectExpr("sum(score)").head.getDouble(0)
     assert(scores == (11 to 20).map(_ * 1.5).sum)
+    // schema-LESS inference must also see the evolved column even though
+    // the oldest (first-listed) generation lacks it: header-sample merge
+    val inferred = spark.read.format("graft-avro").load(dir)
+    assert(inferred.schema.fieldNames.toSeq == Seq("id", "s", "score"),
+      s"merged inference lost a column: ${inferred.schema.fieldNames.toSeq}")
+    assert(inferred.schema("score").nullable,
+      "evolved column must infer nullable (old generations null-fill)")
+    val r = inferred.orderBy("id").collect()
+    assert(r.length == 20 && r.take(10).forall(_.isNullAt(2)) &&
+      r(19).getDouble(2) == 20 * 1.5)
+    // mergeschema=first restores the old single-header behavior
+    val firstOnly = spark.read.format("graft-avro")
+      .option("mergeschema", "first").load(dir)
+    assert(firstOnly.schema.fieldNames.length == 2)
   }
 
   test("maxfilespertrigger bounds micro-batch admission") {
