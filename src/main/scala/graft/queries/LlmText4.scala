@@ -238,8 +238,31 @@ object LlmText4 {
       .select(col("e.item").as("w"), col("e.count").as("est"))
       .orderBy(col("est").desc, col("w"))
 
+  /** Edit-distance verification between candidate document pairs — the
+    * exact-similarity scalar a fuzzy-dedup funnel applies AFTER blocking
+    * (CCNet-style): levenshtein distance + normalized similarity on
+    * bounded 48-char prefixes. Adjacent ids stand in for the candidate
+    * list here; in the funnel the input is LSH candidates, so the cost
+    * is O(candidates × prefix²) — the prefix cap bounds the per-pair
+    * quadratic, and the join key is whatever blocking produced. */
+  private def qTextEditdist(s: SparkSession, d: String): DataFrame = {
+    val a = t(s, d, "documents")
+      .select(col("doc_id").as("a"), substring(col("text"), 1, 48).as("ta"))
+    val b = t(s, d, "documents")
+      .select((col("doc_id") - 1).as("a"), col("doc_id").as("b"),
+        substring(col("text"), 1, 48).as("tb"))
+    a.join(b, "a")
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("bigint"))
+      .withColumn("sim", round(lit(1.0) - col("dist").cast("double") /
+        greatest(length(col("ta")), length(col("tb"))), 6))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("dist"),
+        col("sim"))
+      .orderBy("doc_a")
+  }
+
   val defs: Map[String, Relational.Q] = Map(
     "q_agg_heavyhitters" -> (qAggHeavyHitters _),
+    "q_text_editdist" -> (qTextEditdist _),
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_text_pii" -> (qTextPii _),
     "q_dedup_url" -> (qDedupUrl _),
@@ -248,6 +271,16 @@ object LlmText4 {
   )
 
   val sql: Map[String, String] = Map(
+    "q_text_editdist" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(substr(a.text, 1, 48), substr(b.text, 1, 48))
+        |    AS BIGINT) AS dist,
+        |  round(1.0 - levenshtein(substr(a.text, 1, 48),
+        |      substr(b.text, 1, 48)) * 1.0 /
+        |    greatest(length(substr(a.text, 1, 48)),
+        |      length(substr(b.text, 1, 48))), 6) AS sim
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin,
     // hex→int via list_reduce (DuckDB has no conv()); ln IS natural log
     // in DuckDB; 12-dp key round + doc_id tie-break make the rank
     // boundary engine-portable

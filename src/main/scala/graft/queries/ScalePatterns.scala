@@ -286,6 +286,40 @@ object ScalePatterns {
     dir
   }
 
+  /** Welch's two-sample t-test per event type between the stream's two
+    * halves (the A/B significance gate behind every metric-drift alarm):
+    * unequal-variance t statistic and Welch–Satterthwaite df. All
+    * moments (n, Σv, Σv²) accumulate in exact DECIMAL — one scan, one
+    * partial-agg'd shuffle bounded by event types — and the t/df
+    * arithmetic runs on the exact sums cast to double in an identical
+    * expression order on both engines (the q_agg_stats discipline), so
+    * the 6-dp rounds compare exactly. Nothing scales with the corpus
+    * but the scan. */
+  private def qAggTtest(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("half",
+        when(expr("us div 86400000000") < 19738, "a").otherwise("b"))
+      .withColumn("v", col("value").cast("decimal(18,6)"))
+      .groupBy(col("event_type"))
+      .agg(
+        expr("count_if(half = 'a')").as("na"),
+        expr("count_if(half = 'b')").as("nb"),
+        sum(when(col("half") === "a", col("v"))).as("sa"),
+        sum(when(col("half") === "b", col("v"))).as("sb"),
+        sum(when(col("half") === "a", col("v") * col("v"))).as("qa"),
+        sum(when(col("half") === "b", col("v") * col("v"))).as("qb"))
+      .selectExpr("event_type", "na", "nb",
+        "CAST(sa AS DOUBLE) / na AS ma",
+        "CAST(sb AS DOUBLE) / nb AS mb",
+        "(CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na) / (na - 1) AS va",
+        "(CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb) / (nb - 1) AS vb")
+      .selectExpr("event_type", "na", "nb",
+        "ROUND(ma, 6) AS mean_a", "ROUND(mb, 6) AS mean_b",
+        "ROUND((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat",
+        "ROUND(pow(va / na + vb / nb, 2) / " +
+          "(pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1)), 2) AS df")
+      .orderBy("event_type")
+
   /** Distribution-drift monitor (PSI — population stability index)
     * between the first and second half of the event stream: equi-width
     * value bins, Laplace-smoothed bin fractions, per-bin drift terms
@@ -381,6 +415,7 @@ object ScalePatterns {
     "q_layout_zorder" -> (qLayoutZorder _),
     "q_agg_reagg" -> (qAggReagg _),
     "q_agg_psi" -> (qAggPsi _),
+    "q_agg_ttest" -> (qAggTtest _),
     "q_agg_sketch" -> (qAggSketch _),
   )
 
@@ -474,6 +509,34 @@ object ScalePatterns {
         |  ROUND(CAST(SUM(CAST(term AS DECIMAL(18,9))) OVER () AS DOUBLE), 6)
         |    AS psi_total
         |FROM y ORDER BY bin""".stripMargin,
+    // exact DECIMAL moments; t/df arithmetic in the same double
+    // expression order as the Spark side (q_agg_stats discipline)
+    "q_agg_ttest" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+        |        AS BIGINT) < 19738 THEN 'a' ELSE 'b' END AS half,
+        |    CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events),
+        |m AS (SELECT event_type,
+        |    CAST(COUNT(*) FILTER (WHERE half = 'a') AS BIGINT) AS na,
+        |    CAST(COUNT(*) FILTER (WHERE half = 'b') AS BIGINT) AS nb,
+        |    SUM(v) FILTER (WHERE half = 'a') AS sa,
+        |    SUM(v) FILTER (WHERE half = 'b') AS sb,
+        |    SUM(v * v) FILTER (WHERE half = 'a') AS qa,
+        |    SUM(v * v) FILTER (WHERE half = 'b') AS qb
+        |  FROM e GROUP BY event_type),
+        |x AS (SELECT event_type, na, nb,
+        |    CAST(sa AS DOUBLE) / na AS ma,
+        |    CAST(sb AS DOUBLE) / nb AS mb,
+        |    (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na) / (na - 1) AS va,
+        |    (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb) / (nb - 1) AS vb
+        |  FROM m)
+        |SELECT event_type, na, nb,
+        |  ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+        |  ROUND((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+        |  ROUND(pow(va / na + vb / nb, 2) /
+        |    (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1)), 2) AS df
+        |FROM x ORDER BY event_type""".stripMargin,
     // direct one-level aggregate: proves the two-level partial merge on
     // the Spark side is lossless
     "q_agg_reagg" ->
