@@ -70,10 +70,15 @@ object Bench {
       System.err.println(f"[bench] WARNING: 1-min loadavg $load0%.2f " +
         f"at start of a local[$cpus] sweep - timings will be inflated " +
         "by external load; re-run on an idle machine")
+    // loadavg sampled per query: start/end stamps miss mid-run external
+    // bursts (observed inflating untouched queries 10× while both
+    // endpoint samples read < 2), so the artifact carries the max too.
+    var loadMax = load0
     val withGc = selected.map { case (name, fn) =>
       val g0 = gcSec()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      loadMax = math.max(loadMax, loadAvg())
       name -> ((System.nanoTime() - t0) / 1e9, gcSec() - g0)
     }
     val results = withGc.map { case (k, (sec, _)) => k -> sec }
@@ -91,7 +96,7 @@ object Bench {
     val byTime = results.toSeq.sortBy(-_._2)
     val loadEnd = loadAvg()
     val gcTotal = withGc.values.map(_._2).sum
-    val hygiene = s""""loadavg_start":${f(load0)},"loadavg_end":${f(loadEnd)},"gc_sec":${f(gcTotal)}"""
+    val hygiene = s""""loadavg_start":${f(load0)},"loadavg_end":${f(loadEnd)},"loadavg_max":${f(loadMax)},"gc_sec":${f(gcTotal)}"""
     val gcByTime = withGc.map { case (k, (_, g)) => k -> g }.toSeq
       .sortBy(-_._2)
     val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},$hygiene,"queries":${jmap(byTime)},"queries_gc":${jmap(gcByTime)},"sf":"$sfDir"}"""
