@@ -214,9 +214,23 @@ object LlmText3 {
     * doc_id % 97 == 0 stand in for a benchmark). The eval shingle set is
     * distinct'd (small — eval sets are thousands of docs, not billions)
     * and broadcast; training shingles stream through a map-side
-    * broadcast join. Output: contaminated doc ids + overlap counts. */
+    * broadcast join. Output: contaminated doc ids + overlap counts.
+    *
+    * The corpus is the documents table plus PLANTED contamination: each
+    * eval doc's text re-enters as a training doc under doc_id + 1000000
+    * (1000000 % 97 = 27, so planted ids are never eval ids). The
+    * synthetic corpus has no natural 8-shingle cross-doc overlap at any
+    * test SF, so without planting the result is empty and its
+    * hash-match is vacuous — any bug yielding zero rows would "pass".
+    * With planting, every eval doc of ≥ 8 tokens is guaranteed to
+    * contaminate exactly its planted twin (6 docs at sf0.01), the way a
+    * leaked benchmark actually shows up in a crawl. */
   private def qTextDecontaminate(s: SparkSession, d: String): DataFrame = {
-    val grams = t(s, d, "documents")
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.unionAll(
+      docs.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val grams = corpus
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(ws) >= 8
@@ -426,7 +440,12 @@ object LlmText3 {
         |  CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "q_text_decontaminate" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 97 = 0),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
         |g AS (SELECT doc_id,
         |        unnest(CASE WHEN len(ws) >= 8
         |          THEN list_transform(range(1, len(ws) - 6),

@@ -321,9 +321,18 @@ object Relational {
       .intersect(t(s, d, "orders").select(col("o_custkey").as("k")))
       .orderBy("k")
 
+  /** EXCEPT over a date-restricted right side. The unrestricted form
+    * (customer EXCEPT all order custkeys) is empty at every test SF —
+    * a hash-match on zero rows is vacuous evidence, since any bug that
+    * yields nothing also "passes". Restricting the right side to
+    * recent orders leaves customers whose orders are all pre-2000
+    * (135 rows at sf0.01, 14 at sf0.001), so the oracle can actually
+    * fail if EXCEPT semantics break. */
   private def qSetExcept(s: SparkSession, d: String): DataFrame =
     t(s, d, "customer").select(col("c_custkey").as("k"))
-      .except(t(s, d, "orders").select(col("o_custkey").as("k")))
+      .except(t(s, d, "orders")
+        .filter(col("o_orderdate") >= "2000-01-01")
+        .select(col("o_custkey").as("k")))
       .orderBy("k")
 
   private def $c(n: String) = col(n)
@@ -532,6 +541,7 @@ object Relational {
         |INTERSECT SELECT o_custkey AS k FROM orders ORDER BY k""".stripMargin,
     "q_set_except" ->
       """SELECT c_custkey AS k FROM customer
-        |EXCEPT SELECT o_custkey AS k FROM orders ORDER BY k""".stripMargin,
+        |EXCEPT SELECT o_custkey AS k FROM orders
+        |WHERE o_orderdate >= '2000-01-01' ORDER BY k""".stripMargin,
   )
 }

@@ -73,10 +73,17 @@ object Relational2 {
         .select(col("l_suppkey").as("k")))
       .orderBy("k")
 
+  /** EXCEPT ALL with the full multiset on the left and the R-flag
+    * subset on the right. The old R-minus-F form produced zero rows at
+    * every test SF (each suppkey's F multiplicity covers its R
+    * multiplicity) — a vacuous hash-match. Left ⊇ right by
+    * construction here, so the result is exactly the per-key
+    * multiplicity differences (~40k rows at sf0.01) and a broken
+    * multiset subtraction shows up as a real mismatch. */
   private def qSetExceptAll(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+    t(s, d, "lineitem")
       .select(col("l_suppkey").as("k"))
-      .exceptAll(t(s, d, "lineitem").filter(col("l_linestatus") === "F")
+      .exceptAll(t(s, d, "lineitem").filter(col("l_returnflag") === "R")
         .select(col("l_suppkey").as("k")))
       .orderBy("k")
 
@@ -214,9 +221,9 @@ object Relational2 {
         |SELECT l_suppkey AS k FROM lineitem WHERE l_linestatus = 'F'
         |ORDER BY k""".stripMargin,
     "q_set_except_all" ->
-      """SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+      """SELECT l_suppkey AS k FROM lineitem
         |EXCEPT ALL
-        |SELECT l_suppkey AS k FROM lineitem WHERE l_linestatus = 'F'
+        |SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
         |ORDER BY k""".stripMargin,
     "q_win_percent" ->
       """SELECT o_custkey, o_orderkey,
