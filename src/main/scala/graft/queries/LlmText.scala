@@ -247,13 +247,21 @@ object LlmText {
     * (doc_id, w) with map-side partial combine — per-row cost O(tokens),
     * not O(distinct×tokens) (a 100k-token document costs 100k aggregate
     * probes, never 10⁹ array comparisons). Document frequency derives
-    * from that same aggregate (vocabulary-sized, broadcast back —
-    * vocabularies are millions of terms while corpora are billions of
-    * docs, so the broadcast side is the small one at 100 TB); corpus
+    * from that same aggregate and joins back with a plain SHUFFLE join
+    * on `w` — the same vocabulary story as q_text_unigram_lm
+    * (LlmText3): on web-scale noisy text the distinct-token set
+    * (garbled strings, random ids, binary spill) grows with the corpus
+    * and has no safe broadcast bound, and unlike stopword/boilerplate
+    * vocabularies there is no df-threshold that prunes it (a SINGLETON
+    * term is exactly the one with maximal IDF, so df ≥ 2 filtering
+    * would drop the terms most likely to rank top-3). The join is
+    * keyed by the column the dfreq aggregate already hashed on, so the
+    * planner reuses that exchange; AQE skew-splits hot tokens. Corpus
     * size joins in as a broadcast 1-row aggregate (no driver scalar).
-    * Corpus shuffles: the (doc_id, w) hash agg + the per-doc top-3
-    * window. Scores are exact-int ratios × ln of exact-int ratios (6-dp
-    * pre-round keeps ranking portable). */
+    * Corpus shuffles: the (doc_id, w) hash agg + the w-keyed
+    * dfreq join + the per-doc top-3 window. Scores are exact-int
+    * ratios × ln of exact-int ratios (6-dp pre-round keeps ranking
+    * portable). */
   private def qTextTfidf(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").filter(col("doc_id") < 200)
     // (doc_id, w, cnt, toks): one explode, one hash aggregate. toks is
@@ -273,7 +281,7 @@ object LlmText {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = wc.groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = wc.join(broadcast(dfreq), "w")
+    val scored = wc.join(dfreq.hint("shuffle_hash"), "w")
       .crossJoin(broadcast(n))
       .withColumn("score", round(
         (col("cnt").cast("double") / col("toks")) *

@@ -241,6 +241,33 @@ class PlanSpec extends AnyFunSuite {
     assert(native.forall(_._2 <= 3), "rank exceeded k")
   }
 
+  test("vocabulary joins (tfidf dfreq, unigram-lm vocab) are shuffle " +
+      "joins, never broadcasts") {
+    // One scale story for web-scale vocabularies (VERDICT r5 item 4):
+    // the distinct-token set of noisy text grows with the corpus, so a
+    // token-keyed aggregate must never come back via broadcast. Both
+    // ops pin a w-keyed ShuffledHashJoin; the only allowed broadcast is
+    // the 1-row totals/corpus-size aggregate.
+    for (q <- Seq("q_text_tfidf", "q_text_unigram_lm")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val nodes = deepNodes(df)
+      val shj = nodes.collect {
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(shj.nonEmpty,
+        s"$q: vocabulary join is not a ShuffledHashJoin:\n" +
+          df.queryExecution.executedPlan)
+      val badBroadcast = nodes.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if j.leftKeys.nonEmpty => j
+      }
+      assert(badBroadcast.isEmpty,
+        s"$q: keyed broadcast join found (vocabulary broadcast?):\n" +
+          df.queryExecution.executedPlan)
+    }
+  }
+
   test("shuffle_hash hint yields a ShuffledHashJoin with the dim as build") {
     val df = SparkEntry.queries("q_join_shj")(spark, sf)
     df.collect()
