@@ -60,7 +60,8 @@ class AvroContainerSource extends TableProvider with DataSourceRegister {
     // read path null-fills fields a writer schema lacks, so the merged
     // shape is readable against every generation.
     val ps = paths.map(_._1)
-    val headerPaths = Option(options.get("mergeschema")).getOrElse("sample") match {
+    val mergeMode = Option(options.get("mergeschema")).getOrElse("sample")
+    val headerPaths = mergeMode match {
       case "first" => Seq(ps.head)
       case "all" => ps
       case _ =>
@@ -68,6 +69,14 @@ class AvroContainerSource extends TableProvider with DataSourceRegister {
         else (0 until 32)
           .map(i => ps(((ps.length - 1).toLong * i / 31).toInt)).distinct
     }
+    // True when some headers were NOT read: any unsampled file may lack
+    // a field the sampled ones all carry, and the read path null-fills
+    // it there — so no nullable=false claim derived from the sample
+    // alone can be trusted (a nullability lie lets null-intolerant
+    // optimizations return wrong results silently). `first` is an
+    // explicit user opt-out of evolution awareness and keeps its
+    // declared nullability.
+    val sampled = mergeMode != "first" && headerPaths.length < ps.length
     def header(p: String): StructType = {
       val in = fs.open(new Path(p))
       try {
@@ -85,18 +94,31 @@ class AvroContainerSource extends TableProvider with DataSourceRegister {
         order.get(f.name) match {
           case None => order(f.name) = f
           case Some(ex) =>
-            if (ex.dataType != f.dataType)
-              throw new IllegalArgumentException(
+            AvroContainerSource.mergeTypes(ex.dataType, f.dataType) match {
+              case Some(dt) => order(f.name) =
+                ex.copy(dataType = dt, nullable = ex.nullable || f.nullable)
+              // Nested ADD-FIELD evolution is deliberately unsupported:
+              // the per-file decoder null-fills missing TOP-LEVEL
+              // columns only, so claiming a nested merge here would
+              // declare a shape the read path cannot actually serve.
+              case None => throw new IllegalArgumentException(
                 s"incompatible schema evolution for column '${f.name}': " +
-                  s"${ex.dataType.simpleString} vs ${f.dataType.simpleString}")
-            if (f.nullable && !ex.nullable)
-              order(f.name) = ex.copy(nullable = true)
+                  s"${ex.dataType.simpleString} vs " +
+                  s"${f.dataType.simpleString} (add-column evolution is " +
+                  "supported at the top level only; nested types must " +
+                  "match up to nullability)")
+            }
         }
       })
-      // a field absent from any sampled generation null-fills there, so
-      // the merged schema must surface it as nullable
+      // Two reasons a field must surface as nullable regardless of what
+      // the headers declare: it was absent from some SAMPLED generation
+      // (null-fills there), or sampling skipped headers entirely and an
+      // UNSAMPLED generation may lack it (the same null-fill, invisible
+      // to this merge).
       StructType(order.values.toSeq.map(f =>
-        if (seenIn(f.name) < structs.length) f.copy(nullable = true) else f))
+        if (sampled) AvroContainerSource.deepNullable(f)
+        else if (seenIn(f.name) < structs.length) f.copy(nullable = true)
+        else f))
     }
     // hivepartitions=true: surface k=v path segments as string columns
     // (the reference's production layout is date-partitioned avro,
@@ -125,6 +147,53 @@ class AvroContainerSource extends TableProvider with DataSourceRegister {
 }
 
 object AvroContainerSource {
+  import org.apache.spark.sql.types.{ArrayType, DataType, MapType}
+
+  /** Reconcile two header types for the same column across file
+    * generations. Identical types merge trivially; types that differ
+    * only in NESTED nullability (a struct field, array element, or map
+    * value declared non-null by one writer and nullable by another —
+    * e.g. an avro union branch added around a nested field) merge by
+    * widening each nested nullability flag. Genuinely different shapes
+    * (changed primitive, renamed/added nested field) return None: the
+    * per-file decoder can null-fill missing top-level columns but
+    * cannot re-project records inside a nested type, so such evolution
+    * must fail inference loudly rather than mis-read silently. */
+  private[avro] def mergeTypes(a: DataType, b: DataType): Option[DataType] =
+    (a, b) match {
+      case (x, y) if x == y => Some(x)
+      case (x: StructType, y: StructType)
+          if x.fields.map(_.name).sameElements(y.fields.map(_.name)) =>
+        val merged = x.fields.zip(y.fields).map { case (fa, fb) =>
+          mergeTypes(fa.dataType, fb.dataType)
+            .map(dt => fa.copy(dataType = dt,
+              nullable = fa.nullable || fb.nullable))
+        }
+        if (merged.forall(_.isDefined)) Some(StructType(merged.map(_.get)))
+        else None
+      case (ArrayType(ea, na), ArrayType(eb, nb)) =>
+        mergeTypes(ea, eb).map(ArrayType(_, na || nb))
+      case (MapType(ka, va, na), MapType(kb, vb, nb)) =>
+        for (k <- mergeTypes(ka, kb); v <- mergeTypes(va, vb))
+          yield MapType(k, v, na || nb)
+      case _ => None
+    }
+
+  /** Field with every nullability flag (its own and all nested ones)
+    * forced true — the only honest claim when schema inference sampled
+    * headers and unsampled generations may null-fill anything. */
+  private[avro] def deepNullable(f: StructField): StructField = {
+    def loosen(dt: DataType): DataType = dt match {
+      case st: StructType =>
+        StructType(st.fields.map(n =>
+          n.copy(dataType = loosen(n.dataType), nullable = true)))
+      case ArrayType(e, _) => ArrayType(loosen(e), containsNull = true)
+      case MapType(k, v, _) => MapType(k, loosen(v), valueContainsNull = true)
+      case other => other
+    }
+    f.copy(dataType = loosen(f.dataType), nullable = true)
+  }
+
   /** (path, length) of every .avro file under the path option (recursive,
     * fully paginated via RemoteIterator — unlike the reference's single
     * listObjects page capped at 1000 keys, `repair-avro.ts:37-40`). */

@@ -132,12 +132,21 @@ object LlmText4 {
     t(s, d, "documents")
       .withColumn("cs", split(col("text"), ""))
       .withColumn("ws", filter(split(col("text"), " "), x => x =!= ""))
+      // Empty inputs are an EXPLICIT NULL on both engines: a
+      // whitespace-only doc has no words, and without the guard Spark
+      // emits a NULL-entropy row while the oracle's inner joins dropped
+      // the doc entirely (rows_match breaks the moment such a doc
+      // enters a corpus); the oracle mirrors the guard with LEFT joins
+      // from `documents`. Char split never yields an empty array (both
+      // engines return [''] for ''), so its guard is defensive only.
       .select(
         col("doc_id"),
-        round(log2(size(col("cs"))) - runSumCLogC("cs") / size(col("cs")), 6)
-          .as("char_entropy"),
-        round(log2(size(col("ws"))) - runSumCLogC("ws") / size(col("ws")), 6)
-          .as("word_entropy"))
+        when(size(col("cs")) === 0, lit(null)).otherwise(
+          round(log2(size(col("cs"))) - runSumCLogC("cs") / size(col("cs")),
+            6)).as("char_entropy"),
+        when(size(col("ws")) === 0, lit(null)).otherwise(
+          round(log2(size(col("ws"))) - runSumCLogC("ws") / size(col("ws")),
+            6)).as("word_entropy"))
       .orderBy("doc_id")
 
   /** Content-defined chunking (the FastCDC/Rabin idea over words): a
@@ -423,8 +432,10 @@ object LlmText4 {
         |      AS word_entropy
         |  FROM wc JOIN wtot ON wc.doc_id = wtot.doc_id
         |  GROUP BY wc.doc_id, n)
-        |SELECT ce.doc_id, char_entropy, word_entropy
-        |FROM ce JOIN we ON ce.doc_id = we.doc_id
-        |ORDER BY ce.doc_id""".stripMargin,
+        |SELECT d.doc_id, char_entropy, word_entropy
+        |FROM documents d
+        |LEFT JOIN ce ON d.doc_id = ce.doc_id
+        |LEFT JOIN we ON d.doc_id = we.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }

@@ -308,16 +308,24 @@ object ScalePatterns {
         sum(when(col("half") === "b", col("v"))).as("sb"),
         sum(when(col("half") === "a", col("v") * col("v"))).as("qa"),
         sum(when(col("half") === "b", col("v") * col("v"))).as("qb"))
+      // Degenerate halves are gated IDENTICALLY on both engines: a
+      // variance needs n > 1, a mean n > 0, and t/df a positive pooled
+      // variance term — otherwise Spark's non-ANSI division and
+      // DuckDB's error/inf behavior diverge on sparse event types
+      // instead of both degrading to NULL.
       .selectExpr("event_type", "na", "nb",
-        "CAST(sa AS DOUBLE) / na AS ma",
-        "CAST(sb AS DOUBLE) / nb AS mb",
-        "(CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na) / (na - 1) AS va",
-        "(CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb) / (nb - 1) AS vb")
+        "CASE WHEN na > 0 THEN CAST(sa AS DOUBLE) / na END AS ma",
+        "CASE WHEN nb > 0 THEN CAST(sb AS DOUBLE) / nb END AS mb",
+        "CASE WHEN na > 1 THEN (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na) / (na - 1) END AS va",
+        "CASE WHEN nb > 1 THEN (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb) / (nb - 1) END AS vb")
       .selectExpr("event_type", "na", "nb",
         "ROUND(ma, 6) AS mean_a", "ROUND(mb, 6) AS mean_b",
-        "ROUND((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat",
-        "ROUND(pow(va / na + vb / nb, 2) / " +
-          "(pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1)), 2) AS df")
+        "CASE WHEN va / na + vb / nb > 0 THEN " +
+          "ROUND((ma - mb) / sqrt(va / na + vb / nb), 6) END AS t_stat",
+        "CASE WHEN va / na + vb / nb > 0 THEN " +
+          "ROUND(pow(va / na + vb / nb, 2) / " +
+          "(pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1)), 2) " +
+          "END AS df")
       .orderBy("event_type")
 
   /** Distribution-drift monitor (PSI — population stability index)
@@ -526,16 +534,19 @@ object ScalePatterns {
         |    SUM(v * v) FILTER (WHERE half = 'b') AS qb
         |  FROM e GROUP BY event_type),
         |x AS (SELECT event_type, na, nb,
-        |    CAST(sa AS DOUBLE) / na AS ma,
-        |    CAST(sb AS DOUBLE) / nb AS mb,
-        |    (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na) / (na - 1) AS va,
-        |    (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb) / (nb - 1) AS vb
+        |    CASE WHEN na > 0 THEN CAST(sa AS DOUBLE) / na END AS ma,
+        |    CASE WHEN nb > 0 THEN CAST(sb AS DOUBLE) / nb END AS mb,
+        |    CASE WHEN na > 1 THEN (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na) / (na - 1) END AS va,
+        |    CASE WHEN nb > 1 THEN (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb) / (nb - 1) END AS vb
         |  FROM m)
         |SELECT event_type, na, nb,
         |  ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
-        |  ROUND((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
-        |  ROUND(pow(va / na + vb / nb, 2) /
-        |    (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1)), 2) AS df
+        |  CASE WHEN va / na + vb / nb > 0 THEN
+        |    ROUND((ma - mb) / sqrt(va / na + vb / nb), 6) END AS t_stat,
+        |  CASE WHEN va / na + vb / nb > 0 THEN
+        |    ROUND(pow(va / na + vb / nb, 2) /
+        |      (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1)), 2)
+        |  END AS df
         |FROM x ORDER BY event_type""".stripMargin,
     // direct one-level aggregate: proves the two-level partial merge on
     // the Spark side is lossless

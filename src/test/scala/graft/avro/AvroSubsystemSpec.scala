@@ -539,6 +539,55 @@ class AvroSubsystemSpec extends AnyFunSuite {
     assert(firstOnly.schema.fieldNames.length == 2)
   }
 
+  test("sampled inference forces nullability; exhaustive inference keeps it") {
+    import spark.implicits._
+    val dir = tmpDir("sampled-nullable")
+    // 40 single-file generations → the default ≤32-header sample skips
+    // some files, so ANY nullable=false claim would be a lie (an
+    // unsampled generation could lack the field and null-fill). The
+    // writer emits `id` as a non-null avro long, so non-sampled
+    // inference genuinely reports nullable=false — the flip below is
+    // the sampling guard, not writer behavior.
+    for (i <- 1 to 40)
+      Seq((i.toLong, s"a$i")).toDF("id", "s").coalesce(1)
+        .write.format("graft-avro").mode("append").save(dir)
+    val sampledSchema = spark.read.format("graft-avro").load(dir).schema
+    assert(sampledSchema.fields.forall(_.nullable),
+      s"sampled inference must force nullable=true: $sampledSchema")
+    // mergeschema=all reads every header → declared nullability survives
+    val allSchema = spark.read.format("graft-avro")
+      .option("mergeschema", "all").load(dir).schema
+    assert(!allSchema("id").nullable,
+      s"exhaustive inference lost the writer's non-null claim: $allSchema")
+  }
+
+  test("nested nullability-only drift merges; nested add-field refuses") {
+    import org.apache.spark.sql.types._
+    val a = StructType(Seq(StructField("inner", StructType(Seq(
+      StructField("x", LongType, nullable = false))))))
+    val b = StructType(Seq(StructField("inner", StructType(Seq(
+      StructField("x", LongType, nullable = true))))))
+    // same shape, one writer wrapped x in a null union → widen, not throw
+    val merged = AvroContainerSource.mergeTypes(a, b)
+    assert(merged.contains(StructType(Seq(StructField("inner",
+      StructType(Seq(StructField("x", LongType, nullable = true))))))),
+      s"nullability-only nested drift must merge: $merged")
+    // a field ADDED inside the struct is top-level-only evolution → None
+    val c = StructType(Seq(StructField("inner", StructType(Seq(
+      StructField("x", LongType), StructField("y", StringType))))))
+    assert(AvroContainerSource.mergeTypes(a, c).isEmpty,
+      "nested add-field must be refused (decoder cannot null-fill it)")
+    // array element / map value nullability widens the same way
+    assert(AvroContainerSource.mergeTypes(
+      ArrayType(LongType, containsNull = false),
+      ArrayType(LongType, containsNull = true))
+      .contains(ArrayType(LongType, containsNull = true)))
+    assert(AvroContainerSource.mergeTypes(
+      MapType(StringType, LongType, valueContainsNull = false),
+      MapType(StringType, LongType, valueContainsNull = true))
+      .contains(MapType(StringType, LongType, valueContainsNull = true)))
+  }
+
   test("maxfilespertrigger bounds micro-batch admission") {
     import spark.implicits._
     val dir = tmpDir("mft")
