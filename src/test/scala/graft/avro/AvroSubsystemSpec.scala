@@ -656,6 +656,50 @@ class AvroSubsystemSpec extends AnyFunSuite {
     assert(sm.values.sum == report.length)
   }
 
+  test("scheme-agnosticism: write, repair (replace+quarantine), and DSv2 " +
+      "read all run over mock:// URIs") {
+    // Register mock:// (a RawLocalFileSystem under a foreign scheme) on
+    // the session conf; serializableConfEntries ships fs.* keys to
+    // executors, so every remote FileSystem.get sees it too.
+    spark.sparkContext.hadoopConfiguration.set("fs.mock.impl",
+      classOf[MockSchemeFileSystem].getName)
+    import spark.implicits._
+    val localDir = tmpDir("mock-scheme")
+    val mockDir = s"mock://$localDir"
+    // s3a readiness gate must treat an exotic scheme as fine
+    graft.repair.S3ACheck.validate(AvroContainerSource.hadoopConf(), mockDir)
+    // write path over mock://
+    AvroWrite.write((1L to 50L).map(i => (i, s"v$i")).toDF("id", "s"),
+      s"$mockDir/clean")
+    // corrupt fixtures land via local IO at the same physical location
+    AvroFixtures.writeAll(s"$localDir/fix")
+    val qdir = s"mock://${tmpDir("mock-quarantine")}"
+    val report = RepairPipeline.run(spark, s"$mockDir/fix", replace = true,
+      quarantineDir = Some(qdir), samplerate = 1.0).collect()
+    val statuses = report.map(_.status).toSet
+    assert(statuses.contains("valid") &&
+      statuses.contains("repaired_replaced"),
+      s"unexpected statuses over mock://: ${report.toSeq}")
+    // nothing silently resolved back to file: — every reported path and
+    // every listed file kept the scheme (Path.toString renders the
+    // empty authority as mock:/..., so compare the parsed scheme)
+    report.foreach(r =>
+      assert(new Path(r.path).toUri.getScheme == "mock", r.path))
+    AvroContainerSource.listFiles(s"$mockDir/fix").foreach { case (p, _) =>
+      assert(new Path(p).toUri.getScheme == "mock", p)
+    }
+    // DSv2 read over mock://: the clean write round-trips, and a
+    // replaced (repaired-in-place) file validates + reads
+    val back = spark.read.format("graft-avro").load(s"$mockDir/clean")
+    assert(back.count() == 50)
+    val repaired = report.find(_.status == "repaired_replaced").get.path
+    assert(spark.read.format("graft-avro").load(repaired).count() > 0)
+    val fs = new Path(mockDir).getFileSystem(AvroContainerSource.hadoopConf())
+    assert(fs.isInstanceOf[MockSchemeFileSystem],
+      s"mock:// resolved to ${fs.getClass} — scheme registration broken")
+    assert(Salvage.validate(fs, new Path(repaired), samplerate = 1.0).valid)
+  }
+
   test("streaming sink epoch commit is idempotent under replay") {
     import org.apache.spark.sql.types._
     val dir = tmpDir("sink-epoch")
