@@ -27,6 +27,35 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val mode = args.lift(2).getOrElse("documents")
+    // mode=recall: no inflation — measure the approximate-ANN variants'
+    // recall@3 against the exact brute-force baseline on the given SF,
+    // plus each variant's wall time, so SCALE.md can publish the
+    // accuracy/cost trade instead of only asserting a floor in tests.
+    if (mode == "recall") {
+      val exact = SparkEntry.queries("q_sim_cosine_topk")(spark, sfDir)
+        .filter(col("rn") <= 3).select("label", "vec_id")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      def measure(id: String): (Double, Double) = {
+        val t0 = System.nanoTime()
+        val got = SparkEntry.queries(id)(spark, sfDir)
+          .select("label", "vec_id")
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+        val sec = (System.nanoTime() - t0) / 1e9
+        ((exact intersect got).size.toDouble / exact.size, sec)
+      }
+      val t0 = System.nanoTime()
+      SparkEntry.queries("q_sim_cosine_topk")(spark, sfDir).count()
+      val exactSec = (System.nanoTime() - t0) / 1e9
+      val (rIvf, sIvf) = measure("q_sim_ann_ivf")
+      val (rPq, sPq) = measure("q_sim_ann_ivfpq")
+      def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      println(s"""{"probe":"recall","sf":"$sfDir","k":3,""" +
+        s""""exact_sec":${f(exactSec)},""" +
+        s""""ivf":{"recall":${f(rIvf)},"sec":${f(sIvf)}},""" +
+        s""""ivfpq":{"recall":${f(rPq)},"sec":${f(sPq)}}}""")
+      spark.stop()
+      return
+    }
     val probeDir = graft.queries.Tables.freshDir(s"scaleprobe_${mode}_$factor")
     if (mode == "embeddings") {
       // embeddings inflate with small deterministic perturbations, so

@@ -23,10 +23,22 @@ import org.apache.spark.sql.types.IntegerType
   * heap pass assigns ranks — the same partial-aggregation shape Spark
   * applies to hash aggregates, applied to top-k. At 100 TB the shuffle
   * shrinks from the full fact table to k·partitions rows per group, and
-  * nothing is ever sorted beyond the k kept rows. Memory is bounded by
-  * (groups-per-partition × k) pinned rows; a group-cardinality explosion
-  * degrades to hash-aggregate-like memory use, for which the sort-based
-  * built-in remains the fallback. */
+  * nothing is ever sorted beyond the k kept rows.
+  *
+  * Memory gate: the PARTIAL pass pins (groups-per-partition × k) rows,
+  * which a group-cardinality explosion (group ≈ unique key) turns into
+  * the whole partition. When pinned rows exceed
+  * `spark.graft.topk.partialMaxRows` (default 4M) the pass FLUSHES:
+  * emits every held row downstream and restarts with an empty heap map.
+  * Correct because the partial output is a candidate superset, not a
+  * final answer — a row in the partition's true top-k has at most k−1
+  * better rows in its own flush segment, so it survives its segment's
+  * heap and reaches the final pass. Cost of a flush is only extra
+  * shuffled rows (up to k per group per segment); memory stays bounded
+  * at the threshold for any group cardinality. The FINAL pass cannot
+  * flush (ranks need complete groups); its memory is
+  * groups-per-reducer-partition × k, the hash-aggregate shape, scaled
+  * down by however many shuffle partitions the exchange provides. */
 case class TopKPerGroupNode(k: Int, groupExprs: Seq[Attribute],
     ordering: Seq[SortOrder], rankAttr: AttributeReference,
     child: LogicalPlan) extends UnaryNode {
@@ -40,12 +52,18 @@ case class TopKPerGroupNode(k: Int, groupExprs: Seq[Attribute],
 }
 
 object TopKPerGroupStrategy extends SparkStrategy {
+  val PartialMaxRowsKey = "spark.graft.topk.partialMaxRows"
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: TopKPerGroupNode =>
+      val maxRows = SparkSession.getActiveSession
+        .flatMap(_.conf.getOption(PartialMaxRowsKey))
+        .map(_.toLong).getOrElse(4L * 1024 * 1024)
       val partial = TopKPerGroupExec(n.k, n.groupExprs, n.ordering,
-        rankAttr = None, partial = true, planLater(n.child))
+        rankAttr = None, partial = true, maxRows, planLater(n.child))
       TopKPerGroupExec(n.k, n.groupExprs, n.ordering,
-        rankAttr = Some(n.rankAttr), partial = false, partial) :: Nil
+        rankAttr = Some(n.rankAttr), partial = false, maxRows,
+        partial) :: Nil
     case _ => Nil
   }
 }
@@ -56,7 +74,12 @@ object TopKPerGroupStrategy extends SparkStrategy {
   * emits rank 1..k per group. */
 case class TopKPerGroupExec(k: Int, groupExprs: Seq[Attribute],
     ordering: Seq[SortOrder], rankAttr: Option[AttributeReference],
-    partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+    partial: Boolean, partialMaxRows: Long, child: SparkPlan)
+    extends UnaryExecNode {
+
+  override lazy val metrics = Map(
+    "partialFlushes" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "partial heap flushes"))
 
   override def output: Seq[Attribute] = child.output ++ rankAttr
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
@@ -75,6 +98,9 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Attribute],
     val sortOrders = ordering
     val emitRank = rankAttr.isDefined
     val outAttrs = output
+    val isPartial = partial
+    val maxPinned = if (partial) partialMaxRows else Long.MaxValue
+    val flushMetric = longMetric("partialFlushes")
     child.execute().mapPartitions { it =>
       val groupProj = UnsafeProjection.create(groupAttrs, childOutput)
       val boundKeys = sortOrders.map(so =>
@@ -111,52 +137,79 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Attribute],
         }
       }
       // max-heap: the worst kept row sits on top and is evicted first
-      val heaps = new java.util.HashMap[UnsafeRow,
-        scala.collection.mutable.PriorityQueue[(Array[Any], InternalRow)]]()
-      while (it.hasNext) {
-        val row = it.next() // InternalRow contract — no UnsafeRow cast
-        val g = groupProj(row)
-        var heap = heaps.get(g)
-        if (heap == null) {
-          heap = scala.collection.mutable.PriorityQueue
-            .empty[(Array[Any], InternalRow)](cmp)
-          heaps.put(g.copy(), heap)
-        }
-        val keys = new Array[Any](boundKeys.length)
-        var i = 0
-        while (i < keys.length) {
-          keys(i) = boundKeys(i).eval(row) match {
-            // buffer-backed keys (strings, arrays, maps, structs) point
-            // into the row's memory, which is reused by the scan
-            // iterator — detach them before the row is released
-            case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
-            case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
-            case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
-            case r: InternalRow => r.copy()
-            case other => other
-          }
-          i += 1
-        }
-        if (heap.size < kLocal) heap.enqueue((keys, row.copy()))
-        else if (cmp.compare((keys, row), heap.head) < 0) {
-          heap.dequeue(); heap.enqueue((keys, row.copy()))
-        }
-      }
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
-      val groupsIt = heaps.values().iterator()
       new Iterator[InternalRow] {
+        private val heaps = new java.util.HashMap[UnsafeRow,
+          scala.collection.mutable.PriorityQueue[(Array[Any], InternalRow)]]()
+        private var pinned = 0L
         private var current: Iterator[InternalRow] = Iterator.empty
-        override def hasNext: Boolean = {
-          while (!current.hasNext && groupsIt.hasNext) {
-            val heap = groupsIt.next()
+
+        /** Consume input until the heap map hits the pin bound (partial
+          * only) or the input ends; returns false when input AND heaps
+          * are both exhausted. */
+        private def fill(): Boolean = {
+          var hitBound = false
+          while (it.hasNext && !hitBound) {
+            val row = it.next() // InternalRow contract — no UnsafeRow cast
+            val g = groupProj(row)
+            var heap = heaps.get(g)
+            if (heap == null) {
+              heap = scala.collection.mutable.PriorityQueue
+                .empty[(Array[Any], InternalRow)](cmp)
+              heaps.put(g.copy(), heap)
+            }
+            val keys = new Array[Any](boundKeys.length)
+            var i = 0
+            while (i < keys.length) {
+              keys(i) = boundKeys(i).eval(row) match {
+                // buffer-backed keys (strings, arrays, maps, structs)
+                // point into the row's memory, which is reused by the
+                // scan iterator — detach them before the row is released
+                case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+                case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+                case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+                case r: InternalRow => r.copy()
+                case other => other
+              }
+              i += 1
+            }
+            if (heap.size < kLocal) {
+              heap.enqueue((keys, row.copy())); pinned += 1
+              if (pinned >= maxPinned) {
+                hitBound = true
+                if (isPartial) flushMetric.add(1)
+              }
+            } else if (cmp.compare((keys, row), heap.head) < 0) {
+              heap.dequeue(); heap.enqueue((keys, row.copy()))
+            }
+          }
+          heaps.size() > 0
+        }
+
+        /** Emit everything currently held and reset — the flush that
+          * bounds partial-pass memory under group-cardinality blowup. */
+        private def drain(): Iterator[InternalRow] = {
+          val held = new Array[
+            scala.collection.mutable.PriorityQueue[(Array[Any], InternalRow)]](
+            heaps.size())
+          val vs = heaps.values().iterator()
+          var i = 0
+          while (vs.hasNext) { held(i) = vs.next(); i += 1 }
+          heaps.clear(); pinned = 0
+          held.iterator.flatMap { heap =>
             // dequeueAll yields worst-first; reverse for rank order
             val best = heap.dequeueAll.reverse
-            current =
-              if (!emitRank) best.iterator.map(_._2)
-              else best.iterator.zipWithIndex.map { case ((_, row), i) =>
-                outProj(new JoinedRow(row,
-                  new GenericInternalRow(Array[Any](i + 1))))
-              }
+            if (!emitRank) best.iterator.map(_._2)
+            else best.iterator.zipWithIndex.map { case ((_, row), j) =>
+              outProj(new JoinedRow(row,
+                new GenericInternalRow(Array[Any](j + 1))))
+            }
+          }
+        }
+
+        override def hasNext: Boolean = {
+          while (!current.hasNext && (it.hasNext || heaps.size() > 0)) {
+            if (fill()) current = drain()
           }
           current.hasNext
         }

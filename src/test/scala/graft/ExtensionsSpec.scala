@@ -47,6 +47,51 @@ class ExtensionsSpec extends AnyFunSuite {
       s"null must sort after real values: ${out.toSeq}")
   }
 
+  test("partial pass flushes under group-cardinality blowup: bounded " +
+      "memory, identical results") {
+    // group ≈ unique key is the OOM shape: every row opens a heap, so
+    // the partial pass would pin the whole partition. With the pin
+    // bound set far below the row count the pass must flush (metric
+    // ticks) and still produce exactly the window-formulation answer.
+    spark.conf.set(graft.plans.TopKPerGroupStrategy.PartialMaxRowsKey, "500")
+    try {
+      val df = spark.range(0, 20000)
+        .selectExpr("id % 6000 AS g", "cast((id * 37) % 1001 AS double) AS v",
+          "id AS tie")
+      val out = graft.plans.TopKPerGroup(df, Seq("g"), "v", Seq("tie"), 3)
+      val got = out.collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3))).sorted
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy("g").orderBy(col("v").desc, col("tie").asc)
+      val expect = df.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3).collect().map(r =>
+          (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3))).sorted
+      assert(got.length == expect.length,
+        s"row count: got ${got.length}, expect ${expect.length}")
+      assert(got.sameElements(expect), "flushed partial pass changed results")
+      // the flush really fired — otherwise this test proves nothing.
+      // Descend through AQE stage leaves: collect() on the adaptive
+      // plan alone sees only stage boundaries.
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          flatten(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          flatten(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          flatten(r.child)
+        case _ => p.children.flatMap(flatten)
+      })
+      val flushes = flatten(out.queryExecution.executedPlan).collect {
+        case e: graft.plans.TopKPerGroupExec if e.partial =>
+          e.metrics("partialFlushes").value
+      }.sum
+      assert(flushes > 0, "expected at least one partial flush at bound 500")
+    } finally spark.conf
+      .unset(graft.plans.TopKPerGroupStrategy.PartialMaxRowsKey)
+  }
+
   test("injected planner strategy plans TopKPerGroupNode") {
     val df = spark.range(0, 100)
       .selectExpr("id % 10 AS g", "cast(id AS double) AS v")
