@@ -76,7 +76,6 @@ class AvroContainerSource extends TableProvider with DataSourceRegister {
     // optimizations return wrong results silently). `first` is an
     // explicit user opt-out of evolution awareness and keeps its
     // declared nullability.
-    val sampled = mergeMode != "first" && headerPaths.length < ps.length
     def header(p: String): StructType = {
       val in = fs.open(new Path(p))
       try {
@@ -85,7 +84,26 @@ class AvroContainerSource extends TableProvider with DataSourceRegister {
         try SchemaConverter.toSparkStruct(s.getSchema) finally s.close()
       } finally in.close()
     }
-    val structs = headerPaths.map(header)
+    val sampledStructs = headerPaths.map(header)
+    // Under-covered-sample escalation: if the SAMPLED headers already
+    // disagree, schema evolution is demonstrably active in this
+    // directory, and an unsampled generation may well carry a column no
+    // sampled header has (which this merge would silently drop). Pay
+    // the bounded O(files) header-read cost and merge everything —
+    // evolution-free directories (the common case) never pay it.
+    val escalate = mergeMode != "first" && mergeMode != "all" &&
+      headerPaths.length < ps.length && sampledStructs.distinct.length > 1
+    val structs =
+      if (escalate) ps.map(header)
+      else sampledStructs
+    // True when some headers were NOT read: any unsampled file may lack
+    // a field the sampled ones all carry, and the read path null-fills
+    // it there — so no nullable=false claim derived from the sample
+    // alone can be trusted (a nullability lie lets null-intolerant
+    // optimizations return wrong results silently). `first` is an
+    // explicit user opt-out of evolution awareness and keeps its
+    // declared nullability.
+    val sampled = mergeMode != "first" && structs.length < ps.length
     val record = {
       val order = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
       val seenIn = scala.collection.mutable.Map.empty[String, Int]

@@ -561,6 +561,43 @@ class AvroSubsystemSpec extends AnyFunSuite {
       s"exhaustive inference lost the writer's non-null claim: $allSchema")
   }
 
+  test("sample disagreement escalates to all-header inference: columns " +
+      "in unsampled files survive") {
+    import spark.implicits._
+    val dir = tmpDir("sample-escalate")
+    def writeAs(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val stage = tmpDir(s"stage-$name")
+      df.coalesce(1).write.format("graft-avro").mode("overwrite").save(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".avro")).get
+      Files.move(part.toPath, Paths.get(dir, s"$name.avro"))
+    }
+    // 40 name-ordered files; the evenly-spread 32-sample over 40 skips
+    // indices {4,9,14,19,24,29,34,38}. Alternate two schemas so the
+    // SAMPLED headers already disagree (evolution demonstrably active),
+    // and hide a third column in skipped index 4 — without escalation
+    // the merge would silently drop it.
+    for (i <- 0 until 40) {
+      if (i == 4)
+        writeAs(f"f$i%03d", Seq((i.toLong, i.toLong))
+          .toDF("id", "only_in_unsampled"))
+      else if (i % 2 == 0)
+        writeAs(f"f$i%03d", Seq(Tuple1(i.toLong)).toDF("id"))
+      else
+        writeAs(f"f$i%03d", Seq((i.toLong, s"s$i")).toDF("id", "s"))
+    }
+    val schema = spark.read.format("graft-avro").load(dir).schema
+    assert(schema.fieldNames.contains("only_in_unsampled"),
+      s"escalated inference dropped the unsampled-only column: $schema")
+    // exhaustive merge: the partial columns are nullable (absent from
+    // some generation), and nothing is left force-nullable-by-sampling
+    assert(schema("only_in_unsampled").nullable && schema("s").nullable,
+      s"partial columns must infer nullable: $schema")
+    val all = spark.read.format("graft-avro").load(dir)
+    assert(all.count() == 40)
+    assert(all.filter("only_in_unsampled IS NOT NULL").count() == 1)
+  }
+
   test("nested nullability-only drift merges; nested add-field refuses") {
     import org.apache.spark.sql.types._
     val a = StructType(Seq(StructField("inner", StructType(Seq(
