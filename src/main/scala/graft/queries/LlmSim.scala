@@ -232,8 +232,16 @@ object LlmSim {
     * funnel's exactness limit (nprobe=cells + full-width shortlist ≡ the
     * brute-force baseline) and recall at the operating point. */
   private def qSimAnnIvfPq(s: SparkSession, d: String): DataFrame =
+    // shortlist 128, not 32: the ScaleProbe recall table showed recall@3
+    // dropping to 0.60 at sf0.1's 5000 vectors with a 32-wide shortlist
+    // (isotropic vectors are PQ's worst case — ADC ranks are noisy, so
+    // the exact rerank needs a wider survivor set as the corpus grows;
+    // measured 0.60 → 0.67 at 64 → 0.77 at 128, against the 0.93
+    // nprobe-6/8 IVF ceiling). Widening only grows the rerank set
+    // (≤ shortlist rows per probe cross the exchange) — at 100 TB the
+    // shortlist is noise next to the scan either way.
     annIvfPq(s, d, cells = 8, nprobe = 6, subspaces = 8, codeBook = 16,
-      shortlist = 32, k = 3)
+      shortlist = 128, k = 3)
 
   private def unitD(v: Array[Float]): Array[Double] = {
     val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
