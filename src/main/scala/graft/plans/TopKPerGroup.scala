@@ -101,46 +101,27 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Attribute],
     val isPartial = partial
     val maxPinned = if (partial) partialMaxRows else Long.MaxValue
     val flushMetric = longMetric("partialFlushes")
+    // Codegen'd row comparator — the TakeOrderedAndProject discipline:
+    // LazilyGeneratedOrdering serializes the SortOrder spec and compiles
+    // a comparator on each executor (Janino), handling direction + null
+    // ordering natively. Beats the previous interpreted design twice
+    // over: no per-row key extraction into boxed Array[Any] (and no
+    // manual UTF8String/ArrayData detach-copies — whole-row copies
+    // already own their buffers), and each compare is a compiled field
+    // access instead of an Ordering[Any] chain. Heap ops re-evaluate
+    // the sort expressions per comparison; order keys here are column
+    // references, so that is exactly the cheap path.
+    val rowOrd = new org.apache.spark.sql.catalyst.expressions.codegen
+      .LazilyGeneratedOrdering(sortOrders.map(so =>
+        so.copy(child = BindReferences.bindReference(so.child, childOutput))))
     child.execute().mapPartitions { it =>
       val groupProj = UnsafeProjection.create(groupAttrs, childOutput)
-      val boundKeys = sortOrders.map(so =>
-        BindReferences.bindReference(so.child, childOutput))
-      val keyOrds: Array[Ordering[Any]] = sortOrders.map { so =>
-        val dirBase = {
-          val base = TypeUtils.getInterpretedOrdering(so.child.dataType)
-          if (so.direction == Descending) base.reverse else base
-        }
-        // SortOrder null semantics: default NULLS FIRST for ASC,
-        // NULLS LAST for DESC (what so.nullOrdering carries) — the
-        // interpreted ordering alone would NPE on a null key
-        val nullsFirst =
-          so.nullOrdering == org.apache.spark.sql.catalyst.expressions.NullsFirst
-        new Ordering[Any] {
-          override def compare(a: Any, b: Any): Int =
-            if (a == null && b == null) 0
-            else if (a == null) { if (nullsFirst) -1 else 1 }
-            else if (b == null) { if (nullsFirst) 1 else -1 }
-            else dirBase.compare(a, b)
-        }
-      }.toArray
-      // "better" = smaller in this composite order (rank 1 = minimum)
-      val cmp = new Ordering[(Array[Any], InternalRow)] {
-        override def compare(a: (Array[Any], InternalRow),
-            b: (Array[Any], InternalRow)): Int = {
-          var i = 0
-          while (i < keyOrds.length) {
-            val c = keyOrds(i).compare(a._1(i), b._1(i))
-            if (c != 0) return c
-            i += 1
-          }
-          0
-        }
-      }
       // max-heap: the worst kept row sits on top and is evicted first
+      // (PriorityQueue surfaces the LARGEST per rowOrd = sorts-last)
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       new Iterator[InternalRow] {
         private val heaps = new java.util.HashMap[UnsafeRow,
-          scala.collection.mutable.PriorityQueue[(Array[Any], InternalRow)]]()
+          scala.collection.mutable.PriorityQueue[InternalRow]]()
         private var pinned = 0L
         private var current: Iterator[InternalRow] = Iterator.empty
 
@@ -155,32 +136,17 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Attribute],
             var heap = heaps.get(g)
             if (heap == null) {
               heap = scala.collection.mutable.PriorityQueue
-                .empty[(Array[Any], InternalRow)](cmp)
+                .empty[InternalRow](rowOrd)
               heaps.put(g.copy(), heap)
             }
-            val keys = new Array[Any](boundKeys.length)
-            var i = 0
-            while (i < keys.length) {
-              keys(i) = boundKeys(i).eval(row) match {
-                // buffer-backed keys (strings, arrays, maps, structs)
-                // point into the row's memory, which is reused by the
-                // scan iterator — detach them before the row is released
-                case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
-                case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
-                case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
-                case r: InternalRow => r.copy()
-                case other => other
-              }
-              i += 1
-            }
             if (heap.size < kLocal) {
-              heap.enqueue((keys, row.copy())); pinned += 1
+              heap.enqueue(row.copy()); pinned += 1
               if (pinned >= maxPinned) {
                 hitBound = true
                 if (isPartial) flushMetric.add(1)
               }
-            } else if (cmp.compare((keys, row), heap.head) < 0) {
-              heap.dequeue(); heap.enqueue((keys, row.copy()))
+            } else if (rowOrd.compare(row, heap.head) < 0) {
+              heap.dequeue(); heap.enqueue(row.copy())
             }
           }
           heaps.size() > 0
@@ -190,8 +156,7 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Attribute],
           * bounds partial-pass memory under group-cardinality blowup. */
         private def drain(): Iterator[InternalRow] = {
           val held = new Array[
-            scala.collection.mutable.PriorityQueue[(Array[Any], InternalRow)]](
-            heaps.size())
+            scala.collection.mutable.PriorityQueue[InternalRow]](heaps.size())
           val vs = heaps.values().iterator()
           var i = 0
           while (vs.hasNext) { held(i) = vs.next(); i += 1 }
@@ -199,8 +164,8 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Attribute],
           held.iterator.flatMap { heap =>
             // dequeueAll yields worst-first; reverse for rank order
             val best = heap.dequeueAll.reverse
-            if (!emitRank) best.iterator.map(_._2)
-            else best.iterator.zipWithIndex.map { case ((_, row), j) =>
+            if (!emitRank) best.iterator
+            else best.iterator.zipWithIndex.map { case (row, j) =>
               outProj(new JoinedRow(row,
                 new GenericInternalRow(Array[Any](j + 1))))
             }
