@@ -21,8 +21,12 @@ object FunctionsExt {
     override def merge(x: List[Double], y: List[Double]): List[Double] =
       (x ++ y).sorted(Ordering[Double].reverse).take(3)
     override def finish(r: List[Double]): Seq[Double] = r
+    // Native row-format encoder, NOT Encoders.kryo: kryo buffers serialize
+    // through java.nio internals (needs --add-opens on JDK 17) and opt the
+    // merge path out of Tungsten's unsafe-row fast path. A List[Double] is
+    // natively encodable as ARRAY<DOUBLE>.
     override def bufferEncoder: Encoder[List[Double]] =
-      Encoders.kryo[List[Double]]
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Double]]()
     override def outputEncoder: Encoder[Seq[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
