@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Analytics wave: graph centrality (fixed-iteration PageRank), warehouse
+  * dimension history (SCD type 2), and cohort retention — the standing
+  * analytical workloads an engine replacing the reference would be asked
+  * to run next to the LLM-curation pipeline.
+  *
+  * Scale notes:
+  *  - PageRank: the edge set shuffles ONCE per iteration on the
+  *    destination key (the unavoidable message-passing shuffle); rank
+  *    state is one row per node, co-partitioned with degree, and the
+  *    iteration count is fixed (3) so the plan tree stays shallow — no
+  *    checkpointing needed at this depth (q_dedup_cluster holds the
+  *    unbounded-iteration variant with localCheckpoint lineage
+  *    truncation). The edge relation is persisted across iterations so
+  *    the orders⋈lineitem derivation runs once, not three times.
+  *  - SCD2 is two window passes over the same (custkey)-partitioning —
+  *    Catalyst reuses one Exchange; a billion-customer dimension
+  *    partitions cleanly because all state is per-key and bounded by a
+  *    customer's change count.
+  *  - Retention: activity collapses to distinct (user, day) BEFORE any
+  *    join (the dedup shuffle is the dominant cost and it's one pass);
+  *    the cohort table is one row per user, cohort sizes one row per
+  *    day, broadcast.
+  *
+  * Cross-engine determinism (PageRank): per-edge contributions are
+  * floor-scaled to integers at 1e15 (`floor` has no rounding-mode
+  * ambiguity, unlike double→DECIMAL casts, which tie-break HALF_UP in
+  * Spark vs half-even in DuckDB) and summed as exact BIGINTs, so engine
+  * aggregation order cannot perturb ranks; the per-node damping update is
+  * a fixed-order IEEE expression mirrored textually in the oracle.
+  */
+object Analytics {
+
+  /** 3 iterations of PageRank (d = 0.85) over the bipartite
+    * customer–part interaction graph (who ordered what), undirected.
+    * Node encoding: custkey·2 / partkey·2+1. No dangling nodes by
+    * construction (every node enters via an edge). */
+  private def qGraphPagerank(s: SparkSession, d: String): DataFrame = {
+    val e0 = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("u"),
+        (col("l_partkey") * 2 + 1).as("v"))
+      .distinct()
+    // Persist the edges ALREADY hash-partitioned on the join key: the
+    // cached layout satisfies each iteration's join requirement, so only
+    // the node-sized rank table shuffles per round — the edge relation
+    // (the 100-TB side) is shuffled exactly once for the whole run.
+    val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u")).persist()
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val nn = deg.agg(count(lit(1)).as("nn"))
+    var r = deg.crossJoin(broadcast(nn))
+      .select(col("u"), expr("CAST(1 AS DOUBLE) / CAST(nn AS DOUBLE)")
+        .as("r"), col("deg"), col("nn"))
+    for (_ <- 1 to 3) {
+      val contrib = e.join(r, "u")
+        .select(col("v").as("u"),
+          expr("CAST(floor(r * 1000000000000000.0 / CAST(deg AS DOUBLE))" +
+            " AS BIGINT)").as("c"))
+      val sums = contrib.groupBy(col("u")).agg(sum(col("c")).as("s"))
+      // Eager checkpoint per round (node-sized, tiny): truncates lineage
+      // AND lets the edge cache be dropped before the result is consumed,
+      // so repeated invocations in one session don't stack cache entries.
+      r = sums.join(r.select(col("u"), col("deg"), col("nn")), "u")
+        .select(col("u"), expr(
+          """CAST(0.15 AS DOUBLE) / CAST(nn AS DOUBLE)
+            |+ CAST(0.85 AS DOUBLE)
+            |  * (CAST(s AS DOUBLE) / 1000000000000000.0)""".stripMargin)
+          .as("r"), col("deg"), col("nn"))
+        .localCheckpoint(true)
+    }
+    e.unpersist()
+    r.select(col("u").as("node"), round(col("r"), 12).as("rank"))
+      .orderBy(desc("rank"), col("node")).limit(100)
+  }
+
+  /** Slowly-changing-dimension type 2: collapse each customer's order
+    * stream into priority "eras" — (valid_from, valid_to) intervals with
+    * a version counter, open-ended on the current era. The
+    * change-data-capture → dimension-history build of every warehouse
+    * load, and the dataset-versioning primitive of a curation pipeline. */
+  private def qScd2(s: SparkSession, d: String): DataFrame = {
+    val byKey = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, d, "orders")
+      .withColumn("prev", lag(col("o_orderpriority"), 1).over(byKey))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(byKey))
+      .withColumn("version", row_number().over(byKey).cast("int"))
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderpriority").as("priority"),
+        col("o_orderdate").as("valid_from"), col("valid_to"), col("version"))
+      .orderBy(col("custkey"), col("version"))
+  }
+
+  /** Daily cohort retention over the events stream: cohort = a user's
+    * first active day, retention = fraction of the cohort active again
+    * at each day offset ≤ 14. The engagement curve behind every product
+    * dashboard — and the freshness-decay curve of a data flywheel. */
+  private def qWinRetention(s: SparkSession, d: String): DataFrame = {
+    val a = events(s, d)
+      .select(col("user_id"), expr("us div 86400000000").as("day"))
+      .distinct()
+    val c = a.groupBy(col("user_id")).agg(min(col("day")).as("cday"))
+    val cs = c.groupBy(col("cday")).agg(count(lit(1)).as("cohort_size"))
+    a.join(c, "user_id")
+      .filter(col("day") - col("cday") <= 14)
+      .select(col("cday"), (col("day") - col("cday")).as("offset_d"),
+        col("user_id"))
+      .join(broadcast(cs), "cday")
+      .groupBy(col("cday"), col("offset_d"), col("cohort_size"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .select(col("cday").as("cohort_day"), col("offset_d"),
+        col("n_active"), col("cohort_size"),
+        round(col("n_active").cast("double")
+          / col("cohort_size").cast("double"), 6).as("pct"))
+      .orderBy(col("cohort_day"), col("offset_d"))
+  }
+
+  val defs: Map[String, Relational.Q] = Map(
+    "q_graph_pagerank" -> (qGraphPagerank _),
+    "q_scd2" -> (qScd2 _),
+    "q_win_retention" -> (qWinRetention _),
+  )
+
+  val sql: Map[String, String] = Map(
+    // Iterations unrolled as CTE chains; arithmetic mirrored textually.
+    "q_graph_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS u, l_partkey * 2 + 1 AS v
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY u),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM deg),
+        |r0 AS (SELECT u, CAST(1 AS DOUBLE) / CAST(nn AS DOUBLE) AS r,
+        |              deg, nn FROM deg, nn),
+        |c1 AS (SELECT e.v AS u, CAST(floor(r0.r * 1000000000000000.0
+        |         / CAST(r0.deg AS DOUBLE)) AS BIGINT) AS c
+        |       FROM e JOIN r0 ON e.u = r0.u),
+        |s1 AS (SELECT u, CAST(sum(c) AS BIGINT) AS s FROM c1 GROUP BY u),
+        |r1 AS (SELECT d.u, CAST(0.15 AS DOUBLE) / CAST(d.nn AS DOUBLE)
+        |         + CAST(0.85 AS DOUBLE)
+        |           * (CAST(s.s AS DOUBLE) / 1000000000000000.0) AS r,
+        |         d.deg, d.nn
+        |       FROM s1 s JOIN r0 d ON s.u = d.u),
+        |c2 AS (SELECT e.v AS u, CAST(floor(r1.r * 1000000000000000.0
+        |         / CAST(r1.deg AS DOUBLE)) AS BIGINT) AS c
+        |       FROM e JOIN r1 ON e.u = r1.u),
+        |s2 AS (SELECT u, CAST(sum(c) AS BIGINT) AS s FROM c2 GROUP BY u),
+        |r2 AS (SELECT d.u, CAST(0.15 AS DOUBLE) / CAST(d.nn AS DOUBLE)
+        |         + CAST(0.85 AS DOUBLE)
+        |           * (CAST(s.s AS DOUBLE) / 1000000000000000.0) AS r,
+        |         d.deg, d.nn
+        |       FROM s2 s JOIN r1 d ON s.u = d.u),
+        |c3 AS (SELECT e.v AS u, CAST(floor(r2.r * 1000000000000000.0
+        |         / CAST(r2.deg AS DOUBLE)) AS BIGINT) AS c
+        |       FROM e JOIN r2 ON e.u = r2.u),
+        |s3 AS (SELECT u, CAST(sum(c) AS BIGINT) AS s FROM c3 GROUP BY u),
+        |r3 AS (SELECT d.u, CAST(0.15 AS DOUBLE) / CAST(d.nn AS DOUBLE)
+        |         + CAST(0.85 AS DOUBLE)
+        |           * (CAST(s.s AS DOUBLE) / 1000000000000000.0) AS r
+        |       FROM s3 s JOIN r2 d ON s.u = d.u)
+        |SELECT u AS node, round(r, 12) AS rank FROM r3
+        |ORDER BY round(r, 12) DESC, node LIMIT 100""".stripMargin,
+    "q_scd2" ->
+      """WITH ch AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |c2 AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+        |  FROM ch WHERE prev IS NULL OR prev <> o_orderpriority)
+        |SELECT o_custkey AS custkey, o_orderpriority AS priority,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS INT) AS version
+        |FROM c2 ORDER BY custkey, version""".stripMargin,
+    "q_win_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cday FROM a GROUP BY user_id),
+        |cs AS (SELECT cday, CAST(count(*) AS BIGINT) AS cohort_size
+        |       FROM c GROUP BY cday),
+        |j AS (
+        |  SELECT c.cday, CAST(a.day - c.cday AS BIGINT) AS offset_d,
+        |         a.user_id
+        |  FROM a JOIN c ON a.user_id = c.user_id
+        |  WHERE a.day - c.cday <= 14)
+        |SELECT j.cday AS cohort_day, j.offset_d,
+        |  CAST(count(DISTINCT j.user_id) AS BIGINT) AS n_active,
+        |  cs.cohort_size,
+        |  round(CAST(count(DISTINCT j.user_id) AS DOUBLE)
+        |        / CAST(cs.cohort_size AS DOUBLE), 6) AS pct
+        |FROM j JOIN cs ON j.cday = cs.cday
+        |GROUP BY j.cday, j.offset_d, cs.cohort_size
+        |ORDER BY cohort_day, offset_d""".stripMargin,
+  )
+}
