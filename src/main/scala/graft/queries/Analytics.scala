@@ -106,9 +106,13 @@ object Analytics {
     * at each day offset ≤ 14. The engagement curve behind every product
     * dashboard — and the freshness-decay curve of a data flywheel. */
   private def qWinRetention(s: SparkSession, d: String): DataFrame = {
+    // Materialize distinct (user, day) once: the three consumers (join
+    // probe, cohort min, cohort sizes) otherwise each re-scan the raw
+    // events — 3× the dominant scan at 100 TB. The checkpointed activity
+    // set is corpus-shrunk (bounded by users × days).
     val a = events(s, d)
       .select(col("user_id"), expr("us div 86400000000").as("day"))
-      .distinct()
+      .distinct().localCheckpoint(true)
     val c = a.groupBy(col("user_id")).agg(min(col("day")).as("cday"))
     val cs = c.groupBy(col("cday")).agg(count(lit(1)).as("cohort_size"))
     a.join(c, "user_id")
@@ -127,7 +131,7 @@ object Analytics {
 
   val defs: Map[String, Relational.Q] = Map(
     "q_graph_pagerank" -> (qGraphPagerank _),
-    "q_scd2" -> (qScd2 _),
+    "q_scd2_compress" -> (qScd2 _),
     "q_win_retention" -> (qWinRetention _),
   )
 
@@ -170,7 +174,7 @@ object Analytics {
         |       FROM s3 s JOIN r2 d ON s.u = d.u)
         |SELECT u AS node, round(r, 12) AS rank FROM r3
         |ORDER BY round(r, 12) DESC, node LIMIT 100""".stripMargin,
-    "q_scd2" ->
+    "q_scd2_compress" ->
       """WITH ch AS (
         |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
         |    lag(o_orderpriority) OVER (PARTITION BY o_custkey

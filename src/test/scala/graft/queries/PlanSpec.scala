@@ -385,4 +385,90 @@ class PlanSpec extends AnyFunSuite {
     val grps = r1.map(_.getLong(1)).distinct.length
     assert(grps < r1.length, s"no components merged: $grps of ${r1.length}")
   }
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame) =
+    deepNodes(df).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+
+  test("BM25 never shuffles document rows: one stats exchange + top-k") {
+    // tf comes from per-row higher-order filters; the only shuffle may
+    // carry the single-row corpus-stats aggregate, and the ranking must
+    // be TakeOrderedAndProject, not a global sort.
+    val df = SparkEntry.queries("q_text_bm25")(spark, sf)
+    df.collect()
+    val sh = shuffles(df)
+    assert(sh.size == 1, s"expected only the stats-agg exchange, got " +
+      s"${sh.size}:\n${df.queryExecution.executedPlan}")
+    assert(deepNodes(df).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      s"BM25 top-20 got a full sort:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("BPE pair explode runs over the vocabulary, not the corpus") {
+    // The plan must aggregate (word, freq) BEFORE the pair Generate:
+    // some Generate's subtree contains the word-frequency HashAggregate.
+    // Corpus rows cross only the first (word-explode) Generate.
+    val df = SparkEntry.queries("q_text_bpe_pairs")(spark, sf)
+    df.collect()
+    val gensAboveAgg = deepNodes(df).collect {
+      case g: org.apache.spark.sql.execution.GenerateExec
+        if flattenPlan(g).exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec])
+        => g
+    }
+    assert(gensAboveAgg.nonEmpty, "pair explode is not above the vocab " +
+      s"aggregate:\n${df.queryExecution.executedPlan}")
+    assert(shuffles(df).size == 2, // vocab agg + pair agg, both vocab-sized
+      s"expected two vocab-sized exchanges:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("SCD2 pays one key exchange for both window passes") {
+    val df = SparkEntry.queries("q_scd2_compress")(spark, sf)
+    df.collect()
+    val wins = deepNodes(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.size == 2, s"expected lag + lead/version windows:" +
+      s"\n${df.queryExecution.executedPlan}")
+    val hashing = shuffles(df)
+      .filter(_.outputPartitioning.toString.contains("hashpartitioning"))
+    assert(hashing.size == 1, s"windows re-shuffled (${hashing.size} hash " +
+      s"exchanges):\n${df.queryExecution.executedPlan}")
+  }
+
+  test("retention reads events once and broadcasts cohort tables") {
+    // The distinct (user, day) activity set is checkpointed; all three
+    // consumers read it, so the final plan holds NO parquet scan, and
+    // both cohort joins broadcast the per-user/per-day side.
+    val df = SparkEntry.queries("q_win_retention")(spark, sf)
+    df.collect()
+    val parquetScans = deepNodes(df).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(parquetScans.isEmpty, s"events re-scanned " +
+      s"${parquetScans.size}x:\n${df.queryExecution.executedPlan}")
+    val bhj = deepNodes(df).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }
+    assert(bhj.size == 2, s"cohort joins did not broadcast:" +
+      s"\n${df.queryExecution.executedPlan}")
+  }
+
+  test("PageRank bounds lineage and leaks no cache; ranks sum to 1") {
+    spark.catalog.clearCache() // isolate from other queries' cache entries
+    val df = SparkEntry.queries("q_graph_pagerank")(spark, sf)
+    val rows = df.collect()
+    // Iterations were materialized round-by-round (checkpoint scans), so
+    // the consumer plan re-executes none of them.
+    assert(shuffles(df).isEmpty, s"iteration work leaked into the " +
+      s"consumer plan:\n${df.queryExecution.executedPlan}")
+    // The edge cache must be dropped once the rank state is materialized
+    // (repeat invocations must not stack InMemoryRelations).
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "edge cache leaked past the query build")
+    // Probability-mass invariant: Σ rank ≈ 1 over ALL nodes; the top-100
+    // slice at sf0.001 covers most nodes only if the graph is small, so
+    // assert the weaker bound that no rank is outside (0, 1).
+    assert(rows.nonEmpty && rows.forall { r =>
+      val v = r.getDouble(1); v > 0.0 && v < 1.0 })
+    assert(rows.map(_.getDouble(1)).sum <= 1.0 + 1e-9)
+  }
 }
