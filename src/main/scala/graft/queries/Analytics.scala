@@ -129,10 +129,69 @@ object Analytics {
       .orderBy(col("cohort_day"), col("offset_d"))
   }
 
+  /** Ordered conversion funnel (view → click → purchase, each stage
+    * strictly after the previous stage's FIRST event for that user) with
+    * per-stage conversion rates. Three cascaded per-user min-aggregates,
+    * all shuffle-partitioned on user_id — the stage joins are
+    * co-partitioned, and the final stage table is three rows. */
+  private def qWinFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("event_type"), col("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("us") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("us") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t_buy"))
+    v.agg(count(lit(1)).as("nv"))
+      .crossJoin(c.agg(count(lit(1)).as("nc")))
+      .crossJoin(p.agg(count(lit(1)).as("np")))
+      .selectExpr(
+        """stack(3,
+          |  1, 'view', nv, CAST(1.0 AS DOUBLE),
+          |  2, 'click', nc, CASE WHEN nv > 0 THEN
+          |    round(CAST(nc AS DOUBLE) / CAST(nv AS DOUBLE), 6) END,
+          |  3, 'purchase', np, CASE WHEN nc > 0 THEN
+          |    round(CAST(np AS DOUBLE) / CAST(nc AS DOUBLE), 6) END
+          |) AS (stage, name, n_users, conv)""".stripMargin)
+      .orderBy(col("stage"))
+  }
+
+  /** Per-group Pearson correlation + sample covariance from exact
+    * DECIMAL moments (n, Σx, Σy, Σxy, Σx², Σy² — order-independent
+    * sums; the q_agg_ttest discipline), finished in fixed-order double
+    * arithmetic. One map-side-combining aggregate over the corpus. */
+  private def qAggCorr(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .withColumn("x", col("l_quantity").cast("decimal(19,4)"))
+      .withColumn("y", col("l_extendedprice").cast("decimal(19,4)"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .selectExpr("l_returnflag", "n",
+        """ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          | / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+          |AS corr_qty_price""".stripMargin,
+        """ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          | / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 4)
+          |AS cov_qty_price""".stripMargin)
+      .orderBy(col("l_returnflag"))
+
   val defs: Map[String, Relational.Q] = Map(
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_scd2_compress" -> (qScd2 _),
     "q_win_retention" -> (qWinRetention _),
+    "q_win_funnel" -> (qWinFunnel _),
+    "q_agg_corr" -> (qAggCorr _),
   )
 
   val sql: Map[String, String] = Map(
@@ -211,5 +270,57 @@ object Analytics {
         |FROM j JOIN cs ON j.cday = cs.cday
         |GROUP BY j.cday, j.offset_d, cs.cohort_size
         |ORDER BY cohort_day, offset_d""".stripMargin,
+    "q_win_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |              CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS t_view FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.us) AS t_click
+        |      FROM ev e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.us > v.t_view
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.us) AS t_buy
+        |      FROM ev e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.us > c.t_click
+        |      GROUP BY e.user_id),
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p)
+        |SELECT CAST(1 AS INT) AS stage, 'view' AS name,
+        |  (SELECT n FROM nv) AS n_users, CAST(1.0 AS DOUBLE) AS conv
+        |UNION ALL SELECT 2, 'click', (SELECT n FROM nc),
+        |  CASE WHEN (SELECT n FROM nv) > 0 THEN
+        |    round(CAST((SELECT n FROM nc) AS DOUBLE)
+        |          / CAST((SELECT n FROM nv) AS DOUBLE), 6) END
+        |UNION ALL SELECT 3, 'purchase', (SELECT n FROM np),
+        |  CASE WHEN (SELECT n FROM nc) > 0 THEN
+        |    round(CAST((SELECT n FROM np) AS DOUBLE)
+        |          / CAST((SELECT n FROM nc) AS DOUBLE), 6) END
+        |ORDER BY stage""".stripMargin,
+    "q_agg_corr" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(19,4))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(19,4))
+        |        * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy,
+        |    sum(CAST(l_quantity AS DECIMAL(19,4))
+        |        * CAST(l_quantity AS DECIMAL(19,4))) AS sxx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(19,4))
+        |        * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |   / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  AS corr_qty_price,
+        |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 4)
+        |  AS cov_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
   )
 }
