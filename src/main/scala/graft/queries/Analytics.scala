@@ -186,12 +186,67 @@ object Analytics {
           |AS cov_qty_price""".stripMargin)
       .orderBy(col("l_returnflag"))
 
+  /** Hourly resample + gap-fill: per-user hourly grid between first and
+    * last activity, hours with no events flagged and forward-filled from
+    * the last observed value (`last(..., ignoreNulls)` running frame).
+    * The time-series regularization step before any windowed model. The
+    * hourly aggregate is checkpointed (same single-scan discipline as
+    * q_win_retention); the grid explode is per-user bounded. */
+  private def qTimeResample(s: SparkSession, d: String): DataFrame = {
+    val agg = events(s, d)
+      .select(col("user_id"), expr("us div 3600000000").as("hr"),
+        col("value").cast("decimal(18,4)").as("v"))
+      .groupBy(col("user_id"), col("hr"))
+      .agg(sum(col("v")).as("v"), count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val grid = agg.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("hr"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), col("hr"), col("n").isNull.as("is_gap"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        round(last(col("v"), ignoreNulls = true).over(w).cast("double"), 4)
+          .as("v_fill"))
+      .orderBy(col("user_id"), col("hr"))
+  }
+
+  /** Per-user EMA smoothing with power-of-two decay taps (α = 1/2,
+    * 8 taps): 0.5^k is exactly representable, so every product and the
+    * fixed-order tap sum are bit-identical across engines — an EMA whose
+    * window-frame summation order never matters. Availability-normalized
+    * at the sequence head (missing lags contribute zero weight). */
+  private def qTimeEma(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val weights = Seq("0.5", "0.25", "0.125", "0.0625", "0.03125",
+      "0.015625", "0.0078125")
+    val base = events(s, d)
+      .select(col("user_id"), col("event_id"), col("us"), col("value"))
+    val withLags = (1 to 7).foldLeft(base) { (df, k) =>
+      df.withColumn(s"x$k", lag(col("value"), k).over(w))
+    }
+    val num = weights.zipWithIndex.map { case (wk, i) =>
+      s"CASE WHEN x${i + 1} IS NULL THEN 0.0 ELSE x${i + 1} * $wk END"
+    }.mkString("\n    + ")
+    val den = weights.zipWithIndex.map { case (wk, i) =>
+      s"CASE WHEN x${i + 1} IS NULL THEN 0.0 ELSE $wk END"
+    }.mkString("\n    + ")
+    withLags
+      .withColumn("ema", expr(s"round((value\n    + $num)\n / (1.0\n    + $den), 6)"))
+      .select(col("user_id"), col("event_id"), col("us"), col("ema"))
+      .orderBy(col("user_id"), col("us"), col("event_id"))
+  }
+
   val defs: Map[String, Relational.Q] = Map(
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_scd2_compress" -> (qScd2 _),
     "q_win_retention" -> (qWinRetention _),
     "q_win_funnel" -> (qWinFunnel _),
     "q_agg_corr" -> (qAggCorr _),
+    "q_time_resample" -> (qTimeResample _),
+    "q_time_ema" -> (qTimeEma _),
   )
 
   val sql: Map[String, String] = Map(
@@ -322,5 +377,53 @@ object Analytics {
         |   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 4)
         |  AS cov_qty_price
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_time_resample" ->
+      """WITH ev AS (SELECT user_id,
+        |              CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hr,
+        |              CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |agg AS (SELECT user_id, hr, sum(v) AS v,
+        |               CAST(count(*) AS BIGINT) AS n
+        |        FROM ev GROUP BY user_id, hr),
+        |span AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1
+        |         FROM agg GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hr
+        |         FROM span),
+        |j AS (SELECT g.user_id, g.hr, a.v, a.n FROM grid g
+        |      LEFT JOIN agg a ON g.user_id = a.user_id AND g.hr = a.hr)
+        |SELECT user_id, hr, CAST(n IS NULL AS BOOLEAN) AS is_gap,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+        |  round(CAST(last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE),
+        |    4) AS v_fill
+        |FROM j ORDER BY user_id, hr""".stripMargin,
+    "q_time_ema" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |              CAST(epoch_us(ts) AS BIGINT) AS us, value
+        |            FROM events),
+        |l AS (SELECT user_id, event_id, us, value,
+        |  lag(value, 1) OVER w AS x1, lag(value, 2) OVER w AS x2,
+        |  lag(value, 3) OVER w AS x3, lag(value, 4) OVER w AS x4,
+        |  lag(value, 5) OVER w AS x5, lag(value, 6) OVER w AS x6,
+        |  lag(value, 7) OVER w AS x7
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT user_id, event_id, us,
+        |  round((value
+        |    + CASE WHEN x1 IS NULL THEN 0.0 ELSE x1 * 0.5 END
+        |    + CASE WHEN x2 IS NULL THEN 0.0 ELSE x2 * 0.25 END
+        |    + CASE WHEN x3 IS NULL THEN 0.0 ELSE x3 * 0.125 END
+        |    + CASE WHEN x4 IS NULL THEN 0.0 ELSE x4 * 0.0625 END
+        |    + CASE WHEN x5 IS NULL THEN 0.0 ELSE x5 * 0.03125 END
+        |    + CASE WHEN x6 IS NULL THEN 0.0 ELSE x6 * 0.015625 END
+        |    + CASE WHEN x7 IS NULL THEN 0.0 ELSE x7 * 0.0078125 END)
+        | / (1.0
+        |    + CASE WHEN x1 IS NULL THEN 0.0 ELSE 0.5 END
+        |    + CASE WHEN x2 IS NULL THEN 0.0 ELSE 0.25 END
+        |    + CASE WHEN x3 IS NULL THEN 0.0 ELSE 0.125 END
+        |    + CASE WHEN x4 IS NULL THEN 0.0 ELSE 0.0625 END
+        |    + CASE WHEN x5 IS NULL THEN 0.0 ELSE 0.03125 END
+        |    + CASE WHEN x6 IS NULL THEN 0.0 ELSE 0.015625 END
+        |    + CASE WHEN x7 IS NULL THEN 0.0 ELSE 0.0078125 END), 6) AS ema
+        |FROM l ORDER BY user_id, us, event_id""".stripMargin,
   )
 }
