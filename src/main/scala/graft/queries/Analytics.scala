@@ -239,6 +239,44 @@ object Analytics {
       .orderBy(col("user_id"), col("us"), col("event_id"))
   }
 
+  /** Top principal direction of the embedding cloud (uncentered PCA /
+    * leading singular direction) via 3 power iterations. Per iteration:
+    * one scan computing t = v·x per row (fixed-order fold), per-dimension
+    * contributions floor-scaled to exact BIGINTs at 1e9 (the PageRank
+    * determinism trick — engine aggregation order cannot perturb the
+    * sums), then a 64-double normalize. The iterate x is bounded model
+    * state (64 doubles on the driver — the IVF-centroid shape); the data
+    * side is one scan + one 64-group aggregate per iteration at any
+    * corpus size. Scala's reduceLeft mirrors DuckDB's list_reduce
+    * bracketing exactly. */
+  private def qEmbedPca(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings").select(col("embedding")).persist()
+    var x = Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0)
+    for (_ <- 1 to 3) {
+      val xArr = s"array(${x.map(v => s"CAST($v AS DOUBLE)").mkString(", ")})"
+      val sums = e
+        .select(col("embedding"), expr(
+          s"""aggregate(zip_with(embedding, $xArr,
+             |  (a, b) -> CAST(a AS DOUBLE) * b), 0D,
+             |  (acc, p) -> acc + p)""".stripMargin).as("t"))
+        .select(posexplode(col("embedding")).as(Seq("i0", "v")), col("t"))
+        .select((col("i0") + 1).cast("long").as("i"), expr(
+          "CAST(floor(t * CAST(v AS DOUBLE) * 1000000000.0) AS BIGINT)")
+          .as("c"))
+        .groupBy(col("i")).agg(sum(col("c")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val y = (1 to 64).map(i => sums(i.toLong).toDouble / 1000000000.0)
+      val nrm = math.sqrt(y.map(v => v * v).reduceLeft(_ + _))
+      x = y.map(_ / nrm).toArray
+    }
+    e.unpersist()
+    val rows = x.zipWithIndex.map { case (v, i) => ((i + 1).toLong, v) }
+    import s.implicits._
+    rows.toSeq.toDF("dim", "loading")
+      .select(col("dim"), round(col("loading"), 6).as("loading"))
+      .orderBy(col("dim"))
+  }
+
   val defs: Map[String, Relational.Q] = Map(
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_scd2_compress" -> (qScd2 _),
@@ -247,6 +285,7 @@ object Analytics {
     "q_agg_corr" -> (qAggCorr _),
     "q_time_resample" -> (qTimeResample _),
     "q_time_ema" -> (qTimeEma _),
+    "q_embed_pca" -> (qEmbedPca _),
   )
 
   val sql: Map[String, String] = Map(
@@ -425,5 +464,51 @@ object Analytics {
         |    + CASE WHEN x6 IS NULL THEN 0.0 ELSE 0.015625 END
         |    + CASE WHEN x7 IS NULL THEN 0.0 ELSE 0.0078125 END), 6) AS ema
         |FROM l ORDER BY user_id, us, event_id""".stripMargin,
+    "q_embed_pca" ->
+      """WITH x0 AS (SELECT list_transform(generate_series(1, 64),
+        |  i -> CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE)
+        |       ELSE CAST(0.0 AS DOUBLE) END) AS x),
+        |t1 AS (SELECT e.embedding,
+        |    list_reduce(list_transform(generate_series(1, 64),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * x[i]), (a, b) -> a + b) AS t
+        |  FROM embeddings e, x0),
+        |c1 AS (SELECT u.i AS i,
+        |    CAST(sum(CAST(floor(t * CAST(embedding[u.i] AS DOUBLE)
+        |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS s
+        |  FROM t1, unnest(generate_series(1, 64)) AS u(i) GROUP BY u.i),
+        |y1 AS (SELECT list(CAST(s AS DOUBLE) / 1000000000.0 ORDER BY i) AS y
+        |  FROM c1),
+        |n1 AS (SELECT sqrt(list_reduce(list_transform(y, e -> e * e),
+        |    (a, b) -> a + b)) AS nrm, y FROM y1),
+        |x1 AS (SELECT list_transform(y, e -> e / nrm) AS x FROM n1),
+        |t2 AS (SELECT e.embedding,
+        |    list_reduce(list_transform(generate_series(1, 64),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * x[i]), (a, b) -> a + b) AS t
+        |  FROM embeddings e, x1),
+        |c2 AS (SELECT u.i AS i,
+        |    CAST(sum(CAST(floor(t * CAST(embedding[u.i] AS DOUBLE)
+        |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS s
+        |  FROM t2, unnest(generate_series(1, 64)) AS u(i) GROUP BY u.i),
+        |y2 AS (SELECT list(CAST(s AS DOUBLE) / 1000000000.0 ORDER BY i) AS y
+        |  FROM c2),
+        |n2 AS (SELECT sqrt(list_reduce(list_transform(y, e -> e * e),
+        |    (a, b) -> a + b)) AS nrm, y FROM y2),
+        |x2 AS (SELECT list_transform(y, e -> e / nrm) AS x FROM n2),
+        |t3 AS (SELECT e.embedding,
+        |    list_reduce(list_transform(generate_series(1, 64),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * x[i]), (a, b) -> a + b) AS t
+        |  FROM embeddings e, x2),
+        |c3 AS (SELECT u.i AS i,
+        |    CAST(sum(CAST(floor(t * CAST(embedding[u.i] AS DOUBLE)
+        |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS s
+        |  FROM t3, unnest(generate_series(1, 64)) AS u(i) GROUP BY u.i),
+        |y3 AS (SELECT list(CAST(s AS DOUBLE) / 1000000000.0 ORDER BY i) AS y
+        |  FROM c3),
+        |n3 AS (SELECT sqrt(list_reduce(list_transform(y, e -> e * e),
+        |    (a, b) -> a + b)) AS nrm, y FROM y3),
+        |x3 AS (SELECT list_transform(y, e -> e / nrm) AS x FROM n3)
+        |SELECT u.i AS dim, round(x[u.i], 6) AS loading
+        |FROM x3, unnest(generate_series(1, 64)) AS u(i)
+        |ORDER BY dim""".stripMargin,
   )
 }
