@@ -277,6 +277,41 @@ object Analytics {
       .orderBy(col("dim"))
   }
 
+  /** One Lloyd iteration of k-means (k = 8, seeds = vec_id 0..7):
+    * nearest-centroid assignment by squared distance (fixed-order fold;
+    * argmin tie-broken by centroid id), then exact centroid recompute —
+    * per-dimension sums floor-scaled to BIGINTs (the PageRank/PCA
+    * determinism trick). The centroid table is 8 rows BROADCAST; the
+    * data side is one crossJoin-scan + one (vector)-keyed argmin + one
+    * (cluster, dim)-keyed aggregate — every stage partitions freely.
+    * Both engines derive the seed centroids from the table (no literal
+    * round-tripping anywhere). */
+  private def qEmbedKmeans(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val c = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("j"), col("embedding").as("cemb"))
+    val d2 = expr(
+      """aggregate(transform(sequence(1, 64),
+        |  i -> (CAST(element_at(embedding, i) AS DOUBLE)
+        |        - CAST(element_at(cemb, i) AS DOUBLE))
+        |     * (CAST(element_at(embedding, i) AS DOUBLE)
+        |        - CAST(element_at(cemb, i) AS DOUBLE))), 0D,
+        |  (acc, p) -> acc + p)""".stripMargin)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("j"))
+    emb.crossJoin(broadcast(c)).withColumn("d2", d2)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("j"), posexplode(col("embedding")).as(Seq("i0", "v")))
+      .select(col("j"), (col("i0") + 1).cast("long").as("dim"), expr(
+        "CAST(floor(CAST(v AS DOUBLE) * 1000000000.0) AS BIGINT)").as("c"))
+      .groupBy(col("j"), col("dim"))
+      .agg(sum(col("c")).as("s"), count(lit(1)).as("n"))
+      .select(col("j").as("cluster"), col("n").as("size"), col("dim"),
+        round(expr(
+          "CAST(s AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)"), 6)
+          .as("center"))
+      .orderBy(col("cluster"), col("dim"))
+  }
+
   val defs: Map[String, Relational.Q] = Map(
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_scd2_compress" -> (qScd2 _),
@@ -286,6 +321,7 @@ object Analytics {
     "q_time_resample" -> (qTimeResample _),
     "q_time_ema" -> (qTimeEma _),
     "q_embed_pca" -> (qEmbedPca _),
+    "q_embed_kmeans" -> (qEmbedKmeans _),
   )
 
   val sql: Map[String, String] = Map(
@@ -510,5 +546,26 @@ object Analytics {
         |SELECT u.i AS dim, round(x[u.i], 6) AS loading
         |FROM x3, unnest(generate_series(1, 64)) AS u(i)
         |ORDER BY dim""".stripMargin,
+    "q_embed_kmeans" ->
+      """WITH c AS (SELECT vec_id AS j, embedding AS cemb
+        |  FROM embeddings WHERE vec_id < 8),
+        |d AS (SELECT e.vec_id, c.j, e.embedding,
+        |    list_reduce(list_transform(generate_series(1, 64),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS d2
+        |  FROM embeddings e, c),
+        |asg AS (SELECT vec_id, j, embedding FROM (
+        |    SELECT vec_id, j, embedding,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn FROM d)
+        |  WHERE rn = 1),
+        |sums AS (SELECT j, u.i AS dim,
+        |    CAST(sum(CAST(floor(CAST(embedding[u.i] AS DOUBLE)
+        |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM asg, unnest(generate_series(1, 64)) AS u(i) GROUP BY j, u.i)
+        |SELECT j AS cluster, n AS size, dim,
+        |  round(CAST(s AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE), 6) AS center
+        |FROM sums ORDER BY cluster, dim""".stripMargin,
   )
 }
