@@ -312,7 +312,40 @@ object Analytics {
       .orderBy(col("cluster"), col("dim"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic between the first and
+    * second half of the event stream, per event type — the
+    * distribution-level companion to q_agg_ttest (means) and q_agg_psi
+    * (binned drift). ENTIRELY exact until the last division: the ECDF
+    * max-difference is computed on the integer lattice
+    * max |ca·nb − cb·na| (no per-point double ratios to order), so engine
+    * aggregation order cannot perturb D. One distinct-value aggregate +
+    * one windowed pass, both keyed on event_type. */
+  private def qAggKstest(s: SparkSession, d: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    val cdf = byType.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("a",
+        when(expr("us div 86400000000") < 19738, 1L).otherwise(0L))
+      .groupBy(col("event_type"), col("value"))
+      .agg(sum(col("a")).as("ia"), sum(lit(1L) - col("a")).as("ib"))
+      .select(col("event_type"),
+        sum(col("ia")).over(cdf).as("ca"), sum(col("ib")).over(cdf).as("cb"),
+        sum(col("ia")).over(byType).as("na"),
+        sum(col("ib")).over(byType).as("nb"))
+      .groupBy(col("event_type"), col("na"), col("nb"))
+      .agg(max(abs(col("ca") * col("nb") - col("cb") * col("na")))
+        .as("num"))
+      .selectExpr("event_type", "na", "nb",
+        """CASE WHEN na > 0 AND nb > 0 THEN
+          |  round(CAST(num AS DOUBLE)
+          |        / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+          |END AS ks_d""".stripMargin)
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, Relational.Q] = Map(
+    "q_agg_kstest" -> (qAggKstest _),
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_scd2_compress" -> (qScd2 _),
     "q_win_retention" -> (qWinRetention _),
@@ -567,5 +600,27 @@ object Analytics {
         |SELECT j AS cluster, n AS size, dim,
         |  round(CAST(s AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE), 6) AS center
         |FROM sums ORDER BY cluster, dim""".stripMargin,
+    "q_agg_kstest" ->
+      """WITH pts AS (
+        |  SELECT event_type, value,
+        |    CAST(sum(CASE WHEN CAST(epoch_us(ts) AS BIGINT) // 86400000000 < 19738
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ia,
+        |    CAST(sum(CASE WHEN CAST(epoch_us(ts) AS BIGINT) // 86400000000 < 19738
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS ib
+        |  FROM events GROUP BY event_type, value),
+        |cum AS (
+        |  SELECT event_type,
+        |    sum(ia) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |    sum(ib) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+        |    sum(ia) OVER (PARTITION BY event_type) AS na,
+        |    sum(ib) OVER (PARTITION BY event_type) AS nb
+        |  FROM pts)
+        |SELECT event_type, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    round(CAST(max(abs(ca * nb - cb * na)) AS DOUBLE)
+        |          / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) END AS ks_d
+        |FROM cum GROUP BY event_type, na, nb ORDER BY event_type""".stripMargin,
   )
 }
