@@ -452,6 +452,36 @@ class PlanSpec extends AnyFunSuite {
       s"\n${df.queryExecution.executedPlan}")
   }
 
+  test("KS test: both CDF windows share one event_type exchange") {
+    val df = SparkEntry.queries("q_agg_kstest")(spark, sf)
+    df.collect()
+    val wins = deepNodes(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.size == 2, s"expected running-CDF + totals windows:" +
+      s"\n${df.queryExecution.executedPlan}")
+    val hashing = shuffles(df)
+      .filter(_.outputPartitioning.toString.contains("hashpartitioning"))
+    // distinct-value aggregate + ONE window re-key; the final D aggregate
+    // reuses the window partitioning and the presentation sort is range.
+    assert(hashing.size == 2, s"CDF pass re-shuffled (${hashing.size}):" +
+      s"\n${df.queryExecution.executedPlan}")
+  }
+
+  test("k-means: centroids broadcast and the argmin rank-limit is pushed") {
+    val df = SparkEntry.queries("q_embed_kmeans")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(deepNodes(df).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      s"centroid table not broadcast:\n$p")
+    // WindowGroupLimit prunes each vector's 8 candidate rows to the
+    // argmin BEFORE the exchange — without it the full cross product
+    // shuffles.
+    assert(p.contains("WindowGroupLimit"), s"argmin not pushed:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"assignment degenerated to a shuffle join:\n$p")
+  }
+
   test("PageRank bounds lineage and leaks no cache; ranks sum to 1") {
     spark.catalog.clearCache() // isolate from other queries' cache entries
     val df = SparkEntry.queries("q_graph_pagerank")(spark, sf)
