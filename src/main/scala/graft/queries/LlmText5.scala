@@ -101,6 +101,40 @@ object LlmText5 {
       .orderBy(desc("cnt"), col("pair")).limit(30)
   }
 
+  /** Corpus-trained bigram-LM scorer: add-1-smoothed conditional
+    * p(b|a) = (c2(a,b) + 1) / (c1(a) + V), per-document average negative
+    * log-likelihood over its bigrams — the context-sensitive upgrade of
+    * q_text_unigram_lm and the standard fluency/quality signal. Same
+    * determinism discipline: per-bigram ln rounds to 9 dp then sums as
+    * DECIMAL (order-independent); same unbounded-vocabulary story: the
+    * bigram stream joins its count tables via shuffle_hash, never a
+    * broadcast of the (unbounded) vocab. Docs with < 2 words drop from
+    * BOTH engines identically (inner joins on the bigram stream). */
+  private def qTextBigramLm(s: SparkSession, d: String): DataFrame = {
+    val w = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val tok = w.select(explode(col("ws")).as("w"))
+    val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val bg = w.select(col("doc_id"), explode(expr(
+        """zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
+          |         (a, b) -> named_struct('a', a, 'b', b))""".stripMargin))
+        .as("g"))
+      .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"))
+    val b2 = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+    val tot = uni.agg(count(lit(1)).cast("double").as("V"))
+    bg.join(b2.hint("shuffle_hash"), Seq("a", "b"))
+      .join(uni.hint("shuffle_hash").withColumnRenamed("w", "a"), "a")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp", expr(
+        "cast(round(ln((c2 + 1.0) / (c1 + V)), 9) as decimal(18,9))"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lp")).as("s"), count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-(col("s").cast("double")) / col("n_bigrams"), 6)
+          .as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   /** PMI-scored collocations: bigrams with count ≥ 10 ranked by pointwise
     * mutual information ln(p(ab) / (p(a)·p(b))) — the phrase-mining /
     * multi-word-expression detector (word2vec's phrase pass, quality
@@ -163,6 +197,7 @@ object LlmText5 {
 
   val defs: Map[String, Relational.Q] = Map(
     "q_text_bm25" -> (qTextBm25 _),
+    "q_text_bigram_lm" -> (qTextBigramLm _),
     "q_text_bpe_pairs" -> (qTextBpePairs _),
     "q_text_collocations" -> (qTextCollocations _),
     "q_sample_temperature" -> (qSampleTemperature _),
@@ -216,6 +251,28 @@ object LlmText5 {
         |SELECT doc_id, round(score, 6) AS score FROM sc
         |WHERE score > 0.0 ORDER BY round(score, 6) DESC, doc_id
         |LIMIT 20""".stripMargin,
+    "q_text_bigram_lm" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+        |uni AS (SELECT w, COUNT(*) AS c1 FROM tok GROUP BY w),
+        |bg AS (SELECT doc_id, unnest(list_transform(
+        |         generate_series(1, CAST(len(ws) - 1 AS INT)),
+        |         i -> struct_pack(a := ws[i], b := ws[i + 1]))) AS g
+        |       FROM w),
+        |b2 AS (SELECT g.a AS a, g.b AS b, COUNT(*) AS c2
+        |       FROM bg GROUP BY 1, 2),
+        |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS V FROM uni),
+        |lp AS (SELECT bg.doc_id,
+        |    CAST(ROUND(ln((b2.c2 + 1.0) / (uni.c1 + tot.V)), 9)
+        |      AS DECIMAL(18,9)) AS lp
+        |  FROM bg JOIN b2 ON bg.g.a = b2.a AND bg.g.b = b2.b
+        |          JOIN uni ON bg.g.a = uni.w CROSS JOIN tot),
+        |agg AS (SELECT doc_id, SUM(lp) AS s, COUNT(*) AS n
+        |  FROM lp GROUP BY doc_id)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
+        |  ROUND(-CAST(s AS DOUBLE) / n, 6) AS avg_nll
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "q_text_bpe_pairs" ->
       """WITH wf AS (
         |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
