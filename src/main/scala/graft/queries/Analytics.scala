@@ -7,34 +7,36 @@ import org.apache.spark.sql.functions._
 import Tables._
 
 /** Analytics wave: graph centrality (fixed-iteration PageRank), warehouse
-  * dimension history (SCD type 2), and cohort retention — the standing
-  * analytical workloads an engine replacing the reference would be asked
-  * to run next to the LLM-curation pipeline.
+  * dimension history (change-compressed SCD2), cohort retention,
+  * conversion funnels, exact-moment correlation, a KS drift test,
+  * time-series resample/EMA, and embedding analytics (power-iteration
+  * PCA, a Lloyd k-means step) — the standing analytical workloads an
+  * engine replacing the reference would be asked to run next to the
+  * LLM-curation pipeline.
   *
-  * Scale notes:
-  *  - PageRank: the edge set shuffles ONCE per iteration on the
-  *    destination key (the unavoidable message-passing shuffle); rank
-  *    state is one row per node, co-partitioned with degree, and the
-  *    iteration count is fixed (3) so the plan tree stays shallow — no
-  *    checkpointing needed at this depth (q_dedup_cluster holds the
-  *    unbounded-iteration variant with localCheckpoint lineage
-  *    truncation). The edge relation is persisted across iterations so
-  *    the orders⋈lineitem derivation runs once, not three times.
-  *  - SCD2 is two window passes over the same (custkey)-partitioning —
-  *    Catalyst reuses one Exchange; a billion-customer dimension
-  *    partitions cleanly because all state is per-key and bounded by a
-  *    customer's change count.
-  *  - Retention: activity collapses to distinct (user, day) BEFORE any
-  *    join (the dedup shuffle is the dominant cost and it's one pass);
-  *    the cohort table is one row per user, cohort sizes one row per
-  *    day, broadcast.
+  * Scale notes (the per-operator Scaladoc carries details):
+  *  - PageRank: edges persist ALREADY hash-partitioned on the join key
+  *    (one edge shuffle for the whole run); per-round shuffles carry
+  *    only messages and the node-sized rank table, which
+  *    eager-checkpoints each round (flat lineage, droppable edge cache).
+  *  - SCD2 / KS: both window passes share ONE key exchange
+  *    (PlanSpec-gated).
+  *  - Retention / resample: the corpus-shrunk aggregate (distinct
+  *    activity, hourly sums) is checkpointed so every consumer reads it
+  *    instead of re-scanning raw events.
+  *  - Funnel: cascaded per-user min-aggregates, co-partitioned stage
+  *    joins, no per-user event list ever materialized.
+  *  - PCA / k-means: bounded driver-side model state (64 doubles / 8
+  *    centroids); the data side is scans + small-group aggregates.
   *
-  * Cross-engine determinism (PageRank): per-edge contributions are
-  * floor-scaled to integers at 1e15 (`floor` has no rounding-mode
-  * ambiguity, unlike double→DECIMAL casts, which tie-break HALF_UP in
-  * Spark vs half-even in DuckDB) and summed as exact BIGINTs, so engine
-  * aggregation order cannot perturb ranks; the per-node damping update is
-  * a fixed-order IEEE expression mirrored textually in the oracle.
+  * Cross-engine determinism: wherever an engine-ordered SUM would touch
+  * doubles, contributions are floor-scaled to exact BIGINTs first
+  * (`floor` has no rounding-mode ambiguity, unlike double→DECIMAL
+  * casts, which tie-break HALF_UP in Spark vs half-even in DuckDB) —
+  * PageRank at 1e15, PCA/k-means at 1e9 — or the arithmetic is exact by
+  * construction (KS's integer lattice, correlation's DECIMAL moments,
+  * EMA's dyadic taps). Fixed-order double expressions are mirrored
+  * textually in the oracles.
   */
 object Analytics {
 
