@@ -20,9 +20,14 @@ import org.apache.spark.sql.SparkSession
   *     as a code regression.
   *  2. Per-query process-CPU/wall accounting: external theft makes a
   *     CPU-bound query's wall time grow while its JVM CPU time doesn't.
-  *  3. The 5 slowest queries are re-run once after the sweep and the
-  *     minimum kept — a transient burst that landed on one query no
-  *     longer defines its number.
+  *     Queries that show this signature (≥1 s wall, < 1 core of CPU
+  *     delivered) are re-run after the sweep; if ≥3 of them halve on
+  *     re-run, the sweep is stamped polluted (burst gate — r6's 1.75×
+  *     inflated artifact had drift 1.287 < 1.5 and slipped through the
+  *     spin gate alone).
+  *  3. The 5 slowest queries (plus the starved set above) are re-run
+  *     once after the sweep and the minimum kept — a transient burst
+  *     that landed on one query no longer defines its number.
   *
   * Failures are first-class: each query records `ok` or the exception
   * class (r5's `catch Throwable => -1L` silently folded a broken
@@ -159,8 +164,11 @@ object Bench {
       prev = cur; cur = spinOnce(); warm += 1
     }
     // Baseline sample, then re-sample every CalEvery queries and once
-    // after the sweep.
-    val CalEvery = 20
+    // after the sweep. r6 postmortem: every-20 sampling straddled the
+    // bursts (1.75× inflated total passed the gate at drift 1.287), so
+    // the spin now samples every 5 — ~37 samples × ~0.3 s ≈ 11 s of
+    // overhead, none of it counted in any query's time or the total.
+    val CalEvery = 5
     val calSamples = scala.collection.mutable.ArrayBuffer[Double]()
     calSamples += calSample()
 
@@ -186,9 +194,25 @@ object Bench {
     // sweep no longer defines that query's committed number.
     val slowest = firstPass.filter(_._2.status == "ok")
       .sortBy(-_._2.sec).take(5).map(_._1).toSet
-    val reruns = selected.filter(p => slowest(p._1)).map { case (name, fn) =>
+    // Second gate (r6 postmortem): the committed r6 artifact carried its
+    // own proof of pollution in queries_cpu (wall ≫ delivered CPU) but
+    // nothing acted on it. A query that ran ≥1 s of wall while the JVM
+    // got < 1 core's worth of CPU on a 32-core box is either genuinely
+    // wait-bound (streaming triggers — reproducible) or was starved by
+    // external load (not reproducible). Re-running distinguishes them on
+    // this box, minutes later, with no idle-calibrated constant: if the
+    // re-run halves the wall time, the first number was contention.
+    val starved = firstPass.filter { case (_, r) =>
+      r.status == "ok" && r.sec >= 1.0 && r.cpu < r.sec }
+      .sortBy(-_._2.sec).take(10).map(_._1).toSet
+    val rerunSet = slowest ++ starved
+    val reruns = selected.filter(p => rerunSet(p._1)).map { case (name, fn) =>
       name -> runOne(name, fn)
     }.toMap
+    val contentionHits = firstPass.count { case (name, r) =>
+      reruns.get(name).exists(r2 =>
+        r2.status == "ok" && r.sec >= 1.0 && r2.sec < r.sec / 2)
+    }
     val finalPass = firstPass.map { case (name, r) =>
       reruns.get(name) match {
         case Some(r2) if r2.status == "ok" && r2.sec < r.sec => name -> r2
@@ -199,7 +223,9 @@ object Bench {
     val calMin = calSamples.min
     val calMax = calSamples.max
     val calDrift = if (calMin > 0) calMax / calMin else Double.NaN
-    val polluted = calDrift > 1.5
+    // Polluted iff EITHER gate fires: sustained theft inflates the fixed
+    // spin (drift), bursty theft shows as ≥3 queries whose re-run halved.
+    val polluted = calDrift > 1.5 || contentionHits >= 3
 
     val results = finalPass.map { case (k, r) => k -> r.sec }
     val failed = finalPass.collect {
@@ -222,6 +248,7 @@ object Bench {
     val calJson = calSamples.map(f).mkString("[", ",", "]")
     val validation =
       s""""calibration_sec":$calJson,"cal_drift":${f(calDrift)},""" +
+      s""""contention_hits":$contentionHits,""" +
       s""""polluted":$polluted,"n_failed":${failed.size}"""
     val hygiene = s""""loadavg_start":${f(load0)},"loadavg_end":${f(loadEnd)},"loadavg_max":${f(loadMax)},"gc_sec":${f(gcTotal)}"""
     val gcByTime = finalPass.map { case (k, r) => k -> r.gc }.sortBy(-_._2)

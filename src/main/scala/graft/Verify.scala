@@ -11,7 +11,8 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is parquet TIMESTAMP(NANOS): read as long epoch-nanos.
+      // If events.ts is parquet TIMESTAMP(NANOS), read as long epoch-nanos
+      // (no-op for micros/ntz generations; see Tables.tsMicros).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -27,6 +28,18 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Emit an explicit error-marker result instead of omitting the id:
+        // a broken query then surfaces as a red (schema/hash-mismatch) row
+        // in the driver's compare, not a silently missing key — a repo-wide
+        // schema break reads as N red rows, not a shorter report.
+        try {
+          import spark.implicits._
+          Seq((e.getClass.getName, String.valueOf(e.getMessage).take(500)))
+            .toDF("graft_verify_err_class", "graft_verify_err_message")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name error-marker write failed: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

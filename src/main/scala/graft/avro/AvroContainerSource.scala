@@ -115,16 +115,16 @@ class AvroContainerSource extends TableProvider with DataSourceRegister {
             AvroContainerSource.mergeTypes(ex.dataType, f.dataType) match {
               case Some(dt) => order(f.name) =
                 ex.copy(dataType = dt, nullable = ex.nullable || f.nullable)
-              // Nested ADD-FIELD evolution is deliberately unsupported:
-              // the per-file decoder null-fills missing TOP-LEVEL
-              // columns only, so claiming a nested merge here would
-              // declare a shape the read path cannot actually serve.
+              // Only genuinely incompatible shapes land here (changed
+              // primitive, array-vs-struct, …): add-field evolution —
+              // top-level AND nested — merges above, with the decoder
+              // null-filling fields a writer schema lacks.
               case None => throw new IllegalArgumentException(
                 s"incompatible schema evolution for column '${f.name}': " +
                   s"${ex.dataType.simpleString} vs " +
-                  s"${f.dataType.simpleString} (add-column evolution is " +
-                  "supported at the top level only; nested types must " +
-                  "match up to nullability)")
+                  s"${f.dataType.simpleString} (add-field evolution is " +
+                  "supported; a field's TYPE must match across " +
+                  "generations up to nullability)")
             }
         }
       })
@@ -168,26 +168,38 @@ object AvroContainerSource {
   import org.apache.spark.sql.types.{ArrayType, DataType, MapType}
 
   /** Reconcile two header types for the same column across file
-    * generations. Identical types merge trivially; types that differ
-    * only in NESTED nullability (a struct field, array element, or map
-    * value declared non-null by one writer and nullable by another —
-    * e.g. an avro union branch added around a nested field) merge by
-    * widening each nested nullability flag. Genuinely different shapes
-    * (changed primitive, renamed/added nested field) return None: the
-    * per-file decoder can null-fill missing top-level columns but
-    * cannot re-project records inside a nested type, so such evolution
-    * must fail inference loudly rather than mis-read silently. */
+    * generations. Identical types merge trivially; structs merge
+    * recursively by field-name union (nested add-field evolution: a
+    * field one generation lacks surfaces nullable and null-fills in the
+    * decoder), nullability flags widen at every level, and arrays/maps
+    * merge element/value-wise. Genuinely different shapes (changed
+    * primitive, array-vs-struct) return None: the decoder cannot
+    * reinterpret a value's type, so such evolution must fail inference
+    * loudly rather than mis-read silently. */
   private[avro] def mergeTypes(a: DataType, b: DataType): Option[DataType] =
     (a, b) match {
       case (x, y) if x == y => Some(x)
-      case (x: StructType, y: StructType)
-          if x.fields.map(_.name).sameElements(y.fields.map(_.name)) =>
-        val merged = x.fields.zip(y.fields).map { case (fa, fb) =>
-          mergeTypes(fa.dataType, fb.dataType)
-            .map(dt => fa.copy(dataType = dt,
-              nullable = fa.nullable || fb.nullable))
+      case (x: StructType, y: StructType) =>
+        // Union-by-name recursive merge (nested ADD-FIELD evolution):
+        // x's fields keep their order, y's new fields append after. A
+        // field absent from one side surfaces nullable=true — the
+        // decoder (AvroDatum RECORD case, pos -1) null-fills it for
+        // files whose writer schema lacks it, so the merged shape is
+        // readable against every generation.
+        val yByName = y.fields.map(f => f.name -> f).toMap
+        val xNames = x.fieldNames.toSet
+        val mergedX = x.fields.map { fa =>
+          yByName.get(fa.name) match {
+            case None => Some(fa.copy(nullable = true))
+            case Some(fb) => mergeTypes(fa.dataType, fb.dataType)
+              .map(dt => fa.copy(dataType = dt,
+                nullable = fa.nullable || fb.nullable))
+          }
         }
-        if (merged.forall(_.isDefined)) Some(StructType(merged.map(_.get)))
+        val extraY = y.fields.filterNot(f => xNames(f.name))
+          .map(f => Some(f.copy(nullable = true)))
+        val all = mergedX ++ extraY
+        if (all.forall(_.isDefined)) Some(StructType(all.map(_.get)))
         else None
       case (ArrayType(ea, na), ArrayType(eb, nb)) =>
         mergeTypes(ea, eb).map(ArrayType(_, na || nb))

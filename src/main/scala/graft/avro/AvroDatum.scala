@@ -100,9 +100,14 @@ object AvroDatum {
           new GenericInternalRow(out)
         }
       case (RECORD, st: StructType) =>
-        val fieldConvs = st.fields.map { f =>
+        // pos -1 = nested evolution null-fill: the requested (merged)
+        // struct carries a field this file's writer schema lacks — the
+        // same add-column semantics the top-level assemble() applies,
+        // recursed into nested records.
+        val fieldConvs: Array[(Int, Conv)] = st.fields.map { f =>
           val af = s.getField(f.name)
-          (af.pos(), reader(af.schema(), f.dataType))
+          if (af == null) (-1, null: Conv)
+          else (af.pos(), reader(af.schema(), f.dataType))
         }
         v => {
           val rec = v.asInstanceOf[GenericRecord]
@@ -110,8 +115,12 @@ object AvroDatum {
           var i = 0
           while (i < fieldConvs.length) {
             val (pos, c) = fieldConvs(i)
-            val raw = rec.get(pos)
-            out(i) = if (raw == null) null else c(raw)
+            out(i) =
+              if (pos < 0) null
+              else {
+                val raw = rec.get(pos)
+                if (raw == null) null else c(raw)
+              }
             i += 1
           }
           new GenericInternalRow(out)

@@ -142,7 +142,7 @@ object AvroQueries {
     val schema = t(s, d, "events").schema
     val q = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-      .select(col("event_id"), col("event_type"), expr("ts div 1000").as("us"))
+      .select(col("event_id"), col("event_type"), tsMicros(schema).as("us"))
       .writeStream.format("graft-avro")
       .option("checkpointLocation", ckpt)
       .outputMode("append")

@@ -204,7 +204,7 @@ object StreamingQ {
     try {
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts_utc", timestamp_micros(tsMicros(schema)))
         .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(unix_micros(col("window.start")).as("w_start"),

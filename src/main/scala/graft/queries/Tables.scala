@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Shared table loaders + hash-match helpers (SURVEY.md §2.C design rules).
   *
@@ -11,9 +12,10 @@ import org.apache.spark.sql.functions._
   *  - aggregate outputs are cast back to a fixed decimal type so the Spark
   *    and DuckDB result schemas agree (Spark SUM(DECIMAL(18,4)) widens to
   *    DECIMAL(28,4), DuckDB to DECIMAL(38,4));
-  *  - `events.ts` is parquet TIMESTAMP(NANOS); Spark reads it as a long of
-  *    epoch nanos (legacy conf), DuckDB as TIMESTAMP_NS. Both sides compare
-  *    on epoch micros (floor division, positive epochs).
+  *  - `events.ts` physical encoding varies by driver data generation
+  *    (TIMESTAMP(NANOS) read as epoch-nanos long, or TIMESTAMP_NTZ); both
+  *    sides compare on epoch micros via the schema-adaptive [[tsMicros]]
+  *    (DuckDB side: `epoch_us(CAST(ts AS TIMESTAMP))`).
   */
 object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
@@ -53,13 +55,32 @@ object Tables {
     p
   }
 
+  /** Schema-adaptive epoch-micros column for an `events.ts` field.
+    *
+    * The driver has shipped events.parquet with different physical ts
+    * encodings across rounds — TIMESTAMP(NANOS) (which Spark reads as an
+    * epoch-nanos LongType under `nanosAsLong`), then TIMESTAMP_NTZ(MICROS)
+    * — so every consumer derives micros through this one branch instead of
+    * assuming a layout. NTZ wall-clock is interpreted under the session
+    * timezone (every entry point pins UTC), which matches the DuckDB
+    * oracle's schema-robust `epoch_us(CAST(ts AS TIMESTAMP))`. */
+  def tsMicros(dt: DataType): Column = dt match {
+    case LongType         => expr("ts div 1000") // epoch-nanos long
+    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+    case TimestampType    => unix_micros(col("ts"))
+    case other => throw new IllegalArgumentException(
+      s"events.ts: unsupported parquet read type $other")
+  }
+
+  def tsMicros(schema: StructType): Column = tsMicros(schema("ts").dataType)
+
   /** events with `us` (epoch micros, long) and `ts_utc` (TimestampType). */
   def events(s: SparkSession, dir: String): DataFrame = {
-    // ts is parquet TIMESTAMP(NANOS): unsupported as a Spark timestamp;
-    // the legacy conf reads it as LongType epoch-nanos.
+    // Kept on defensively: harmless for micros/ntz data, required if the
+    // driver regenerates TIMESTAMP(NANOS) parquet again.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("us", expr("ts div 1000"))
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    val raw = t(s, dir, "events")
+    val us = tsMicros(raw.schema)
+    raw.withColumn("us", us).withColumn("ts_utc", timestamp_micros(us))
   }
 }

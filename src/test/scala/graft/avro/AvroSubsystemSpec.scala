@@ -598,7 +598,7 @@ class AvroSubsystemSpec extends AnyFunSuite {
     assert(all.filter("only_in_unsampled IS NOT NULL").count() == 1)
   }
 
-  test("nested nullability-only drift merges; nested add-field refuses") {
+  test("nested nullability-only drift merges; nested add-field unions") {
     import org.apache.spark.sql.types._
     val a = StructType(Seq(StructField("inner", StructType(Seq(
       StructField("x", LongType, nullable = false))))))
@@ -609,11 +609,21 @@ class AvroSubsystemSpec extends AnyFunSuite {
     assert(merged.contains(StructType(Seq(StructField("inner",
       StructType(Seq(StructField("x", LongType, nullable = true))))))),
       s"nullability-only nested drift must merge: $merged")
-    // a field ADDED inside the struct is top-level-only evolution → None
+    // a field ADDED inside the struct merges by name-union; the side
+    // missing it surfaces it nullable (decoder null-fills per file)
     val c = StructType(Seq(StructField("inner", StructType(Seq(
-      StructField("x", LongType), StructField("y", StringType))))))
-    assert(AvroContainerSource.mergeTypes(a, c).isEmpty,
-      "nested add-field must be refused (decoder cannot null-fill it)")
+      StructField("x", LongType, nullable = false),
+      StructField("y", StringType))))))
+    val addMerged = AvroContainerSource.mergeTypes(a, c)
+    assert(addMerged.contains(StructType(Seq(StructField("inner",
+      StructType(Seq(StructField("x", LongType, nullable = false),
+        StructField("y", StringType, nullable = true))))))),
+      s"nested add-field must union-merge: $addMerged")
+    // a changed TYPE is genuinely incompatible → still refused
+    val d = StructType(Seq(StructField("inner", StructType(Seq(
+      StructField("x", StringType))))))
+    assert(AvroContainerSource.mergeTypes(a, d).isEmpty,
+      "changed nested primitive type must refuse to merge")
     // array element / map value nullability widens the same way
     assert(AvroContainerSource.mergeTypes(
       ArrayType(LongType, containsNull = false),
@@ -623,6 +633,40 @@ class AvroSubsystemSpec extends AnyFunSuite {
       MapType(StringType, LongType, valueContainsNull = false),
       MapType(StringType, LongType, valueContainsNull = true))
       .contains(MapType(StringType, LongType, valueContainsNull = true)))
+  }
+
+  test("nested add-field evolution end-to-end: old files null-fill the " +
+      "added nested field") {
+    import spark.implicits._
+    val dir = tmpDir("evolve-nested")
+    // gen1: meta = {x}; gen2: meta = {x, y}
+    (1L to 5L).map(i => (i, Tuple1(i * 10L))).toDF("id", "meta")
+      .selectExpr("id", "named_struct('x', meta._1) AS meta")
+      .coalesce(1).write.format("graft-avro").mode("append").save(dir)
+    (6L to 10L).map(i => (i, (i * 10L, s"v$i"))).toDF("id", "meta")
+      .selectExpr("id",
+        "named_struct('x', meta._1, 'y', meta._2) AS meta")
+      .coalesce(1).write.format("graft-avro").mode("append").save(dir)
+    val df = spark.read.format("graft-avro").load(dir)
+    val metaT = df.schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(metaT.fieldNames.toSeq == Seq("x", "y"),
+      s"merged nested shape lost a field: $metaT")
+    assert(metaT("y").nullable,
+      "nested field absent from a generation must infer nullable")
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 10)
+    for (r <- rows) {
+      val m = r.getStruct(1)
+      assert(m.getLong(0) == r.getLong(0) * 10L)
+    }
+    assert(rows.take(5).forall(_.getStruct(1).isNullAt(1)),
+      "old-generation rows must null-fill the added nested field")
+    assert(rows.drop(5).zipWithIndex.forall { case (r, i) =>
+      r.getStruct(1).getString(1) == s"v${i + 6}" })
+    // nested-field projection through the evolved shape still works
+    assert(df.selectExpr("sum(meta.x)").head.getLong(0) ==
+      (1L to 10L).map(_ * 10).sum)
   }
 
   test("maxfilespertrigger bounds micro-batch admission") {
