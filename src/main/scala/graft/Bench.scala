@@ -209,9 +209,15 @@ object Bench {
     val reruns = selected.filter(p => rerunSet(p._1)).map { case (name, fn) =>
       name -> runOne(name, fn)
     }.toMap
+    // Hits are counted over the STARVED set only: the slowest-5 also
+    // re-run, but a heavy query's first execution legitimately halves on
+    // re-run (codegen/stream-machinery warmup — observed 2 such on an
+    // idle box), while the starved signature (≥1 s wall, <1 core of CPU
+    // delivered on a 32-core box) never appears idle (observed 0) and is
+    // exactly what external theft produces.
     val contentionHits = firstPass.count { case (name, r) =>
-      reruns.get(name).exists(r2 =>
-        r2.status == "ok" && r.sec >= 1.0 && r2.sec < r.sec / 2)
+      starved(name) && reruns.get(name).exists(r2 =>
+        r2.status == "ok" && r2.sec < r.sec / 2)
     }
     val finalPass = firstPass.map { case (name, r) =>
       reruns.get(name) match {

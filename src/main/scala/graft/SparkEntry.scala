@@ -22,6 +22,7 @@ object SparkEntry {
       Windows.defs ++ Functions.defs ++
       AvroQueries.defs ++ StreamingQ.defs ++ LlmText.defs ++ LlmText2.defs ++
       LlmText3.defs ++ LlmText4.defs ++ LlmText5.defs ++ Analytics.defs ++
+      Analytics2.defs ++
       LlmSim.defs ++ FunctionsExt.defs ++ ScalePatterns.defs ++ Formats.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -31,5 +32,6 @@ object SparkEntry {
       Windows.sql ++ Functions.sql ++
       AvroQueries.sql ++ StreamingQ.sql ++ LlmText.sql ++ LlmText2.sql ++
       LlmText3.sql ++ LlmText4.sql ++ LlmText5.sql ++ Analytics.sql ++
+      Analytics2.sql ++
       LlmSim.sql ++ FunctionsExt.sql ++ ScalePatterns.sql ++ Formats.sql
 }
