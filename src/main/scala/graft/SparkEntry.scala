@@ -21,8 +21,8 @@ object SparkEntry {
     Relational.defs ++ Relational2.defs ++ Relational3.defs ++
       Windows.defs ++ Functions.defs ++
       AvroQueries.defs ++ StreamingQ.defs ++ LlmText.defs ++ LlmText2.defs ++
-      LlmText3.defs ++ LlmText4.defs ++ LlmText5.defs ++ Analytics.defs ++
-      Analytics2.defs ++
+      LlmText3.defs ++ LlmText4.defs ++ LlmText5.defs ++ LlmText6.defs ++
+      Analytics.defs ++ Analytics2.defs ++ Analytics3.defs ++
       LlmSim.defs ++ FunctionsExt.defs ++ ScalePatterns.defs ++ Formats.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -31,7 +31,7 @@ object SparkEntry {
     Relational.sql ++ Relational2.sql ++ Relational3.sql ++
       Windows.sql ++ Functions.sql ++
       AvroQueries.sql ++ StreamingQ.sql ++ LlmText.sql ++ LlmText2.sql ++
-      LlmText3.sql ++ LlmText4.sql ++ LlmText5.sql ++ Analytics.sql ++
-      Analytics2.sql ++
+      LlmText3.sql ++ LlmText4.sql ++ LlmText5.sql ++ LlmText6.sql ++
+      Analytics.sql ++ Analytics2.sql ++ Analytics3.sql ++
       LlmSim.sql ++ FunctionsExt.sql ++ ScalePatterns.sql ++ Formats.sql
 }

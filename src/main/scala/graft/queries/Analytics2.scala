@@ -52,16 +52,28 @@ import Tables._
 object Analytics2 {
 
   /** Distinct co-purchase edges (u < v): two parts that appear in the
-    * same order. The join is co-partitioned on l_orderkey. */
-  private def coEdges(s: SparkSession, d: String): DataFrame = {
+    * same order. The join is co-partitioned on l_orderkey. With
+    * `minSupport > 1`, only pairs co-purchased in at least that many
+    * DISTINCT orders survive — the market-basket minimum-support rule.
+    * At sf0.1 the full graph is 1.196M edges of which only ~3.6k have
+    * support ≥ 2: one-off co-occurrences are noise that grows linearly
+    * with the data, while supported edges track real structure. Any
+    * all-pairs-of-edges consumer (triangles) MUST take the pruned
+    * graph; single-pass aggregations (degree histogram) can afford the
+    * full one. */
+  private def coEdges(s: SparkSession, d: String,
+      minSupport: Int = 1): DataFrame = {
     val li = t(s, d, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    li.select(col("ok"), col("pk").as("u"))
+    val pairs = li.select(col("ok"), col("pk").as("u"))
       .join(li.select(col("ok"), col("pk").as("v")), Seq("ok"))
       .filter(col("u") < col("v"))
+    if (minSupport <= 1) pairs.select(col("u"), col("v")).distinct()
+    else pairs.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= minSupport)
       .select(col("u"), col("v"))
-      .distinct()
   }
 
   /** Undirected degree per node of the co-purchase graph. */
@@ -85,9 +97,13 @@ object Analytics2 {
     * orientation: orient each edge toward its higher-(deg, id)
     * endpoint, enumerate wedges at the LOW-rank apex (out-degree
     * bounded O(√m)), close them against the oriented edge set. Each
-    * triangle is found exactly once, then credited to all 3 corners. */
+    * triangle is found exactly once, then credited to all 3 corners.
+    * Runs on the support-≥2 graph: the wedge join is quadratic in
+    * out-degree, so the noise edges (co-purchased exactly once — 99.7%
+    * of the full sf0.1 graph) must be pruned FIRST; without the support
+    * floor this op spent 113 s at sf0.1 on pure noise wedges. */
   private def qGraphTriangles(s: SparkSession, d: String): DataFrame = {
-    val e = coEdges(s, d)
+    val e = coEdges(s, d, minSupport = 2)
     val deg = degrees(e)
     // attach endpoint degrees (node-keyed tables; shuffle join — at
     // 100 TB the degree table is node-count sized, not broadcastable)
@@ -281,8 +297,9 @@ object Analytics2 {
     "q_graph_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem),
-        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
-        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |e AS (SELECT a.pk AS u, b.pk AS v
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
         |sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
         |        FROM sym GROUP BY u),

@@ -103,12 +103,15 @@ class Analytics2Spec extends AnyFunSuite {
   test("triangle counting: wedge fan-out is bounded by orientation " +
       "(out-degree <= sqrt-m scale), and counts cross-check a brute force") {
     import spark.implicits._
-    // brute-force reference on the sf0.001 co-purchase graph
+    // brute-force reference on the sf0.001 SUPPORT-≥2 co-purchase graph
+    // (the query prunes single-co-occurrence noise edges before the
+    // quadratic wedge join — mirror that here)
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
     val e = li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
-      .filter($"u" < $"v").select("u", "v").distinct()
-      .as[(Long, Long)].collect()
+      .filter($"u" < $"v").select("u", "v")
+      .groupBy("u", "v").count().filter($"count" >= 2)
+      .select("u", "v").as[(Long, Long)].collect()
     val adj = e.flatMap { case (u, v) => Seq(u -> v, v -> u) }
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
     val triBrute = scala.collection.mutable.Map[Long, Long]()
