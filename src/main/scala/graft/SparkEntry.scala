@@ -22,7 +22,9 @@ object SparkEntry {
       Windows.defs ++ Functions.defs ++
       AvroQueries.defs ++ StreamingQ.defs ++ LlmText.defs ++ LlmText2.defs ++
       LlmText3.defs ++ LlmText4.defs ++ LlmText5.defs ++ LlmText6.defs ++
+      LlmText7.defs ++
       Analytics.defs ++ Analytics2.defs ++ Analytics3.defs ++
+      Analytics4.defs ++
       LlmSim.defs ++ FunctionsExt.defs ++ ScalePatterns.defs ++ Formats.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -32,6 +34,8 @@ object SparkEntry {
       Windows.sql ++ Functions.sql ++
       AvroQueries.sql ++ StreamingQ.sql ++ LlmText.sql ++ LlmText2.sql ++
       LlmText3.sql ++ LlmText4.sql ++ LlmText5.sql ++ LlmText6.sql ++
+      LlmText7.sql ++
       Analytics.sql ++ Analytics2.sql ++ Analytics3.sql ++
+      Analytics4.sql ++
       LlmSim.sql ++ FunctionsExt.sql ++ ScalePatterns.sql ++ Formats.sql
 }
