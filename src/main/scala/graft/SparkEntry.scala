@@ -24,7 +24,7 @@ object SparkEntry {
       LlmText3.defs ++ LlmText4.defs ++ LlmText5.defs ++ LlmText6.defs ++
       LlmText7.defs ++
       Analytics.defs ++ Analytics2.defs ++ Analytics3.defs ++
-      Analytics4.defs ++ Analytics5.defs ++
+      Analytics4.defs ++ Analytics5.defs ++ Analytics6.defs ++
       LlmSim.defs ++ FunctionsExt.defs ++ ScalePatterns.defs ++ Formats.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -36,6 +36,6 @@ object SparkEntry {
       LlmText3.sql ++ LlmText4.sql ++ LlmText5.sql ++ LlmText6.sql ++
       LlmText7.sql ++
       Analytics.sql ++ Analytics2.sql ++ Analytics3.sql ++
-      Analytics4.sql ++ Analytics5.sql ++
+      Analytics4.sql ++ Analytics5.sql ++ Analytics6.sql ++
       LlmSim.sql ++ FunctionsExt.sql ++ ScalePatterns.sql ++ Formats.sql
 }
