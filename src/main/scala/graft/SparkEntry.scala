@@ -25,6 +25,7 @@ object SparkEntry {
       LlmText7.defs ++
       Analytics.defs ++ Analytics2.defs ++ Analytics3.defs ++
       Analytics4.defs ++ Analytics5.defs ++ Analytics6.defs ++
+      Analytics7.defs ++
       LlmSim.defs ++ FunctionsExt.defs ++ ScalePatterns.defs ++ Formats.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,5 +38,6 @@ object SparkEntry {
       LlmText7.sql ++
       Analytics.sql ++ Analytics2.sql ++ Analytics3.sql ++
       Analytics4.sql ++ Analytics5.sql ++ Analytics6.sql ++
+      Analytics7.sql ++
       LlmSim.sql ++ FunctionsExt.sql ++ ScalePatterns.sql ++ Formats.sql
 }
