@@ -25,7 +25,7 @@ object SparkEntry {
       LlmText7.defs ++
       Analytics.defs ++ Analytics2.defs ++ Analytics3.defs ++
       Analytics4.defs ++ Analytics5.defs ++ Analytics6.defs ++
-      Analytics7.defs ++
+      Analytics7.defs ++ Analytics8.defs ++
       LlmSim.defs ++ FunctionsExt.defs ++ ScalePatterns.defs ++ Formats.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,6 +38,6 @@ object SparkEntry {
       LlmText7.sql ++
       Analytics.sql ++ Analytics2.sql ++ Analytics3.sql ++
       Analytics4.sql ++ Analytics5.sql ++ Analytics6.sql ++
-      Analytics7.sql ++
+      Analytics7.sql ++ Analytics8.sql ++
       LlmSim.sql ++ FunctionsExt.sql ++ ScalePatterns.sql ++ Formats.sql
 }
