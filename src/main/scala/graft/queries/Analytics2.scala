@@ -63,16 +63,8 @@ object Analytics2 {
     * full one. */
   private def coEdges(s: SparkSession, d: String,
       minSupport: Int = 1): DataFrame = {
-    val li = t(s, d, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val pairs = li.select(col("ok"), col("pk").as("u"))
-      .join(li.select(col("ok"), col("pk").as("v")), Seq("ok"))
-      .filter(col("u") < col("v"))
-    if (minSupport <= 1) pairs.select(col("u"), col("v")).distinct()
-    else pairs.groupBy(col("u"), col("v"))
-      .agg(count(lit(1)).as("cn"))
-      .filter(col("cn") >= minSupport)
+    val pc = coPairCounts(s, d) // materialized once per SF (Tables)
+    (if (minSupport <= 1) pc else pc.filter(col("cn") >= minSupport))
       .select(col("u"), col("v"))
   }
 

@@ -177,11 +177,7 @@ object Analytics3 {
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
     val deg = li.groupBy(col("pk")).agg(count(lit(1)).as("deg"))
-    val cn = li.select(col("ok"), col("pk").as("u"))
-      .join(li.select(col("ok"), col("pk").as("v")), Seq("ok"))
-      .filter(col("u") < col("v"))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
-      .filter(col("cn") >= 2)
+    val cn = coPairCounts(s, d).filter(col("cn") >= 2)
     cn
       .join(deg.select(col("pk").as("u"), col("deg").as("du"))
         .hint("shuffle_hash"), Seq("u"))

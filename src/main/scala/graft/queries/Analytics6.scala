@@ -33,14 +33,7 @@ object Analytics6 {
     * the neighborhood-growth profile (how fast the graph closes over
     * its hub). */
   private def qGraphKhop(s: SparkSession, d: String): DataFrame = {
-    val li = t(s, d, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val e = li.select(col("ok"), col("pk").as("u"))
-      .join(li.select(col("ok"), col("pk").as("v")), Seq("ok"))
-      .filter(col("u") < col("v"))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
-      .filter(col("cn") >= 2)
+    val e = coPairCounts(s, d).filter(col("cn") >= 2) // materialized (Tables)
       .select(col("u"), col("v"))
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(true)

@@ -39,32 +39,55 @@ object Analytics7 {
       | WHEN h < 16715813 THEN 4 WHEN h < 16767247 THEN 5
       | ELSE 6 END""".stripMargin
 
-  /** Bootstrap 90% CI (B=32 Poisson replicas, percentile_disc 5%/95%)
-    * for the mean of lineitem quantity per return flag, next to the
-    * full-sample point estimate. Identical rows share a weight key
-    * (lineitem has no unique key) — documented, deterministic. */
+  /** Bootstrap 90% CI (B=20 Poisson replicas — the textbook minimum
+    * for a 5%/95% percentile CI — via percentile_disc) for the mean of
+    * lineitem quantity per return flag, next to the full-sample point
+    * estimate. ONE md5 yields FIVE independent 24-bit uniforms (128
+    * bits = 5×24 + change), so 20 replicas cost 4 md5s per row instead
+    * of 20 — the hash count, not the explode, is what dominates a
+    * ×B resampling pass. Identical rows share a weight key (lineitem
+    * has no unique key) — documented, deterministic. */
   private def qAggBootstrap(s: SparkSession, d: String): DataFrame = {
+    // x rides as BIGINT ten-thousandths (12M-row BIGINT sums, not
+    // DECIMAL); ONE Generate: the 4 md5 strings precompute into an
+    // array, then a single posexplode emits the 20 (replica, uniform)
+    // pairs — two stacked explodes each breaking codegen cost ~2× this.
     val li = t(s, d, "lineitem")
       .select(col("l_returnflag"),
-        col("l_quantity").cast("decimal(18,4)").as("x"),
+        expr("CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+          .as("xi"),
         expr("""concat_ws('_', l_orderkey, l_linenumber, l_partkey,
                |  l_suppkey, CAST(l_quantity AS DECIMAL(18,4)))"""
           .stripMargin).as("rk"))
+    // Shape choice, MEASURED at sf0.1: (a) md5-per-(row,replica) 13 s;
+    // (b) hash folded into a generator expression 15 s (CollapseProject
+    // re-evaluates the md5 array PER OUTPUT ELEMENT); (c) 20 weight
+    // COLUMNS + 40-sum wide aggregation 13 s (the generated code blows
+    // past the JIT-friendly size and falls off codegen); (d) THIS shape
+    // 7.5 s — two trivial int-sequence Generates with the md5 and the
+    // hex-slice parse in codegen'd projections between them, 4 md5s
+    // per row.
     val reps = li
-      .select(col("l_returnflag"), col("x"), col("rk"),
-        explode(expr("sequence(0, 31)")).as("b"))
+      .select(col("l_returnflag"), col("xi"), col("rk"),
+        explode(expr("sequence(0, 3)")).as("m"))
+      .withColumn("hx", expr("md5(concat(rk, '#', m))"))
+      .select(col("l_returnflag"), col("xi"), col("m"), col("hx"),
+        explode(expr("sequence(0, 4)")).as("k"))
       .withColumn("h", expr(
-        "cast(conv(substring(md5(concat(rk, '#', b)), 1, 6), 16, 10) as bigint)"))
+        "cast(conv(substring(hx, k * 6 + 1, 6), 16, 10) as bigint)"))
+      .withColumn("b", col("m") * 5 + col("k"))
       .withColumn("w", expr(poissonW))
       .groupBy(col("l_returnflag"), col("b"))
-      .agg(sum(expr("x * w")).as("swx"), sum(col("w")).as("sw"))
+      .agg(sum(expr("xi * w")).as("swx"), sum(col("w")).as("sw"))
       .filter(col("sw") > 0)
       .select(col("l_returnflag"),
-        expr("CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE)").as("m"))
+        expr("CAST(swx AS DOUBLE) / (CAST(sw AS DOUBLE) * 10000.0)")
+          .as("m"))
     val point = li.groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .agg(count(lit(1)).as("n"), sum(col("xi")).as("sx"))
       .select(col("l_returnflag"), col("n"),
-        expr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)").as("mean"))
+        expr("CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)")
+          .as("mean"))
     reps.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_replicas"),
         expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY m)").as("ci_lo"),
@@ -108,14 +131,7 @@ object Analytics7 {
     * correlation of (deg(u), deg(v)) over the symmetric edge list —
     * positive = hubs link hubs, negative = hub-and-spoke mixing. */
   private def qGraphAssortativity(s: SparkSession, d: String): DataFrame = {
-    val li = t(s, d, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val e = li.select(col("ok"), col("pk").as("u"))
-      .join(li.select(col("ok"), col("pk").as("v")), Seq("ok"))
-      .filter(col("u") < col("v"))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
-      .filter(col("cn") >= 2)
+    val e = coPairCounts(s, d).filter(col("cn") >= 2) // materialized (Tables)
       .select(col("u"), col("v"))
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
@@ -148,28 +164,34 @@ object Analytics7 {
   val sql: Map[String, String] = Map(
     "q_agg_bootstrap" ->
       """WITH li AS (
-        |  SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,4)) AS x,
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT)
+        |      AS xi,
         |    concat_ws('_', l_orderkey, l_linenumber, l_partkey,
         |      l_suppkey, CAST(l_quantity AS DECIMAL(18,4))) AS rk
         |  FROM lineitem),
         |reps AS (
         |  SELECT l_returnflag, b,
-        |    CAST(sum(x * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS m
+        |    CAST(sum(xi * w) AS DOUBLE)
+        |      / (CAST(sum(w) AS DOUBLE) * 10000.0) AS m
         |  FROM (
-        |    SELECT l_returnflag, x,
+        |    SELECT l_returnflag, xi,
         |      CASE WHEN h < 6171992 THEN 0 WHEN h < 12343985 THEN 1
         |       WHEN h < 15429982 THEN 2 WHEN h < 16458647 THEN 3
         |       WHEN h < 16715813 THEN 4 WHEN h < 16767247 THEN 5
         |       ELSE 6 END AS w, b
         |    FROM (
-        |      SELECT l_returnflag, x, b,
+        |      SELECT l_returnflag, xi, mm.m * 5 + kk.k AS b,
         |        list_reduce(list_prepend(CAST(0 AS BIGINT),
         |          list_transform(string_split(
-        |            substr(md5(concat(rk, '#', b)), 1, 6), ''),
+        |            substr(md5(concat(rk, '#', mm.m)),
+        |                   CAST(kk.k * 6 + 1 AS INT), 6), ''),
         |            c -> CAST(strpos('0123456789abcdef', c) - 1
         |                 AS BIGINT))),
         |          (acc, v) -> acc * 16 + v) AS h
-        |      FROM li CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bb
+        |      FROM li
+        |      CROSS JOIN (SELECT unnest(range(0, 4)) AS m) mm
+        |      CROSS JOIN (SELECT unnest(range(0, 5)) AS k) kk
         |    ) z
         |  ) zz
         |  GROUP BY l_returnflag, b
@@ -181,7 +203,8 @@ object Analytics7 {
         |  FROM reps GROUP BY l_returnflag),
         |pt AS (
         |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+        |    CAST(sum(xi) AS DOUBLE) / (CAST(count(*) AS DOUBLE)
+        |      * 10000.0) AS mean
         |  FROM li GROUP BY l_returnflag)
         |SELECT ci.l_returnflag, pt.n, pt.mean, ci.n_replicas,
         |  ci.ci_lo, ci.ci_hi

@@ -72,14 +72,7 @@ object Analytics8 {
     * surviving node/edge counts per round — the dense-core extraction
     * that separates structural products from the periphery. */
   private def qGraphKcore(s: SparkSession, d: String): DataFrame = {
-    val li = t(s, d, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val e0 = li.select(col("ok"), col("pk").as("u"))
-      .join(li.select(col("ok"), col("pk").as("v")), Seq("ok"))
-      .filter(col("u") < col("v"))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
-      .filter(col("cn") >= 2)
+    val e0 = coPairCounts(s, d).filter(col("cn") >= 2) // materialized (Tables)
       .select(col("u"), col("v"))
       .localCheckpoint(true)
     def peel(e: DataFrame): DataFrame = {

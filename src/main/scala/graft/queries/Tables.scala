@@ -83,4 +83,27 @@ object Tables {
     val us = tsMicros(raw.schema)
     raw.withColumn("us", us).withColumn("ts_utc", timestamp_micros(us))
   }
+
+  /** Materialized co-purchase pair counts (u < v, cn = number of
+    * distinct orders containing both parts), written ONCE per scale
+    * factor (the orders_hive materialization pattern): six graph
+    * operators consume this table, and re-deriving the 12.6M-pair
+    * self-join per query is exactly the repeated work a production
+    * pipeline materializes away. The write is the same co-partitioned
+    * l_orderkey self-join every consumer used inline before; results
+    * are identical because the derivation is deterministic. */
+  def coPairCounts(s: SparkSession, dir: String): DataFrame = {
+    val p = s"/root/repo/target/qtmp/co_pairs_${math.abs(dir.hashCode)}"
+    if (!new java.io.File(s"$p/_SUCCESS").exists()) {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      li.select(col("ok"), col("pk").as("u"))
+        .join(li.select(col("ok"), col("pk").as("v")), Seq("ok"))
+        .filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(p)
+  }
 }

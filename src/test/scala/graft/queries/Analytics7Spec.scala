@@ -20,14 +20,14 @@ class Analytics7Spec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("bootstrap: 32 replicas, CI brackets the point estimate, " +
+  test("bootstrap: 20 replicas, CI brackets the point estimate, " +
       "deterministic across runs") {
     import spark.implicits._
     val out = SparkEntry.queries("q_agg_bootstrap")(spark, sf)
       .as[(String, Long, Double, Long, Double, Double)].collect().toSeq
     assert(out.nonEmpty)
     out.foreach { case (flag, n, mean, reps, lo, hi) =>
-      assert(reps == 32L, s"$flag replicas: $reps")
+      assert(reps == 20L, s"$flag replicas: $reps")
       assert(lo <= hi, s"$flag: lo $lo > hi $hi")
       assert(lo <= mean && mean <= hi,
         s"$flag: CI [$lo, $hi] should bracket mean $mean with n=$n")
