@@ -64,9 +64,43 @@ object LlmText7 {
       .orderBy(col("doc_id"), col("bucket"))
   }
 
+  /** Trigram-profile language ID — the INFERENCE side of
+    * q_text_kgram_profile's training: each document is scored by how
+    * many of its distinct trigrams appear in each language's top-50
+    * profile, predicted = argmax (score desc, lang asc tie-break), and
+    * the output is the (actual, predicted) confusion matrix. The
+    * profile table is n_langs × 50 rows → broadcast; documents make
+    * one distinct-trigram explode pass and the overlap aggregate is
+    * keyed (doc, candidate-lang), bounded by profile hits. */
+  private def qTextLangidNgram(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").filter(length(col("text")) >= 3)
+    val grams = docs
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "array_distinct(transform(sequence(1, length(text) - 2), " +
+          "i -> substring(text, i, 3)))")).as("g"))
+    val profiles = grams
+      .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(desc("cnt"), col("g"))))
+      .filter(col("rn") <= 50)
+      .select(col("lang").as("cand"), col("g"))
+    val overlap = grams
+      .join(broadcast(profiles), Seq("g"))
+      .groupBy(col("doc_id"), col("lang"), col("cand"))
+      .agg(count(lit(1)).as("score"))
+    overlap
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(desc("score"), col("cand"))))
+      .filter(col("rn") === 1)
+      .groupBy(col("lang").as("actual"), col("cand").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("actual"), col("predicted"))
+  }
+
   val defs: Map[String, Relational.Q] = Map(
     "q_text_kgram_profile" -> (qTextKgramProfile _),
     "q_text_hashtf" -> (qTextHashtf _),
+    "q_text_langid_ngram" -> (qTextLangidNgram _),
   )
 
   val sql: Map[String, String] = Map(
@@ -84,6 +118,33 @@ object LlmText7 {
         |  FROM counts)
         |SELECT lang, rn, g, cnt FROM ranked WHERE rn <= 10
         |ORDER BY lang, rn""".stripMargin,
+    "q_text_langid_ngram" ->
+      """WITH grams AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
+        |    range(1, length(text) - 1),
+        |    i -> substr(text, CAST(i AS INT), 3)))) AS g
+        |  FROM documents WHERE length(text) >= 3),
+        |profiles AS (
+        |  SELECT lang AS cand, g FROM (
+        |    SELECT lang, g, ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY count(*) DESC, g) AS rn
+        |    FROM grams GROUP BY lang, g) z
+        |  WHERE rn <= 50),
+        |overlap AS (
+        |  SELECT grams.doc_id, grams.lang, profiles.cand,
+        |    CAST(count(*) AS BIGINT) AS score
+        |  FROM grams JOIN profiles ON grams.g = profiles.g
+        |  GROUP BY 1, 2, 3),
+        |best AS (
+        |  SELECT doc_id, lang, cand FROM (
+        |    SELECT doc_id, lang, cand,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, cand) AS rn
+        |    FROM overlap) z
+        |  WHERE rn = 1)
+        |SELECT lang AS actual, cand AS predicted,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM best GROUP BY 1, 2 ORDER BY actual, predicted""".stripMargin,
     "q_text_hashtf" ->
       """WITH tok AS (
         |  SELECT doc_id,

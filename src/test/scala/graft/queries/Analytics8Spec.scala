@@ -59,6 +59,23 @@ class Analytics8Spec extends AnyFunSuite {
       (3, 4L, 6L)), s"got $out")
   }
 
+  test("langid-ngram: disjoint-script languages classify to a perfect " +
+      "diagonal confusion matrix") {
+    import spark.implicits._
+    val dir = Tables.freshDir("a8_langid")
+    val docs = (0 until 6).map { i =>
+      if (i % 2 == 0) (i.toLong, s"alpha bravo charlie delta echo $i",
+        "lat", "s", 0L)
+      else (i.toLong, s"12345 67890 24680 13579 11111 $i", "num", "s", 0L)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_text_langid_ngram")(spark, dir)
+      .as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(("lat", "lat", 3L), ("num", "num", 3L)),
+      s"confusion: $out")
+  }
+
   test("outlier: 20 rows, distances non-increasing, clusters in 0..7, " +
       "deterministic") {
     import spark.implicits._
