@@ -74,10 +74,13 @@ object LlmText7 {
     * keyed (doc, candidate-lang), bounded by profile hits. */
   private def qTextLangidNgram(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").filter(length(col("text")) >= 3)
+    // both the profile build and the overlap scoring read the exploded
+    // trigram stream — checkpoint it once (q_win_retention discipline)
     val grams = docs
       .select(col("doc_id"), col("lang"), explode(expr(
         "array_distinct(transform(sequence(1, length(text) - 2), " +
           "i -> substring(text, i, 3)))")).as("g"))
+      .localCheckpoint(true)
     val profiles = grams
       .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(Window.partitionBy(col("lang"))
