@@ -22,10 +22,12 @@ object SparkEntry {
       Windows.defs ++ Functions.defs ++
       AvroQueries.defs ++ StreamingQ.defs ++ LlmText.defs ++ LlmText2.defs ++
       LlmText3.defs ++ LlmText4.defs ++ LlmText5.defs ++ LlmText6.defs ++
-      LlmText7.defs ++
+      LlmText7.defs ++ LlmText8.defs ++
       Analytics.defs ++ Analytics2.defs ++ Analytics3.defs ++
       Analytics4.defs ++ Analytics5.defs ++ Analytics6.defs ++
-      Analytics7.defs ++ Analytics8.defs ++
+      Analytics7.defs ++ Analytics8.defs ++ Analytics9.defs ++
+      Analytics10.defs ++ Analytics11.defs ++ Analytics12.defs ++
+      ScalePatterns2.defs ++
       LlmSim.defs ++ FunctionsExt.defs ++ ScalePatterns.defs ++ Formats.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -35,9 +37,11 @@ object SparkEntry {
       Windows.sql ++ Functions.sql ++
       AvroQueries.sql ++ StreamingQ.sql ++ LlmText.sql ++ LlmText2.sql ++
       LlmText3.sql ++ LlmText4.sql ++ LlmText5.sql ++ LlmText6.sql ++
-      LlmText7.sql ++
+      LlmText7.sql ++ LlmText8.sql ++
       Analytics.sql ++ Analytics2.sql ++ Analytics3.sql ++
       Analytics4.sql ++ Analytics5.sql ++ Analytics6.sql ++
-      Analytics7.sql ++ Analytics8.sql ++
+      Analytics7.sql ++ Analytics8.sql ++ Analytics9.sql ++
+      Analytics10.sql ++ Analytics11.sql ++ Analytics12.sql ++
+      ScalePatterns2.sql ++
       LlmSim.sql ++ FunctionsExt.sql ++ ScalePatterns.sql ++ Formats.sql
 }
