@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Round-7 fourteenth wave: Spearman rank correlation (the monotone
+  * sibling of q_agg_corr's Pearson), one-way ANOVA (the k-group
+  * generalization of q_agg_ttest), and a nearest-event join — the
+  * bidirectional counterpart of q_join_asof, done as one windowed pass
+  * with zero joins.
+  *
+  * Scale notes:
+  *  - Spearman needs a total order per group (ranks), so it pays one
+  *    range-partitioned sort per (group, column) window — the honest
+  *    cost of an exact rank statistic. Everything after the rank
+  *    assignment is a single exact-integer aggregation: tie-averaged
+  *    ranks are half-integers, so DOUBLED ranks (2·avg-rank =
+  *    2·count_less + count_eq + 1) stay BIGINT and all five moment
+  *    sums run in DECIMAL(38,0) — order-free, engine-portable. At
+  *    100 TB you'd bucket first (the q_agg_mannwhitney discipline);
+  *    this id keeps the exact-rank variant because Pearson-on-ranks
+  *    is the textbook contract worth pinning.
+  *  - ANOVA collapses the scan to k=3 per-group exact decimal moment
+  *    rows in one shuffle; the only double arithmetic is the final
+  *    3-term F assembly, routed through the round-9dp/DECIMAL-sum
+  *    trick (Analytics9 discipline) so summation order can't flip a
+  *    bit.
+  *  - Nearest-join: the naive shape is signup⋈click per user with an
+  *    abs-delta argmin (a per-user quadratic blowup); this runs ONE
+  *    user-keyed sort and takes the preceding/following click from
+  *    frame-bounded IGNORE NULLS window picks — linear, join-free,
+  *    and the same plan shape survives any user fan-out because the
+  *    window never materializes a pair list. */
+object Analytics14 {
+
+  /** Spearman rank correlation between l_quantity and l_extendedprice
+    * per return flag: tie-averaged ranks in doubled-integer space,
+    * Pearson assembled from exact DECIMAL(38,0) moment sums. */
+  private def qAggSpearman(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .select(col("l_returnflag").as("g"),
+        col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    def dranks(v: String): Column = {
+      // 2·avg-rank = 2·count_less + count_eq + 1 = 2·rank() + cnt_eq − 1
+      val w = Window.partitionBy(col("g")).orderBy(col(v))
+      val we = Window.partitionBy(col("g"), col(v))
+      (rank().over(w) * 2 + count(lit(1)).over(we) - 1)
+    }
+    val ranked = li
+      .withColumn("rx", dranks("x"))
+      .withColumn("ry", dranks("y"))
+      .select(col("g"),
+        col("rx").cast("decimal(38,0)").as("rx"),
+        col("ry").cast("decimal(38,0)").as("ry"))
+    ranked.groupBy(col("g"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("ry")).as("sxy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"))
+      .select(col("g").as("l_returnflag"), col("n").cast("long").as("n"),
+        round(
+          dbl(col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt(dbl(col("n") * col("sxx") - col("sx") * col("sx")) *
+              dbl(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("rho"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** One-way ANOVA of l_quantity across return flags: per-group exact
+    * decimal moments in one shuffle, F assembled from round-9dp
+    * decimal-summed group terms. */
+  private def qAggAnova(s: SparkSession, d: String): DataFrame = {
+    val g = t(s, d, "lineitem")
+      .select(col("l_returnflag").as("g"), dec(col("l_quantity")).as("x"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"),
+        sum(col("x") * col("x")).as("ssg"))
+    // per-group S_g²/n_g is the only rational term; round to 9 dp and
+    // sum in DECIMAL so the 3-term reduction is order-free
+    val terms = g.select(col("ng"), col("sg"), col("ssg"),
+      expr("CAST(ROUND(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) " +
+        "/ CAST(ng AS DOUBLE), 9) AS DECIMAL(28,9))").as("t"))
+    terms.agg(
+      count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      sum(col("sg")).as("s"), sum(col("ssg")).as("ss"),
+      sum(col("t")).as("st"))
+      .select(col("k"), col("n"),
+        round(dbl(col("st")) - dbl(col("s")) * dbl(col("s")) / dbl(col("n")), 6)
+          .as("ssb"),
+        round(dbl(col("ss")) - dbl(col("st")), 6).as("ssw"),
+        round(((dbl(col("st")) - dbl(col("s")) * dbl(col("s")) / dbl(col("n")))
+          / (dbl(col("k")) - 1.0)) /
+          ((dbl(col("ss")) - dbl(col("st"))) / (dbl(col("n")) - dbl(col("k")))),
+          6).as("f_stat"))
+  }
+
+  /** Nearest-event join: for every signup, the temporally closest click
+    * by the same user in EITHER direction (ties → the earlier click),
+    * via frame-bounded IGNORE NULLS window picks over one user-keyed
+    * sort — no join, no per-user pair blowup. */
+  private def qJoinNearest(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .filter(col("event_type").isin("signup", "click"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("us"))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val after = ord.rowsBetween(1, Window.unboundedFollowing)
+    val cUs = when(col("event_type") === "click", col("us"))
+    val cId = when(col("event_type") === "click", col("event_id"))
+    val scored = ev
+      .withColumn("pus", last(cUs, ignoreNulls = true).over(before))
+      .withColumn("pid", last(cId, ignoreNulls = true).over(before))
+      .withColumn("nus", first(cUs, ignoreNulls = true).over(after))
+      .withColumn("nid", first(cId, ignoreNulls = true).over(after))
+      .filter(col("event_type") === "signup")
+    val pickNext = col("pus").isNull ||
+      (col("nus").isNotNull && (col("nus") - col("us")) < (col("us") - col("pus")))
+    scored
+      .filter(col("pus").isNotNull || col("nus").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        when(pickNext, col("nid")).otherwise(col("pid")).as("near_id"),
+        when(pickNext, col("nus") - col("us"))
+          .otherwise(col("pus") - col("us")).as("delta_us"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val defs: Map[String, Relational.Q] = Map(
+    "q_agg_spearman" -> (qAggSpearman _),
+    "q_agg_anova" -> (qAggAnova _),
+    "q_join_nearest" -> (qJoinNearest _),
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_agg_spearman" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(2 * rank() OVER (PARTITION BY l_returnflag
+        |                          ORDER BY l_quantity)
+        |       + count(*) OVER (PARTITION BY l_returnflag, l_quantity)
+        |       - 1 AS HUGEINT) AS rx,
+        |    CAST(2 * rank() OVER (PARTITION BY l_returnflag
+        |                          ORDER BY l_extendedprice)
+        |       + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice)
+        |       - 1 AS HUGEINT) AS ry
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT g, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(rx) AS sx, sum(ry) AS sy, sum(rx * ry) AS sxy,
+        |    sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+        |  FROM ranked GROUP BY g)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |         * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_agg_anova" ->
+      """WITH g AS (
+        |  SELECT l_returnflag AS g, CAST(count(*) AS BIGINT) AS ng,
+        |    sum(CAST(l_quantity AS DECIMAL(18,4))) AS sg,
+        |    sum(CAST(l_quantity AS DECIMAL(18,4))
+        |      * CAST(l_quantity AS DECIMAL(18,4))) AS ssg
+        |  FROM lineitem GROUP BY l_returnflag),
+        |terms AS (
+        |  SELECT ng, sg, ssg,
+        |    CAST(ROUND(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |      / CAST(ng AS DOUBLE), 9) AS DECIMAL(28,9)) AS t
+        |  FROM g),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(sg) AS DECIMAL(38,4)) AS s,
+        |    CAST(sum(ssg) AS DECIMAL(38,8)) AS ss,
+        |    CAST(sum(t) AS DECIMAL(38,9)) AS st
+        |  FROM terms)
+        |SELECT k, n,
+        |  round(CAST(st AS DOUBLE)
+        |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS ssb,
+        |  round(CAST(ss AS DOUBLE) - CAST(st AS DOUBLE), 6) AS ssw,
+        |  round(((CAST(st AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(k AS DOUBLE) - 1.0))
+        |    / ((CAST(ss AS DOUBLE) - CAST(st AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f_stat
+        |FROM agg""".stripMargin,
+    "q_join_nearest" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE event_type IN ('signup', 'click')),
+        |scored AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    last_value(CASE WHEN event_type = 'click' THEN us END
+        |               IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pus,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |               IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pid,
+        |    first_value(CASE WHEN event_type = 'click' THEN us END
+        |                IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nus,
+        |    first_value(CASE WHEN event_type = 'click' THEN event_id END
+        |                IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nid
+        |  FROM ev)
+        |SELECT user_id, event_id,
+        |  CASE WHEN pus IS NULL
+        |         OR (nus IS NOT NULL AND (nus - us) < (us - pus))
+        |       THEN nid ELSE pid END AS near_id,
+        |  CASE WHEN pus IS NULL
+        |         OR (nus IS NOT NULL AND (nus - us) < (us - pus))
+        |       THEN nus - us ELSE pus - us END AS delta_us
+        |FROM scored
+        |WHERE event_type = 'signup'
+        |  AND (pus IS NOT NULL OR nus IS NOT NULL)
+        |ORDER BY user_id, event_id""".stripMargin,
+  )
+}
