@@ -28,7 +28,8 @@ object SparkEntry {
       Analytics7.defs ++ Analytics8.defs ++ Analytics9.defs ++
       Analytics10.defs ++ Analytics11.defs ++ Analytics12.defs ++
       Analytics13.defs ++ Analytics14.defs ++ Analytics15.defs ++
-      Analytics16.defs ++ Analytics17.defs ++ ScalePatterns2.defs ++
+      Analytics16.defs ++ Analytics17.defs ++ Analytics18.defs ++
+      ScalePatterns2.defs ++
       LlmSim.defs ++ FunctionsExt.defs ++ ScalePatterns.defs ++ Formats.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -44,6 +45,7 @@ object SparkEntry {
       Analytics7.sql ++ Analytics8.sql ++ Analytics9.sql ++
       Analytics10.sql ++ Analytics11.sql ++ Analytics12.sql ++
       Analytics13.sql ++ Analytics14.sql ++ Analytics15.sql ++
-      Analytics16.sql ++ Analytics17.sql ++ ScalePatterns2.sql ++
+      Analytics16.sql ++ Analytics17.sql ++ Analytics18.sql ++
+      ScalePatterns2.sql ++
       LlmSim.sql ++ FunctionsExt.sql ++ ScalePatterns.sql ++ Formats.sql
 }
