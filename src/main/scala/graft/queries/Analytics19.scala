@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Round-7 nineteenth wave: Benford first-digit analysis (the audit /
+  * fraud-screening staple), 30-day-period user churn (the complement
+  * of q_win_retention/q_win_cohort: who LEFT), and equal-frequency
+  * decile binning (the QuantileDiscretizer fit step of a feature
+  * pipeline, as a reportable edge table).
+  *
+  * Scale notes:
+  *  - Benford collapses the scan to 9 digit-count rows in one
+  *    shuffle; shares and χ² contributions are fixed double trees
+  *    over exact integers. The first digit comes from the same
+  *    log10/floor expression tree on both engines (no string
+  *    formatting, which engines disagree on).
+  *  - Churn: one (user, period) distinct, one user-keyed lead window
+  *    (a user's own next active period — no month×month self-join),
+  *    one bounded per-period count; the final period is excluded
+  *    (its churn is right-censored), via a 1-row broadcast max.
+  *  - Binning pays the honest cost of exact equal-frequency bins —
+  *    one range-partitioned sort per group — then reduces to a
+  *    bounded (group, bin) edge table; ties are broken by the FULL
+  *    key set so ntile assignment is a total order on both engines. */
+object Analytics19 {
+
+  /** Benford first-significant-digit distribution of order totals,
+    * with expected log10(1+1/d) shares and per-digit χ² contribution. */
+  private def qAggBenford(s: SparkSession, d: String): DataFrame = {
+    val digits = t(s, d, "orders")
+      .filter(col("o_totalprice") > 0.0)
+      .withColumn("dig", expr(
+        "CAST(floor(o_totalprice / power(10.0, floor(log10(o_totalprice)))) AS INT)"))
+      .groupBy(col("dig")).agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("nn"))
+    digits.crossJoin(broadcast(tot))
+      .withColumn("obs", dbl(col("n")) / dbl(col("nn")))
+      .withColumn("exp", expr("log10(1.0 + 1.0 / CAST(dig AS DOUBLE))"))
+      .select(col("dig").as("digit"), col("n"),
+        round(col("obs"), 6).as("obs_share"),
+        round(col("exp"), 6).as("exp_share"),
+        round((col("obs") - col("exp")) * (col("obs") - col("exp"))
+          / col("exp") * dbl(col("nn")), 6).as("chi2_contrib"))
+      .orderBy(col("digit"))
+  }
+
+  /** 30-day-period churn: per period, active users and the share of
+    * them with NO activity in the immediately following period (the
+    * final, right-censored period is excluded). */
+  private def qWinChurn(s: SparkSession, d: String): DataFrame = {
+    val up = events(s, d)
+      .select(col("user_id"), expr("us div 2592000000000").as("p"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("p"))
+    val flagged = up.withColumn("next_p", lead(col("p"), 1).over(w))
+      .withColumn("churned",
+        when(col("next_p").isNull || col("next_p") > col("p") + 1, 1L)
+          .otherwise(0L))
+    val maxp = up.agg(max(col("p")).as("maxp"))
+    flagged.crossJoin(broadcast(maxp))
+      .filter(col("p") < col("maxp"))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n_active"), sum(col("churned")).as("n_churned"))
+      .select(col("p").as("period"), col("n_active"), col("n_churned"),
+        round(dbl(col("n_churned")) / dbl(col("n_active")), 6)
+          .as("churn_rate"))
+      .orderBy(col("period"))
+  }
+
+  /** Equal-frequency decile bins of extendedprice per return flag:
+    * ntile(10) over a TOTAL order (full tie-break key set), reduced
+    * to per-bin count and [lo, hi] edges. */
+  private def qAggNtile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"))
+    t(s, d, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+      .withColumn("bin", ntile(10).over(w))
+      .groupBy(col("l_returnflag"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      .orderBy(col("l_returnflag"), col("bin"))
+  }
+
+  val defs: Map[String, Relational.Q] = Map(
+    "q_agg_benford" -> (qAggBenford _),
+    "q_win_churn" -> (qWinChurn _),
+    "q_agg_ntile" -> (qAggNtile _),
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_agg_benford" ->
+      """WITH digits AS (
+        |  SELECT CAST(floor(o_totalprice
+        |      / power(10.0, floor(log10(o_totalprice)))) AS INT) AS dig,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders WHERE o_totalprice > 0.0 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM digits)
+        |SELECT dig AS digit, n,
+        |  round(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS obs_share,
+        |  round(log10(1.0 + 1.0 / CAST(dig AS DOUBLE)), 6) AS exp_share,
+        |  round((CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)
+        |      - log10(1.0 + 1.0 / CAST(dig AS DOUBLE)))
+        |    * (CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)
+        |      - log10(1.0 + 1.0 / CAST(dig AS DOUBLE)))
+        |    / log10(1.0 + 1.0 / CAST(dig AS DOUBLE))
+        |    * CAST(nn AS DOUBLE), 6) AS chi2_contrib
+        |FROM digits, tot ORDER BY digit""".stripMargin,
+    "q_win_churn" ->
+      """WITH up AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 2592000000000 AS p
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, p,
+        |    lead(p, 1) OVER (PARTITION BY user_id ORDER BY p) AS next_p
+        |  FROM up),
+        |mx AS (SELECT max(p) AS maxp FROM up)
+        |SELECT p AS period, CAST(count(*) AS BIGINT) AS n_active,
+        |  CAST(sum(CASE WHEN next_p IS NULL OR next_p > p + 1
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+        |  round(CAST(sum(CASE WHEN next_p IS NULL OR next_p > p + 1
+        |                      THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS churn_rate
+        |FROM flagged, mx WHERE p < maxp
+        |GROUP BY p ORDER BY period""".stripMargin,
+    "q_agg_ntile" ->
+      """WITH b AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    ntile(10) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber,
+        |        l_partkey, l_suppkey, l_quantity) AS bin
+        |  FROM lineitem)
+        |SELECT l_returnflag, bin, CAST(count(*) AS BIGINT) AS n,
+        |  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |FROM b GROUP BY l_returnflag, bin
+        |ORDER BY l_returnflag, bin""".stripMargin,
+  )
+}
