@@ -29,7 +29,8 @@ object SparkEntry {
       Analytics10.defs ++ Analytics11.defs ++ Analytics12.defs ++
       Analytics13.defs ++ Analytics14.defs ++ Analytics15.defs ++
       Analytics16.defs ++ Analytics17.defs ++ Analytics18.defs ++
-      Analytics19.defs ++ Analytics20.defs ++ ScalePatterns2.defs ++
+      Analytics19.defs ++ Analytics20.defs ++ Analytics21.defs ++
+      ScalePatterns2.defs ++
       LlmSim.defs ++ FunctionsExt.defs ++ ScalePatterns.defs ++ Formats.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -46,6 +47,7 @@ object SparkEntry {
       Analytics10.sql ++ Analytics11.sql ++ Analytics12.sql ++
       Analytics13.sql ++ Analytics14.sql ++ Analytics15.sql ++
       Analytics16.sql ++ Analytics17.sql ++ Analytics18.sql ++
-      Analytics19.sql ++ Analytics20.sql ++ ScalePatterns2.sql ++
+      Analytics19.sql ++ Analytics20.sql ++ Analytics21.sql ++
+      ScalePatterns2.sql ++
       LlmSim.sql ++ FunctionsExt.sql ++ ScalePatterns.sql ++ Formats.sql
 }
