@@ -112,11 +112,15 @@ object Analytics14 {
     val after = ord.rowsBetween(1, Window.unboundedFollowing)
     val cUs = when(col("event_type") === "click", col("us"))
     val cId = when(col("event_type") === "click", col("event_id"))
+    // one projection → one Window node per frame (withColumn chains
+    // would leave 4 un-collapsed Window passes: CollapseWindow only
+    // merges adjacent nodes, and each withColumn interposes a Project)
     val scored = ev
-      .withColumn("pus", last(cUs, ignoreNulls = true).over(before))
-      .withColumn("pid", last(cId, ignoreNulls = true).over(before))
-      .withColumn("nus", first(cUs, ignoreNulls = true).over(after))
-      .withColumn("nid", first(cId, ignoreNulls = true).over(after))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("us"),
+        last(cUs, ignoreNulls = true).over(before).as("pus"),
+        last(cId, ignoreNulls = true).over(before).as("pid"),
+        first(cUs, ignoreNulls = true).over(after).as("nus"),
+        first(cId, ignoreNulls = true).over(after).as("nid"))
       .filter(col("event_type") === "signup")
     val pickNext = col("pus").isNull ||
       (col("nus").isNotNull && (col("nus") - col("us")) < (col("us") - col("pus")))

@@ -74,10 +74,13 @@ object Analytics16 {
     val c = when(col("event_type") === "click", col("us"))
     val cs = when(col("event_type") === "click",
       struct(col("us"), col("event_id")))
+    // one projection → one Window node (the withColumn chain would
+    // leave 3 un-collapsed Window passes over the same frame)
     ev
-      .withColumn("n_touches", count(c).over(frame))
-      .withColumn("first_t", min(cs).over(frame))
-      .withColumn("last_t", max(cs).over(frame))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        count(c).over(frame).as("n_touches"),
+        min(cs).over(frame).as("first_t"),
+        max(cs).over(frame).as("last_t"))
       .filter(col("event_type") === "purchase" && col("n_touches") >= 1)
       .select(col("user_id"), col("event_id"),
         col("n_touches"),
