@@ -95,8 +95,11 @@ object Analytics {
     t(s, d, "orders")
       .withColumn("prev", lag(col("o_orderpriority"), 1).over(byKey))
       .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
-      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(byKey))
-      .withColumn("version", row_number().over(byKey).cast("int"))
+      // one projection → one Window node (withColumn chains interpose
+      // Projects that block CollapseWindow)
+      .select(col("*"),
+        lead(col("o_orderdate"), 1).over(byKey).as("valid_to"),
+        row_number().over(byKey).cast("int").as("version"))
       .select(col("o_custkey").as("custkey"),
         col("o_orderpriority").as("priority"),
         col("o_orderdate").as("valid_from"), col("valid_to"), col("version"))

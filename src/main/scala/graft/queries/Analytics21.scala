@@ -108,8 +108,10 @@ object Analytics21 {
       .orderBy(col("rev").desc, col("part"))
     val wPart = Window.partitionBy(col("part")).orderBy(col("wk"))
     val ranked = wkRev.withColumn("rk", rank().over(wRank))
-      .withColumn("prev_rk", lag(col("rk"), 1).over(wPart))
-      .withColumn("prev_wk", lag(col("wk"), 1).over(wPart))
+      // one projection → one Window node for the two same-spec lags
+      .select(col("*"),
+        lag(col("rk"), 1).over(wPart).as("prev_rk"),
+        lag(col("wk"), 1).over(wPart).as("prev_wk"))
     val maxWk = wkRev.agg(max(col("wk")).as("mw"))
     ranked.crossJoin(broadcast(maxWk))
       .filter(col("wk") === col("mw") && col("rk") <= 20)

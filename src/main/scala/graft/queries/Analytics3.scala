@@ -151,9 +151,11 @@ object Analytics3 {
     val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
       .rowsBetween(-24, -1)
     hourly
-      .withColumn("n24", count(lit(1)).over(w))
-      .withColumn("sc", sum(col("c")).over(w))
-      .withColumn("scc", sum(col("c") * col("c")).over(w))
+      // one projection → one Window node over the shared frame
+      .select(col("*"),
+        count(lit(1)).over(w).as("n24"),
+        sum(col("c")).over(w).as("sc"),
+        sum(col("c") * col("c")).over(w).as("scc"))
       .filter(col("n24") === 24)
       .filter(expr("24 * scc > sc * sc"))
       .withColumn("z", expr(

@@ -113,10 +113,14 @@ object Analytics7 {
     val wRank = Window.partitionBy(col("event_type"))
       .orderBy(desc("dabs"), col("hr"))
     hourly
-      .withColumn("run", sum(col("c")).over(wRun))
-      .withColumn("tidx", count(lit(1)).over(wRun))
-      .withColumn("tot", sum(col("c")).over(wAll))
-      .withColumn("nh", count(lit(1)).over(wAll))
+      // two projections → two Window nodes (one per spec); withColumn
+      // chains would leave four
+      .select(col("*"),
+        sum(col("c")).over(wRun).as("run"),
+        count(lit(1)).over(wRun).as("tidx"))
+      .select(col("*"),
+        sum(col("c")).over(wAll).as("tot"),
+        count(lit(1)).over(wAll).as("nh"))
       .withColumn("dabs", abs(col("nh") * col("run")
         - col("tidx") * col("tot")))
       .withColumn("rn", row_number().over(wRank))

@@ -46,8 +46,10 @@ object Analytics8 {
          |           - CAST(sy_$lagCol AS DOUBLE)
          |             * CAST(sy_$lagCol AS DOUBLE))), 6)""".stripMargin
     hourly
-      .withColumn("l1", lag(col("c"), 1).over(w))
-      .withColumn("l24", lag(col("c"), 24).over(w))
+      // one projection → one Window node over the shared spec
+      .select(col("*"),
+        lag(col("c"), 1).over(w).as("l1"),
+        lag(col("c"), 24).over(w).as("l24"))
       .groupBy(col("event_type"))
       .agg(
         sum(when(col("l1").isNotNull, 1L)).as("n1"),
