@@ -63,6 +63,7 @@ object GraftFunctions {
   /** Register the engine's native expressions for use via expr()/SQL. */
   def register(spark: SparkSession): Unit = {
     SimHash64.register(spark)
+    MinHash16.register(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_dot", exprs => FloatDot(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

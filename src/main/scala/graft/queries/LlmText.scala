@@ -47,18 +47,20 @@ object LlmText {
         "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
 
   /** (doc_id, sig, band, bkey) rows: 16 seeded minhashes — hash each
-    * shingle string ONCE, then derive the 16 signature hashes by mixing
-    * the long (1 string pass + 16 cheap long passes instead of 16
-    * string passes) — exploded into 4 bands of 4 rows each. */
-  private def bandedSigs(sh: DataFrame): DataFrame =
+    * shingle string ONCE, then derive all 16 signature minima in ONE
+    * pass over the hash array via the native `graft_minhash16`
+    * expression (the SQL `array_min(transform(...))×16` formulation
+    * walked the array 16 times and allocated 16 transient arrays per
+    * doc) — exploded into 4 bands of 4 rows each. */
+  private def bandedSigs(sh: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(sh.sparkSession)
     sh.withColumn("hs", transform(col("shingles"), x => xxhash64(x)))
-      .withColumn("sig", array(
-        (0 until 16).map(i =>
-          array_min(transform(col("hs"), h => xxhash64(lit(i), h)))): _*))
+      .withColumn("sig", expr("graft_minhash16(hs)"))
       .select(col("doc_id"), col("sig"),
         posexplode(array((0 until 4).map(b =>
           xxhash64(lit(b), slice(col("sig"), b * 4 + 1, 4))): _*))
           .as(Seq("band", "bkey")))
+  }
 
   /** Sig-agreement fraction between two 16-hash signatures. */
   private def sigAgreement(a: Column, b: Column): Column =
