@@ -90,6 +90,23 @@ class PlanSpec2 extends AnyFunSuite {
       s"stats join lost broadcast: ${joins.map(_.nodeName)}")
   }
 
+  test("skyline, backtest, markov, and rollmedian execute JOIN-FREE " +
+      "(level/daily windows, not dominance or calendar self-joins)") {
+    for (q <- Seq("q_win_skyline", "q_agg_backtest", "q_agg_markov",
+        "q_win_rollmedian")) {
+      val joins = nodes(q).collect { case j: BaseJoinExec => j }
+      assert(joins.isEmpty,
+        s"$q grew a join: ${joins.map(_.nodeName).mkString(", ")}")
+    }
+  }
+
+  test("lift's ranking is a TakeOrdered top-20, never a full sort of " +
+      "the scored pairs") {
+    val ns = nodes("q_agg_lift")
+    assert(ns.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      s"lift lost TakeOrdered: ${ns.map(_.nodeName).distinct}")
+  }
+
   test("lexdiv is map-only: exactly one exchange (the presentation " +
       "sort), zero joins, zero aggregates") {
     val ns = nodes("q_text_lexdiv")
