@@ -91,7 +91,8 @@ object ScaleProbe {
           "q_dedup_ngram", "q_dedup_span", "q_dedup_url", "q_text_ngrams",
           "q_text_tfidf", "q_dedup_cluster", "q_text_decontaminate",
           "q_text_boilerplate", "q_text_repetition", "q_text_pii",
-          "q_text_entropy")
+          "q_text_entropy", "q_dedup_substring", "q_text_novelty",
+          "q_text_lexdiv")
     val times = ops.map { id =>
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(id)(spark, probeDir).count()
