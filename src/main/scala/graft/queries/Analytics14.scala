@@ -61,12 +61,14 @@ object Analytics14 {
         sum(col("rx") * col("ry")).as("sxy"),
         sum(col("rx") * col("rx")).as("sxx"),
         sum(col("ry") * col("ry")).as("syy"))
+      .withColumn("dxx", dbl(col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("dyy", dbl(col("n") * col("syy") - col("sy") * col("sy")))
       .select(col("g").as("l_returnflag"), col("n").cast("long").as("n"),
-        round(
-          dbl(col("n") * col("sxy") - col("sx") * col("sy")) /
-            sqrt(dbl(col("n") * col("sxx") - col("sx") * col("sx")) *
-              dbl(col("n") * col("syy") - col("sy") * col("sy"))), 6)
-          .as("rho"))
+        // constant column ⇒ zero variance of ranks ⇒ rho undefined
+        // (NULL, not an ANSI divide-by-zero)
+        when(col("dxx") > 0 && col("dyy") > 0,
+          round(dbl(col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt(col("dxx") * col("dyy")), 6)).as("rho"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -92,10 +94,14 @@ object Analytics14 {
         round(dbl(col("st")) - dbl(col("s")) * dbl(col("s")) / dbl(col("n")), 6)
           .as("ssb"),
         round(dbl(col("ss")) - dbl(col("st")), 6).as("ssw"),
-        round(((dbl(col("st")) - dbl(col("s")) * dbl(col("s")) / dbl(col("n")))
-          / (dbl(col("k")) - 1.0)) /
-          ((dbl(col("ss")) - dbl(col("st"))) / (dbl(col("n")) - dbl(col("k")))),
-          6).as("f_stat"))
+        // k=1 (no between-variance) or SSW=0 (constant data) ⇒ F
+        // undefined → NULL, not an ANSI divide-by-zero
+        when(col("k") > 1 && col("n") > col("k") &&
+            dbl(col("ss")) - dbl(col("st")) > 0,
+          round(((dbl(col("st")) - dbl(col("s")) * dbl(col("s")) / dbl(col("n")))
+            / (dbl(col("k")) - 1.0)) /
+            ((dbl(col("ss")) - dbl(col("st"))) / (dbl(col("n")) - dbl(col("k")))),
+            6)).as("f_stat"))
   }
 
   /** Nearest-event join: for every signup, the temporally closest click

@@ -61,9 +61,12 @@ object Analytics17 {
       .withColumn("n0", expr("nn * (nn - 1) div 2"))
       .select(col("g").as("l_returnflag"), col("nn").as("n"),
         col("conc"), col("disc"),
-        round((dbl(col("conc")) - dbl(col("disc"))) /
-          (sqrt(dbl(col("n0") - col("n1"))) *
-            sqrt(dbl(col("n0") - col("n2t")))), 6).as("tau_b"))
+        // all-tied on either dimension ⇒ tau undefined → NULL, not an
+        // ANSI divide-by-zero
+        when(col("n0") > col("n1") && col("n0") > col("n2t"),
+          round((dbl(col("conc")) - dbl(col("disc"))) /
+            (sqrt(dbl(col("n0") - col("n1"))) *
+              sqrt(dbl(col("n0") - col("n2t")))), 6)).as("tau_b"))
       .orderBy(col("l_returnflag"))
   }
 

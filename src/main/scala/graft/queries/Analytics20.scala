@@ -111,12 +111,17 @@ object Analytics20 {
       .select(col("n").as("n1"), col("sx").as("s1"), col("ssx").as("q1"))
     val b = m.filter(col("g") === "view")
       .select(col("n").as("n2"), col("sx").as("s2"), col("ssx").as("q2"))
+    val pooledSS =
+      (dbl(col("q1")) - dbl(col("s1")) * dbl(col("s1")) / dbl(col("n1"))) +
+        (dbl(col("q2")) - dbl(col("s2")) * dbl(col("s2")) / dbl(col("n2")))
+    // one row per side or zero pooled variance ⇒ d undefined → NULL,
+    // not an ANSI divide-by-zero
     a.crossJoin(b).select(col("n1"), col("n2"),
-      round((dbl(col("s1")) / dbl(col("n1"))
-        - dbl(col("s2")) / dbl(col("n2"))) /
-        sqrt(((dbl(col("q1")) - dbl(col("s1")) * dbl(col("s1")) / dbl(col("n1")))
-          + (dbl(col("q2")) - dbl(col("s2")) * dbl(col("s2")) / dbl(col("n2"))))
-          / (dbl(col("n1")) + dbl(col("n2")) - 2.0)), 6).as("cohen_d"))
+      when(col("n1") + col("n2") > 2 && pooledSS > 0,
+        round((dbl(col("s1")) / dbl(col("n1"))
+          - dbl(col("s2")) / dbl(col("n2"))) /
+          sqrt(pooledSS / (dbl(col("n1")) + dbl(col("n2")) - 2.0)), 6))
+        .as("cohen_d"))
   }
 
   val defs: Map[String, Relational.Q] = Map(

@@ -89,9 +89,12 @@ object Analytics21 {
     val mu = lit(2.0) * n1 * n2 / (n1 + n2) + lit(1.0)
     val sig2 = (lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n1 - n2)) /
       ((n1 + n2) * (n1 + n2) * (n1 + n2 - lit(1.0)))
+    // a single hour or a one-sided sign series ⇒ σ² = 0 ⇒ z
+    // undefined → NULL, not an ANSI divide-by-zero
     runs.select(col("et").as("event_type"), col("r").as("n_runs"),
       col("n1"), col("n2"), round(mu, 6).as("mu"),
-      round((dbl(col("r")) - mu) / sqrt(sig2), 6).as("z"))
+      when(col("n1") > 0 && col("n2") > 0 && col("n1") + col("n2") > 1,
+        round((dbl(col("r")) - mu) / sqrt(sig2), 6)).as("z"))
       .orderBy(col("event_type"))
   }
 

@@ -58,9 +58,13 @@ object Analytics25 {
     val sd = sqrt((dbl(col("ssx")) - dbl(col("sx")) * dbl(col("sx")) / nD)
       / (nD - 1.0))
     val mde = lit(1.96 + 0.8416) * sd * sqrt(lit(2.0) / nD)
+    // n=1 ⇒ sd undefined; mean=0 ⇒ relative MDE undefined → NULL,
+    // not an ANSI divide-by-zero
     m.select(col("event_type"), col("n"), round(mean, 6).as("mean"),
-      round(sd, 6).as("sd"), round(mde, 6).as("mde_abs"),
-      round(mde / mean, 6).as("mde_rel"))
+      when(col("n") > 1, round(sd, 6)).as("sd"),
+      when(col("n") > 1, round(mde, 6)).as("mde_abs"),
+      when(col("n") > 1 && mean =!= 0.0, round(mde / mean, 6))
+        .as("mde_rel"))
       .orderBy(col("event_type"))
   }
 
