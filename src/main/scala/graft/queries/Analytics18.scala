@@ -63,6 +63,9 @@ object Analytics18 {
     val rev = t(s, d, "orders")
       .groupBy(col("o_custkey"))
       .agg(sum(dec(col("o_totalprice"))).as("x"))
+      // Theil's domain is positive shares: a zero-revenue customer
+      // would put ln(0)/0-division on the path (ANSI throws)
+      .filter(col("x") > 0)
     val reg = t(s, d, "customer")
       .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
       .join(broadcast(t(s, d, "nation")
