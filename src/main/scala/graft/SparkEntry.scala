@@ -33,7 +33,8 @@ object SparkEntry {
       Analytics22.defs ++ Analytics23.defs ++ Analytics24.defs ++
       Analytics25.defs ++
       ScalePatterns2.defs ++ ScalePatterns3.defs ++
-      LlmSim.defs ++ FunctionsExt.defs ++ ScalePatterns.defs ++ Formats.defs
+      LlmSim.defs ++ FunctionsExt.defs ++ ScalePatterns.defs ++
+      Formats.defs ++ Formats2.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -53,5 +54,6 @@ object SparkEntry {
       Analytics22.sql ++ Analytics23.sql ++ Analytics24.sql ++
       Analytics25.sql ++
       ScalePatterns2.sql ++ ScalePatterns3.sql ++
-      LlmSim.sql ++ FunctionsExt.sql ++ ScalePatterns.sql ++ Formats.sql
+      LlmSim.sql ++ FunctionsExt.sql ++ ScalePatterns.sql ++
+      Formats.sql ++ Formats2.sql
 }
