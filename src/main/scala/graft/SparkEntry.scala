@@ -31,7 +31,7 @@ object SparkEntry {
       Analytics16.defs ++ Analytics17.defs ++ Analytics18.defs ++
       Analytics19.defs ++ Analytics20.defs ++ Analytics21.defs ++
       Analytics22.defs ++ Analytics23.defs ++ Analytics24.defs ++
-      Analytics25.defs ++ Analytics26.defs ++
+      Analytics25.defs ++ Analytics26.defs ++ Analytics27.defs ++
       ScalePatterns2.defs ++ ScalePatterns3.defs ++
       LlmSim.defs ++ FunctionsExt.defs ++ ScalePatterns.defs ++
       Formats.defs ++ Formats2.defs
@@ -52,7 +52,7 @@ object SparkEntry {
       Analytics16.sql ++ Analytics17.sql ++ Analytics18.sql ++
       Analytics19.sql ++ Analytics20.sql ++ Analytics21.sql ++
       Analytics22.sql ++ Analytics23.sql ++ Analytics24.sql ++
-      Analytics25.sql ++ Analytics26.sql ++
+      Analytics25.sql ++ Analytics26.sql ++ Analytics27.sql ++
       ScalePatterns2.sql ++ ScalePatterns3.sql ++
       LlmSim.sql ++ FunctionsExt.sql ++ ScalePatterns.sql ++
       Formats.sql ++ Formats2.sql
