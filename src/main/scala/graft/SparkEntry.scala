@@ -22,7 +22,7 @@ object SparkEntry {
       Windows.defs ++ Functions.defs ++
       AvroQueries.defs ++ StreamingQ.defs ++ LlmText.defs ++ LlmText2.defs ++
       LlmText3.defs ++ LlmText4.defs ++ LlmText5.defs ++ LlmText6.defs ++
-      LlmText7.defs ++ LlmText8.defs ++
+      LlmText7.defs ++ LlmText8.defs ++ LlmText9.defs ++
       Analytics.defs ++ Analytics2.defs ++ Analytics3.defs ++
       Analytics4.defs ++ Analytics5.defs ++ Analytics6.defs ++
       Analytics7.defs ++ Analytics8.defs ++ Analytics9.defs ++
@@ -45,7 +45,7 @@ object SparkEntry {
       Windows.sql ++ Functions.sql ++
       AvroQueries.sql ++ StreamingQ.sql ++ LlmText.sql ++ LlmText2.sql ++
       LlmText3.sql ++ LlmText4.sql ++ LlmText5.sql ++ LlmText6.sql ++
-      LlmText7.sql ++ LlmText8.sql ++
+      LlmText7.sql ++ LlmText8.sql ++ LlmText9.sql ++
       Analytics.sql ++ Analytics2.sql ++ Analytics3.sql ++
       Analytics4.sql ++ Analytics5.sql ++ Analytics6.sql ++
       Analytics7.sql ++ Analytics8.sql ++ Analytics9.sql ++
