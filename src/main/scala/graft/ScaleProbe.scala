@@ -70,6 +70,20 @@ object ScaleProbe {
           col("label"))
       }.reduce(_ union _)
         .write.mode("overwrite").parquet(s"$probeDir/embeddings.parquet")
+    } else if (mode == "events") {
+      // events inflate by replicating USERS (shifted user/event ids,
+      // per-replica minute jitter): the time range stays fixed, so
+      // hours/days get DENSER — exactly how traffic growth looks —
+      // while per-user history length is unchanged. Window/As-of/
+      // attribution costs must track users, not explode.
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      (0 until factor).map { i =>
+        ev.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
+          expr(s"ts + make_interval(0, 0, 0, 0, 0, ${i % 50}, 0)").as("ts"),
+          (col("user_id") + lit(i * 1000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$probeDir/events.parquet")
     } else {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       (0 until factor).map { i =>
@@ -80,12 +94,22 @@ object ScaleProbe {
       }.reduce(_ union _)
         .write.mode("overwrite").parquet(s"$probeDir/documents.parquet")
     }
-    val n = spark.read.parquet(s"$probeDir/${if (mode == "embeddings") "embeddings" else "documents"}.parquet").count()
+    val tableName = mode match {
+      case "embeddings" => "embeddings"
+      case "events" => "events"
+      case _ => "documents"
+    }
+    val n = spark.read.parquet(s"$probeDir/$tableName.parquet").count()
     val ops =
       if (mode == "embeddings")
         Seq("q_embed_centroids", "q_sim_cosine_topk", "q_sim_ann_ivf",
           "q_dedup_embed", "q_dedup_semantic", "q_embed_norm",
           "q_embed_quantize")
+      else if (mode == "events")
+        Seq("q_join_nearest", "q_win_attribution", "q_win_churn",
+          "q_win_cohort", "q_win_session", "q_win_concurrency",
+          "q_time_funnel_latency", "q_agg_survival", "q_agg_markov",
+          "q_time_arrival_cv", "q_agg_stickiness", "q_win_lifespan")
       else
         Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
           "q_dedup_ngram", "q_dedup_span", "q_dedup_url", "q_text_ngrams",
