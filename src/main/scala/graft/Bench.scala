@@ -28,6 +28,10 @@ import org.apache.spark.sql.SparkSession
   *  3. The 5 slowest queries (plus the starved set above) are re-run
   *     once after the sweep and the minimum kept — a transient burst
   *     that landed on one query no longer defines its number.
+  *  4. If the sweep still stamps itself polluted, the WHOLE sweep
+  *     re-runs once (r7: the gate caught a 320 s polluted artifact for
+  *     a 242 s build, but nothing acted on it); per-query times keep
+  *     the min over attempts and the artifact records `attempts`.
   *
   * Failures are first-class: each query records `ok` or the exception
   * class (r5's `catch Throwable => -1L` silently folded a broken
@@ -152,108 +156,163 @@ object Bench {
         if (cols.length > 8) cols(8).toDouble / 100.0 else 0.0
       } catch { case _: Throwable => 0.0 }
 
-    val load0 = loadAvg()
-    val steal0 = stealSec()
-    val wall0 = System.nanoTime()
-    if (load0 > cpus.toInt / 2.0)
-      System.err.println(f"[bench] WARNING: 1-min loadavg $load0%.2f " +
+    if (loadAvg() > cpus.toInt / 2.0)
+      System.err.println(f"[bench] WARNING: 1-min loadavg ${loadAvg()}%.2f " +
         f"at start of a local[$cpus] sweep - timings will be inflated " +
         "by external load; re-run on an idle machine")
-    // loadavg sampled per query: start/end stamps miss mid-run external
-    // bursts, so the artifact carries the max too — but loadavg alone is
-    // known-insufficient (header comment); the calibration spin is the
-    // authoritative contention gate.
-    var loadMax = load0
 
-    // Calibration warmup: a fixed warmup count is NOT enough — two
-    // discarded spins still left the first sample 1.48× slow (C2
-    // tiering completes mid-spin) and nearly tripped the 1.5× pollution
-    // gate on an idle box. Spin until two consecutive samples agree
-    // within 8% (capped at 10 attempts), so the baseline measures the
-    // steady-state JIT'd spin, not compilation.
-    var prev = spinOnce()
-    var cur = spinOnce()
-    var warm = 2
-    while (math.abs(cur - prev) / math.min(cur, prev) > 0.08 && warm < 10) {
-      prev = cur; cur = spinOnce(); warm += 1
-    }
-    // Baseline sample, then re-sample every CalEvery queries and once
-    // after the sweep. r6 postmortem: every-20 sampling straddled the
-    // bursts (1.75× inflated total passed the gate at drift 1.287), so
-    // the spin now samples every 5 — ~37 samples × ~0.3 s ≈ 11 s of
-    // overhead, none of it counted in any query's time or the total.
-    val CalEvery = 5
-    val calSamples = scala.collection.mutable.ArrayBuffer[Double]()
-    calSamples += calSample()
+    case class Sweep(finalPass: Seq[(String, QRes)],
+        reruns: Map[String, QRes], calSamples: Seq[Double], calDrift: Double,
+        contentionHits: Int, load0: Double, loadEnd: Double, loadMax: Double,
+        stealDelta: Double, stealFrac: Double, stolenPolluted: Boolean,
+        polluted: Boolean)
 
-    def runOne(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): QRes = {
-      val g0 = gcSec(); val c0 = cpuSec(); val t0 = System.nanoTime()
-      val status =
-        try { fn(spark, sfDir).count(); "ok" }
-        catch { case e: Throwable => e.getClass.getSimpleName }
-      loadMax = math.max(loadMax, loadAvg())
-      QRes((System.nanoTime() - t0) / 1e9, gcSec() - g0, cpuSec() - c0,
-        status)
-    }
+    def runSweep(): Sweep = {
+      val load0 = loadAvg()
+      val steal0 = stealSec()
+      val wall0 = System.nanoTime()
+      // loadavg sampled per query: start/end stamps miss mid-run external
+      // bursts, so the artifact carries the max too — but loadavg alone is
+      // known-insufficient (header comment); the calibration spin is the
+      // authoritative contention gate.
+      var loadMax = load0
 
-    val firstPass = selected.zipWithIndex.map { case ((name, fn), i) =>
-      if (i > 0 && i % CalEvery == 0) calSamples += calSample()
-      name -> runOne(name, fn)
-    }
-    calSamples += calSample()
-
-    // Re-run the 5 slowest ok queries; keep min(first, rerun). A
-    // transient external burst that landed on one query during the
-    // sweep no longer defines that query's committed number.
-    val slowest = firstPass.filter(_._2.status == "ok")
-      .sortBy(-_._2.sec).take(5).map(_._1).toSet
-    // Second gate (r6 postmortem): the committed r6 artifact carried its
-    // own proof of pollution in queries_cpu (wall ≫ delivered CPU) but
-    // nothing acted on it. A query that ran ≥1 s of wall while the JVM
-    // got < 1 core's worth of CPU on a 32-core box is either genuinely
-    // wait-bound (streaming triggers — reproducible) or was starved by
-    // external load (not reproducible). Re-running distinguishes them on
-    // this box, minutes later, with no idle-calibrated constant: if the
-    // re-run halves the wall time, the first number was contention.
-    val starved = firstPass.filter { case (_, r) =>
-      r.status == "ok" && r.sec >= 1.0 && r.cpu < r.sec }
-      .sortBy(-_._2.sec).take(10).map(_._1).toSet
-    val rerunSet = slowest ++ starved
-    val reruns = selected.filter(p => rerunSet(p._1)).map { case (name, fn) =>
-      name -> runOne(name, fn)
-    }.toMap
-    // Hits are counted over the STARVED set only: the slowest-5 also
-    // re-run, but a heavy query's first execution legitimately halves on
-    // re-run (codegen/stream-machinery warmup — observed 2 such on an
-    // idle box), while the starved signature (≥1 s wall, <1 core of CPU
-    // delivered on a 32-core box) never appears idle (observed 0) and is
-    // exactly what external theft produces.
-    val contentionHits = firstPass.count { case (name, r) =>
-      starved(name) && reruns.get(name).exists(r2 =>
-        r2.status == "ok" && r2.sec < r.sec / 2)
-    }
-    val finalPass = firstPass.map { case (name, r) =>
-      reruns.get(name) match {
-        case Some(r2) if r2.status == "ok" && r2.sec < r.sec => name -> r2
-        case _ => name -> r
+      // Calibration warmup: a fixed warmup count is NOT enough — two
+      // discarded spins still left the first sample 1.48× slow (C2
+      // tiering completes mid-spin) and nearly tripped the 1.5× pollution
+      // gate on an idle box. Spin until two consecutive samples agree
+      // within 8% (capped at 10 attempts), so the baseline measures the
+      // steady-state JIT'd spin, not compilation.
+      var prev = spinOnce()
+      var cur = spinOnce()
+      var warm = 2
+      while (math.abs(cur - prev) / math.min(cur, prev) > 0.08 && warm < 10) {
+        prev = cur; cur = spinOnce(); warm += 1
       }
+      // Baseline sample, then re-sample every CalEvery queries and once
+      // after the sweep. r6 postmortem: every-20 sampling straddled the
+      // bursts (1.75× inflated total passed the gate at drift 1.287), so
+      // the spin now samples every 5 — ~37 samples × ~0.3 s ≈ 11 s of
+      // overhead, none of it counted in any query's time or the total.
+      val CalEvery = 5
+      val calSamples = scala.collection.mutable.ArrayBuffer[Double]()
+      calSamples += calSample()
+
+      def runOne(name: String,
+          fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): QRes = {
+        val g0 = gcSec(); val c0 = cpuSec(); val t0 = System.nanoTime()
+        val status =
+          try { fn(spark, sfDir).count(); "ok" }
+          catch { case e: Throwable => e.getClass.getSimpleName }
+        loadMax = math.max(loadMax, loadAvg())
+        QRes((System.nanoTime() - t0) / 1e9, gcSec() - g0, cpuSec() - c0,
+          status)
+      }
+
+      val firstPass = selected.zipWithIndex.map { case ((name, fn), i) =>
+        if (i > 0 && i % CalEvery == 0) calSamples += calSample()
+        name -> runOne(name, fn)
+      }
+      calSamples += calSample()
+
+      // Re-run the 5 slowest ok queries; keep min(first, rerun). A
+      // transient external burst that landed on one query during the
+      // sweep no longer defines that query's committed number.
+      val slowest = firstPass.filter(_._2.status == "ok")
+        .sortBy(-_._2.sec).take(5).map(_._1).toSet
+      // Second gate (r6 postmortem): the committed r6 artifact carried its
+      // own proof of pollution in queries_cpu (wall ≫ delivered CPU) but
+      // nothing acted on it. A query that ran ≥1 s of wall while the JVM
+      // got < 1 core's worth of CPU on a 32-core box is either genuinely
+      // wait-bound (streaming triggers — reproducible) or was starved by
+      // external load (not reproducible). Re-running distinguishes them on
+      // this box, minutes later, with no idle-calibrated constant: if the
+      // re-run halves the wall time, the first number was contention.
+      val starved = firstPass.filter { case (_, r) =>
+        r.status == "ok" && r.sec >= 1.0 && r.cpu < r.sec }
+        .sortBy(-_._2.sec).take(10).map(_._1).toSet
+      val rerunSet = slowest ++ starved
+      val reruns = selected.filter(p => rerunSet(p._1)).map { case (name, fn) =>
+        name -> runOne(name, fn)
+      }.toMap
+      // Hits are counted over the STARVED set only: the slowest-5 also
+      // re-run, but a heavy query's first execution legitimately halves on
+      // re-run (codegen/stream-machinery warmup — observed 2 such on an
+      // idle box), while the starved signature (≥1 s wall, <1 core of CPU
+      // delivered on a 32-core box) never appears idle (observed 0) and is
+      // exactly what external theft produces.
+      val contentionHits = firstPass.count { case (name, r) =>
+        starved(name) && reruns.get(name).exists(r2 =>
+          r2.status == "ok" && r2.sec < r.sec / 2)
+      }
+      val finalPass = firstPass.map { case (name, r) =>
+        reruns.get(name) match {
+          case Some(r2) if r2.status == "ok" && r2.sec < r.sec => name -> r2
+          case _ => name -> r
+        }
+      }
+
+      val calMin = calSamples.min
+      val calMax = calSamples.max
+      val calDrift = if (calMin > 0) calMax / calMin else Double.NaN
+      // Polluted iff EITHER gate fires: sustained theft inflates the fixed
+      // spin (drift), bursty theft shows as ≥3 queries whose re-run halved.
+      // steal fraction: stolen core-seconds over elapsed × cores. >2% of
+      // the sweep's core-time stolen marks the artifact polluted even
+      // when every in-process gate is green.
+      val stealDelta = stealSec() - steal0
+      val elapsedSec = (System.nanoTime() - wall0) / 1e9
+      val stealFrac =
+        if (elapsedSec > 0) stealDelta / (elapsedSec * cpus.toInt) else 0.0
+      val stolenPolluted = stealFrac > 0.02
+      val polluted = calDrift > 1.5 || contentionHits >= 3 || stolenPolluted
+      Sweep(finalPass, reruns, calSamples.toSeq, calDrift, contentionHits,
+        load0, loadAvg(), loadMax, stealDelta, stealFrac, stolenPolluted,
+        polluted)
     }
 
-    val calMin = calSamples.min
-    val calMax = calSamples.max
-    val calDrift = if (calMin > 0) calMax / calMin else Double.NaN
-    // Polluted iff EITHER gate fires: sustained theft inflates the fixed
-    // spin (drift), bursty theft shows as ≥3 queries whose re-run halved.
-    // steal fraction: stolen core-seconds over elapsed × cores. >2% of
-    // the sweep's core-time stolen marks the artifact polluted even
-    // when every in-process gate is green.
-    val stealDelta = stealSec() - steal0
-    val elapsedSec = (System.nanoTime() - wall0) / 1e9
-    val stealFrac =
-      if (elapsedSec > 0) stealDelta / (elapsedSec * cpus.toInt) else 0.0
-    val stolenPolluted = stealFrac > 0.02
-    val polluted = calDrift > 1.5 || contentionHits >= 3 || stolenPolluted
+    // r7 postmortem: the pollution gate correctly stamped the committed
+    // 320 s artifact `polluted: true` — for a build whose idle time was
+    // 242 s — but nothing ACTED on it, so the driver still recorded the
+    // inflated number. Contention bursts are transient: when the gate
+    // trips, re-run the whole sweep once and keep the clean pass. If the
+    // second pass is polluted too, the artifact honestly says so.
+    val firstSweep = runSweep()
+    val secondSweep = if (firstSweep.polluted) {
+      System.err.println(f"[bench] sweep stamped polluted (cal_drift " +
+        f"${firstSweep.calDrift}%.3f, contention_hits " +
+        f"${firstSweep.contentionHits}, steal_frac " +
+        f"${firstSweep.stealFrac}%.4f); re-running the sweep once")
+      Some(runSweep())
+    } else None
+    val attempts = 1 + secondSweep.size
+    val sweep = secondSweep.getOrElse(firstSweep)
+    // Per-query numbers: min over attempts. Both attempts executed
+    // identical code+data, so the lower wall time is the one carrying
+    // less external contention; a polluted first pass can still hold the
+    // honest minimum for queries its bursts missed.
+    val finalPass = secondSweep match {
+      case None => firstSweep.finalPass
+      case Some(s2) =>
+        val m1 = firstSweep.finalPass.toMap
+        s2.finalPass.map { case (k, r2) =>
+          k -> (m1.get(k) match {
+            case Some(r1) if r1.status == "ok" &&
+                (r2.status != "ok" || r1.sec < r2.sec) => r1
+            case _ => r2
+          })
+        }
+    }
+    val calSamples = sweep.calSamples
+    val calDrift = sweep.calDrift
+    val contentionHits = sweep.contentionHits
+    val reruns = sweep.reruns
+    val load0 = sweep.load0
+    val loadMax = sweep.loadMax
+    val stealDelta = sweep.stealDelta
+    val stealFrac = sweep.stealFrac
+    val stolenPolluted = sweep.stolenPolluted
+    val polluted = sweep.polluted
 
     val results = finalPass.map { case (k, r) => k -> r.sec }
     val failed = finalPass.collect {
@@ -271,12 +330,12 @@ object Bench {
         .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val byTime = results.sortBy(-_._2)
-    val loadEnd = loadAvg()
+    val loadEnd = sweep.loadEnd
     val gcTotal = finalPass.map(_._2.gc).sum
     val calJson = calSamples.map(f).mkString("[", ",", "]")
     val validation =
       s""""calibration_sec":$calJson,"cal_drift":${f(calDrift)},""" +
-      s""""contention_hits":$contentionHits,""" +
+      s""""contention_hits":$contentionHits,"attempts":$attempts,""" +
       s""""polluted":$polluted,"n_failed":${failed.size}"""
     val hygiene = s""""loadavg_start":${f(load0)},"loadavg_end":${f(loadEnd)},"loadavg_max":${f(loadMax)},"gc_sec":${f(gcTotal)},"steal_sec":${f(stealDelta)},"steal_frac":${f(stealFrac)},"steal_polluted":$stolenPolluted"""
     val gcByTime = finalPass.map { case (k, r) => k -> r.gc }.sortBy(-_._2)

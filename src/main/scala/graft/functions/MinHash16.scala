@@ -26,6 +26,11 @@ case class MinHash16(child: Expression) extends UnaryExpression
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // nullSafeEval returns null for an EMPTY (not just null) input array, so
+  // the declared nullability cannot inherit child.nullable: a non-nullable
+  // child would let the optimizer assume a non-null result.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {

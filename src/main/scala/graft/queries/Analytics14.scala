@@ -13,16 +13,16 @@ import Tables._
   * with zero joins.
   *
   * Scale notes:
-  *  - Spearman needs a total order per group (ranks), so it pays one
-  *    range-partitioned sort per (group, column) window — the honest
-  *    cost of an exact rank statistic. Everything after the rank
-  *    assignment is a single exact-integer aggregation: tie-averaged
-  *    ranks are half-integers, so DOUBLED ranks (2·avg-rank =
-  *    2·count_less + count_eq + 1) stay BIGINT and all five moment
-  *    sums run in DECIMAL(38,0) — order-free, engine-portable. At
-  *    100 TB you'd bucket first (the q_agg_mannwhitney discipline);
-  *    this id keeps the exact-rank variant because Pearson-on-ranks
-  *    is the textbook contract worth pinning.
+  *  - Spearman never sorts the raw fact stream: values sit on exact
+  *    decimal lattices, so the fact scan collapses (one map-side-
+  *    combined shuffle) to the bounded (g, x, y) count grid, and the
+  *    doubled tie-averaged rank (2·avg-rank = 2·count_less +
+  *    count_eq + 1) of each lattice value comes from a cumulative sum
+  *    over the tiny marginal tables. Ranks stay EXACT — the grid is a
+  *    lossless regrouping — and all five moment sums run in
+  *    DECIMAL(38,0), order-free and engine-portable. The former
+  *    exact-per-row-rank variant sorted the full stream at
+  *    parallelism = |groups| = 3 (the VERDICT r7 scale-concentrator).
   *  - ANOVA collapses the scan to k=3 per-group exact decimal moment
   *    rows in one shuffle; the only double arithmetic is the final
   *    3-term F assembly, routed through the round-9dp/DECIMAL-sum
@@ -38,29 +38,44 @@ object Analytics14 {
 
   /** Spearman rank correlation between l_quantity and l_extendedprice
     * per return flag: tie-averaged ranks in doubled-integer space,
-    * Pearson assembled from exact DECIMAL(38,0) moment sums. */
+    * Pearson assembled from exact DECIMAL(38,0) moment sums.
+    *
+    * Rank algebra over the BOUNDED lattice count grid (the
+    * q_agg_mannwhitney discipline): both columns sit on exact decimal
+    * lattices, so the doubled tie-averaged rank of a value is
+    * 2·count_less + count_eq + 1 — computable from the (g, value)
+    * count table's cumulative sum. The fact stream pays ONE map-side-
+    * combined shuffle to the joint (g, x, y) grid; every window and
+    * join after that runs over bounded lattice tables, so no task ever
+    * sorts the raw fact stream at parallelism = |groups|. Ranks are
+    * EXACT (not approximate): the grid is a lossless regrouping. */
   private def qAggSpearman(s: SparkSession, d: String): DataFrame = {
-    val li = t(s, d, "lineitem")
+    val pairs = t(s, d, "lineitem")
       .select(col("l_returnflag").as("g"),
         col("l_quantity").as("x"), col("l_extendedprice").as("y"))
-    def dranks(v: String): Column = {
-      // 2·avg-rank = 2·count_less + count_eq + 1 = 2·rank() + cnt_eq − 1
-      val w = Window.partitionBy(col("g")).orderBy(col(v))
-      val we = Window.partitionBy(col("g"), col(v))
-      (rank().over(w) * 2 + count(lit(1)).over(we) - 1)
+      .groupBy(col("g"), col("x"), col("y")).agg(count(lit(1)).as("cnt"))
+    // (g, value) → doubled tie-averaged rank, from the marginal counts
+    def dranks(v: String, out: String): DataFrame = {
+      val m = pairs.groupBy(col("g"), col(v)).agg(sum(col("cnt")).as("c"))
+      val wCum = Window.partitionBy(col("g")).orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      m.withColumn("cum", coalesce(sum(col("c")).over(wCum), lit(0L)))
+        .select(col("g"), col(v),
+          (lit(2L) * col("cum") + col("c") + lit(1L))
+            .cast("decimal(38,0)").as(out))
     }
-    val ranked = li
-      .withColumn("rx", dranks("x"))
-      .withColumn("ry", dranks("y"))
-      .select(col("g"),
-        col("rx").cast("decimal(38,0)").as("rx"),
-        col("ry").cast("decimal(38,0)").as("ry"))
-    ranked.groupBy(col("g"))
-      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
-        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
-        sum(col("rx") * col("ry")).as("sxy"),
-        sum(col("rx") * col("rx")).as("sxx"),
-        sum(col("ry") * col("ry")).as("syy"))
+    val joint = pairs
+      .join(dranks("x", "drx"), Seq("g", "x"))
+      .join(dranks("y", "dry"), Seq("g", "y"))
+      .select(col("g"), col("cnt").cast("decimal(38,0)").as("c"),
+        col("drx"), col("dry"))
+    joint.groupBy(col("g"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c") * col("drx")).as("sx"),
+        sum(col("c") * col("dry")).as("sy"),
+        sum(col("c") * col("drx") * col("dry")).as("sxy"),
+        sum(col("c") * col("drx") * col("drx")).as("sxx"),
+        sum(col("c") * col("dry") * col("dry")).as("syy"))
       .withColumn("dxx", dbl(col("n") * col("sxx") - col("sx") * col("sx")))
       .withColumn("dyy", dbl(col("n") * col("syy") - col("sy") * col("sy")))
       .select(col("g").as("l_returnflag"), col("n").cast("long").as("n"),

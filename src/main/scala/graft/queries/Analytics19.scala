@@ -22,10 +22,12 @@ import Tables._
   *    (a user's own next active period — no month×month self-join),
   *    one bounded per-period count; the final period is excluded
   *    (its churn is right-censored), via a 1-row broadcast max.
-  *  - Binning pays the honest cost of exact equal-frequency bins —
-  *    one range-partitioned sort per group — then reduces to a
-  *    bounded (group, bin) edge table; ties are broken by the FULL
-  *    key set so ntile assignment is a total order on both engines. */
+  *  - Binning never sorts the fact stream: prices sit on an exact
+  *    decimal lattice, so the scan collapses to the bounded
+  *    (flag, price) count grid and ntile's position-based bin
+  *    boundaries are re-derived exactly by overlapping each value's
+  *    contiguous position range with the 10 broadcast bin ranges —
+  *    identical output to the windowed ntile, at lattice cost. */
 object Analytics19 {
 
   /** Benford first-significant-digit distribution of order totals,
@@ -71,23 +73,49 @@ object Analytics19 {
       .orderBy(col("period"))
   }
 
-  /** Equal-frequency decile bins of extendedprice per return flag:
-    * ntile(10) over a TOTAL order (full tie-break key set), reduced
-    * to per-bin count and [lo, hi] edges. */
+  /** Equal-frequency decile bins of extendedprice per return flag,
+    * reduced to per-bin count and [lo, hi] edges — ntile semantics
+    * reproduced EXACTLY from the bounded (flag, price) lattice count
+    * table (the q_agg_mannwhitney discipline).
+    *
+    * ntile(10) over a price-ordered total order assigns positions
+    * 1..n to bins whose boundaries depend only on n (first n%10 bins
+    * get ⌈n/10⌉ rows). Rows sharing a price occupy a CONTIGUOUS
+    * position range [cumless+1, cumless+cnt], and the output
+    * aggregates (count, min/max price per bin) are position-functions
+    * only — tie-break key order among equal prices cannot change
+    * them. So: collapse the scan to the lattice grid (one map-side-
+    * combined shuffle), overlap each value's position range with the
+    * 10 broadcast bin ranges, and aggregate. The former formulation
+    * sorted the full fact stream at parallelism = |flags| = 3. */
   private def qAggNtile(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice"), col("l_orderkey"),
-        col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
-        col("l_quantity"))
-    t(s, d, "lineitem")
-      .select(col("l_returnflag"), col("l_extendedprice"),
-        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-        col("l_suppkey"), col("l_quantity"))
-      .withColumn("bin", ntile(10).over(w))
-      .groupBy(col("l_returnflag"), col("bin"))
-      .agg(count(lit(1)).as("n"),
-        min(col("l_extendedprice")).as("lo"),
-        max(col("l_extendedprice")).as("hi"))
+    val b = t(s, d, "lineitem")
+      .groupBy(col("l_returnflag").as("g"),
+        col("l_extendedprice").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pos = b
+      .withColumn("spos", coalesce(sum(col("cnt")).over(wCum), lit(0L)) + 1)
+      .withColumn("epos", col("spos") + col("cnt") - 1)
+    // 10 bin position-ranges per group: q=n div 10, r=n%10, bin k covers
+    // [(k−1)·q + min(k−1, r) + 1, that + q + (k≤r) − 1]
+    val bins = b.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+      .select(col("g"), col("n"),
+        explode(sequence(lit(1), lit(10))).as("bin"))
+      .withColumn("lo_p", expr(
+        "(bin - 1) * (n div 10) + least(CAST(bin - 1 AS BIGINT), n % 10) + 1"))
+      .withColumn("hi_p", expr(
+        "lo_p + (n div 10) + (CASE WHEN bin <= n % 10 THEN 1 ELSE 0 END) - 1"))
+      .filter(col("hi_p") >= col("lo_p")) // n<10 ⇒ trailing bins empty
+    pos.join(broadcast(bins), Seq("g"))
+      .filter(col("epos") >= col("lo_p") && col("spos") <= col("hi_p"))
+      .groupBy(col("g"), col("bin"))
+      .agg(sum(least(col("epos"), col("hi_p"))
+        - greatest(col("spos"), col("lo_p")) + 1).as("n"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .select(col("g").as("l_returnflag"), col("bin"), col("n"),
+        col("lo"), col("hi"))
       .orderBy(col("l_returnflag"), col("bin"))
   }
 

@@ -163,26 +163,53 @@ object Analytics2 {
   }
 
   /** Embedding covariance matrix (upper triangle, 1-based dims): the
-    * input to whitening / PCA / OOD scoring. One map-only explode to
-    * (i, j, xᵢ·xⱼ), a dim²-bounded hash agg, and a broadcast 64-row
-    * mean table; cov = E[xᵢxⱼ] − E[xᵢ]E[xⱼ] with the division order
-    * mirrored textually in the oracle. */
+    * input to whitening / PCA / OOD scoring.
+    *
+    * Bounded-state accumulation (the justified mapPartitions escape
+    * hatch, q_mm_phash precedent): each partition folds its vectors
+    * into ONE (n, 2080-cell product-sum grid, 64 dim sums) partial —
+    * no 2,080-row explode per vector — then the tiny per-partition
+    * partials (≤ #partitions rows) explode and merge in a dim²-bounded
+    * hash agg. cov = E[xᵢxⱼ] − E[xᵢ]E[xⱼ], round-6dp finals as before. */
   private def qEmbedCovariance(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "embeddings")
-    val prods = e.select(explode(expr(
-      """flatten(transform(sequence(1, 64), i ->
-        |  transform(sequence(i, 64), j -> named_struct(
-        |    'i', i, 'j', j,
-        |    'p', CAST(element_at(embedding, i) AS DOUBLE)
-        |         * CAST(element_at(embedding, j) AS DOUBLE)))))"""
-        .stripMargin)).as("t"))
-      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("p")).as("sp"), count(lit(1)).as("n"))
-    val means = e.select(posexplode(col("embedding")).as(Seq("i0", "x")))
-      .select((col("i0") + 1).as("i"), col("x").cast("double").as("x"))
-      .groupBy(col("i")).agg(avg(col("x")).as("m"))
-    prods
+    import s.implicits._
+    val partials = t(s, d, "embeddings")
+      .select(col("embedding")).as[Array[Float]]
+      .mapPartitions { it =>
+        val grid = new Array[Double](2080) // 64·65/2 upper-triangle cells
+        val sums = new Array[Double](64)
+        var n = 0L
+        while (it.hasNext) {
+          val v = it.next()
+          var i = 0
+          var k = 0
+          while (i < 64) {
+            val xi = v(i).toDouble
+            sums(i) += xi
+            var j = i
+            while (j < 64) { grid(k) += xi * v(j).toDouble; k += 1; j += 1 }
+            i += 1
+          }
+          n += 1
+        }
+        if (n == 0L) Iterator.empty
+        else Iterator((n, grid.toSeq, sums.toSeq))
+      }.toDF("n", "grid", "sums")
+    // flat cell index k (row-major over i ≤ j) → 1-based (i, j)
+    val kmapSeq = (for { i <- 1 to 64; j <- i to 64 } yield (i, j))
+      .zipWithIndex.map { case ((i, j), k) => (k, i, j) }
+    val km = s.createDataFrame(kmapSeq).toDF("k", "i", "j")
+    val cells = partials
+      .select(col("n"), posexplode(col("grid")).as(Seq("k", "sp")))
+      .groupBy(col("k"))
+      .agg(sum(col("sp")).as("sp"), sum(col("n")).as("n"))
+      .join(broadcast(km), Seq("k"))
+    val means = partials
+      .select(col("n"), posexplode(col("sums")).as(Seq("i0", "sx")))
+      .groupBy(col("i0"))
+      .agg((sum(col("sx")) / sum(col("n"))).as("m"))
+      .select((col("i0") + 1).as("i"), col("m"))
+    cells
       .join(broadcast(means.select(col("i"), col("m").as("mi"))), Seq("i"))
       .join(broadcast(means.select(col("i").as("j"), col("m").as("mj"))),
         Seq("j"))

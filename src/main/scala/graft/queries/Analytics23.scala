@@ -33,8 +33,10 @@ object Analytics23 {
       .select(col("user_id")).distinct().withColumn("treated", lit(1L))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("us"), dec(col("value")).as("x"))
-    val mid = clicks.agg(((min(col("us")) + max(col("us")))
-      / lit(2L)).cast("long").as("mid"))
+    // div (integer floor), matching DuckDB's //: double / + cast("long")
+    // truncates on Spark but rounds on DuckDB for odd min+max sums.
+    val mid = clicks.agg(
+      expr("(min(us) + max(us)) div 2").cast("long").as("mid"))
     val cells = clicks
       .join(treat.hint("shuffle_hash"), Seq("user_id"), "left")
       .crossJoin(broadcast(mid))
@@ -110,7 +112,7 @@ object Analytics23 {
         |    CASE WHEN treat.user_id IS NOT NULL THEN 1 ELSE 0 END AS tr
         |  FROM ev LEFT JOIN treat ON ev.user_id = treat.user_id
         |  WHERE event_type = 'click'),
-        |mid AS (SELECT CAST((min(us) + max(us)) / 2 AS BIGINT) AS mid
+        |mid AS (SELECT (min(us) + max(us)) // 2 AS mid
         |        FROM clicks),
         |cells AS (
         |  SELECT tr, CASE WHEN us >= mid THEN 1 ELSE 0 END AS post,

@@ -18,9 +18,10 @@ import Tables._
   *    collapses to one row per price level (max size), then a single
   *    running-max window over the bounded price-level table — the
   *    sort-filter skyline algorithm as two windows, no pair joins.
-  *  - Drawdown stays ENTIRELY on the exact decimal lattice: daily
-  *    sums, running peak, and the gap are all DECIMAL —
-  *    zero doubles, zero rounding, bit-identical across engines.
+  *  - Drawdown computes ENTIRELY on the exact decimal lattice: daily
+  *    sums, running peak, and the gap are all DECIMAL — no rounding
+  *    anywhere. Finals then cast through dbl() per the Tables.dbl
+  *    output convention (exact value → same IEEE double both engines).
   *  - Backtest: one shuffle to the bounded daily table, lag + two
   *    aggregates; the only rational terms (MAPE) ride the round-9dp
   *    DECIMAL-sum discipline. */
@@ -45,8 +46,8 @@ object Analytics24 {
   }
 
   /** Drawdown curve of DAILY order revenue: running peak and how far
-    * each day sits below it — exact DECIMAL end to end (no doubles,
-    * no rounding anywhere). */
+    * each day sits below it — exact DECIMAL internally, dbl() finals
+    * (Tables.scala output convention). */
   private def qTimeDrawdown(s: SparkSession, d: String): DataFrame = {
     val daily = t(s, d, "orders")
       .select(
@@ -59,9 +60,9 @@ object Analytics24 {
     daily
       .select(col("day"), col("rev"), max(col("rev")).over(wCum).as("peak"))
       .select(col("day"),
-        col("rev").cast("decimal(38,4)").as("rev"),
-        col("peak").cast("decimal(38,4)").as("peak"),
-        (col("peak") - col("rev")).cast("decimal(38,4)").as("drawdown"))
+        dbl(col("rev")).as("rev"),
+        dbl(col("peak")).as("peak"),
+        dbl(col("peak") - col("rev")).as("drawdown"))
       .orderBy(col("day"))
   }
 
@@ -122,9 +123,9 @@ object Analytics24 {
         |    max(rev) OVER (ORDER BY day
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
         |  FROM daily)
-        |SELECT day, CAST(rev AS DECIMAL(38,4)) AS rev,
-        |  CAST(peak AS DECIMAL(38,4)) AS peak,
-        |  CAST(peak - rev AS DECIMAL(38,4)) AS drawdown
+        |SELECT day, CAST(rev AS DOUBLE) AS rev,
+        |  CAST(peak AS DOUBLE) AS peak,
+        |  CAST(peak - rev AS DOUBLE) AS drawdown
         |FROM peaks ORDER BY day""".stripMargin,
     "q_agg_backtest" ->
       """WITH daily AS (

@@ -38,8 +38,12 @@ object Analytics28 {
     val scored = b
       .withColumn("cumneg", coalesce(sum(col("nn")).over(wOrd), lit(0L)))
       // doubled numerator stays integral under ties:
-      // 2·Σ np·(neg_below + nn/2) = Σ np·(2·neg_below + nn)
-      .withColumn("num2", col("np") * (lit(2L) * col("cumneg") + col("nn")))
+      // 2·Σ np·(neg_below + nn/2) = Σ np·(2·neg_below + nn).
+      // Σ num2 ≈ 2·n_pos·n_neg, which overflows BIGINT past ~2e9 rows
+      // per class — accumulate in DECIMAL(38,0) (same on the DuckDB
+      // side) and divide in doubles at the end.
+      .withColumn("num2", col("np").cast("decimal(19,0)") *
+        (lit(2L) * col("cumneg") + col("nn")).cast("decimal(19,0)"))
     scored.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
       sum(col("num2")).as("num2"))
       .select(col("n_pos"), col("n_neg"),
@@ -119,7 +123,9 @@ object Analytics28 {
         |agg AS (
         |  SELECT CAST(sum(np) AS BIGINT) AS n_pos,
         |    CAST(sum(nn) AS BIGINT) AS n_neg,
-        |    CAST(sum(np * (2 * cumneg + nn)) AS BIGINT) AS num2
+        |    CAST(sum(CAST(np AS DECIMAL(19,0))
+        |      * CAST(2 * cumneg + nn AS DECIMAL(19,0))) AS DECIMAL(38,0))
+        |      AS num2
         |  FROM c)
         |SELECT n_pos, n_neg,
         |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN

@@ -27,8 +27,11 @@ object Analytics34 {
   private def qAggCuped(s: SparkSession, d: String): DataFrame = {
     val clicks = events(s, d).filter(col("event_type") === "click")
       .select(col("user_id"), col("us"), dec(col("value")).as("v"))
-    val mid = clicks.agg(((min(col("us")) + max(col("us")))
-      / lit(2L)).cast("long").as("mid"))
+    // Integer division (div), not double / + cast: Spark's cast("long")
+    // truncates while DuckDB CAST rounds, so an odd min+max would put the
+    // two engines' midpoints 1 us apart and flip boundary events.
+    val mid = clicks.agg(
+      expr("(min(us) + max(us)) div 2").cast("long").as("mid"))
     val perUser = clicks.crossJoin(broadcast(mid))
       .groupBy(col("user_id"))
       .agg(sum(when(col("us") < col("mid"), col("v"))
@@ -85,7 +88,7 @@ object Analytics34 {
         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
         |    CAST(value AS DECIMAL(18,4)) AS v
         |  FROM events WHERE event_type = 'click'),
-        |mid AS (SELECT CAST((min(us) + max(us)) / 2 AS BIGINT) AS mid
+        |mid AS (SELECT (min(us) + max(us)) // 2 AS mid
         |        FROM clicks),
         |peruser AS (
         |  SELECT user_id,

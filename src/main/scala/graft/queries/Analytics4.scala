@@ -37,7 +37,7 @@ object Analytics4 {
     * partition column so only matching year directories are scanned. */
   private def qJoinDpp(s: SparkSession, d: String): DataFrame = {
     val dir = s"/root/repo/target/qtmp/orders_hive_${math.abs(d.hashCode)}"
-    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+    if (!pathExists(s"$dir/_SUCCESS")) {
       t(s, d, "orders").withColumn("o_year", year(col("o_orderdate")))
         .write.mode("overwrite").partitionBy("o_year").parquet(dir)
     }

@@ -83,7 +83,12 @@ object LlmText3 {
   private def qMmPhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.functions.ImageHeader
+    // Repartition the id stream BEFORE the decode stage: parquet file
+    // count would otherwise cap the pixel-decode parallelism (idle
+    // cpu/wall ≈1.5 on 32 cores at sf0.1). Only doc_id longs shuffle —
+    // trivial next to the decode work it spreads across the cluster.
     val hashed = t(s, d, "documents").select(col("doc_id"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .as[Long].mapPartitions(_.map { id =>
         val group = id / 5
         val variant = (id % 5).toInt

@@ -29,7 +29,7 @@ object ScalePatterns {
     * directories are listed and read. */
   private def qScanPartitioned(s: SparkSession, d: String): DataFrame = {
     val dir = s"$workRoot/orders_hive_${math.abs(d.hashCode)}"
-    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+    if (!pathExists(s"$dir/_SUCCESS")) {
       t(s, d, "orders").withColumn("o_year", year(col("o_orderdate")))
         .write.mode("overwrite").partitionBy("o_year").parquet(dir)
     }
@@ -264,7 +264,7 @@ object ScalePatterns {
     // v2: bucketized grid + tile-aligned layout (name versioned so a
     // cached v1 directory is never mistaken for this layout)
     val dir = s"$workRoot/lineitem_z2_${math.abs(d.hashCode)}"
-    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+    if (!pathExists(s"$dir/_SUCCESS")) {
       val bounds = t(s, d, "lineitem")
         .agg(min("l_partkey").as("mnp"), max("l_partkey").as("mxp"),
           min("l_suppkey").as("mns"), max("l_suppkey").as("mxs"))

@@ -30,7 +30,7 @@ object ScalePatterns2 {
     * those partitions. */
   private def qScanIncremental(s: SparkSession, d: String): DataFrame = {
     val p = s"/root/repo/target/qtmp/events_bydate_${math.abs(d.hashCode)}"
-    if (!new java.io.File(s"$p/_SUCCESS").exists()) {
+    if (!pathExists(s"$p/_SUCCESS")) {
       events(s, d).withColumn("dt", expr("us div 86400000000"))
         .write.mode("overwrite").partitionBy("dt").parquet(p)
     }
@@ -57,9 +57,11 @@ object ScalePatterns2 {
     val base = freshDir("layout_compact")
     t(s, d, "documents").repartition(64)
       .write.mode("overwrite").parquet(s"$base/small")
-    def nFiles(p: String): Long = new java.io.File(p).listFiles()
-      .count(f => f.getName.startsWith("part-")
-        && f.getName.endsWith(".parquet")).toLong
+    def nFiles(p: String): Long = {
+      val (fs, path) = hfs(p)
+      fs.listStatus(path).count(f => f.getPath.getName.startsWith("part-")
+        && f.getPath.getName.endsWith(".parquet")).toLong
+    }
     val before = nFiles(s"$base/small")
     s.read.parquet(s"$base/small")
       .repartitionByRange(4, col("doc_id"))

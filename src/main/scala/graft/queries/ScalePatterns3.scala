@@ -32,9 +32,11 @@ object ScalePatterns3 {
       .select(col("event_id"), col("event_type"), col("us"),
         expr("us div 86400000000").as("dt"))
       .write.mode("overwrite").partitionBy("event_type").parquet(base)
-    val nDirs = new java.io.File(base).listFiles()
-      .count(f => f.isDirectory && f.getName.startsWith("event_type=")
-      ).toLong
+    val nDirs = {
+      val (fs, path) = hfs(base)
+      fs.listStatus(path).count(f => f.isDirectory
+        && f.getPath.getName.startsWith("event_type=")).toLong
+    }
     val clicks = s.read.parquet(base)
       .filter(col("event_type") === "click")
       .agg(count(lit(1)).as("n_rows"),

@@ -75,4 +75,24 @@ class PlanSpec3 extends AnyFunSuite {
     val lj = nodes("q_win_lifespan").collect { case j: BaseJoinExec => j }
     assert(lj.isEmpty, s"lifespan grew a join: ${lj.map(_.nodeName)}")
   }
+
+  test("rank ops (ntile, spearman) never window-sort the raw fact " +
+      "stream: every Window runs over a pre-aggregated lattice table") {
+    // VERDICT r7 item 4: a Window.partitionBy(l_returnflag) over the raw
+    // scan sorts the whole stream at parallelism = 3 group values. The
+    // lattice rewrite keeps windows strictly ABOVE the (group, value)
+    // count aggregate, so every WindowExec subtree must contain a
+    // HashAggregate and the bounded sort it implies.
+    for (q <- Seq("q_agg_ntile", "q_agg_spearman")) {
+      val ns = nodes(q)
+      val wins = ns.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(wins.nonEmpty, s"$q: expected lattice-cumsum windows")
+      wins.foreach { w =>
+        assert(flattenPlan(w).exists(_.isInstanceOf[
+            org.apache.spark.sql.execution.aggregate.HashAggregateExec]),
+          s"$q: Window sorts un-aggregated input:\n$w")
+      }
+    }
+  }
 }
