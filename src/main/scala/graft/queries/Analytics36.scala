@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Round-8 thirty-sixth wave: EXACT order statistics without sorting
+  * the fact stream — continuous (type-7 interpolated) percentiles, the
+  * IQR/Tukey-fence outlier report, and the trimmed mean. The family
+  * completes the lattice discipline: q_agg_pctl_disc picks discrete
+  * quantiles, these add the interpolated/robust-statistics variants
+  * every metrics dashboard and feature-cleaning pipeline uses.
+  *
+  * Scale notes (shared): values sit on the exact decimal price
+  * lattice, so ONE map-side-combined shuffle collapses the scan to the
+  * bounded (group, value) count grid; every position computation
+  * (cumulative starts/ends, percentile slots, trim overlap) runs over
+  * that grid. Percentile slots use exact integer arithmetic
+  * ((n−1)·p div 100 with a /100 remainder) so the interpolation weight
+  * is a two-digit rational, identical on both engines; the only
+  * doubles are the final interpolations/ratios, round-6dp. No window
+  * ever sorts raw rows at parallelism = |groups|. */
+object Analytics36 {
+
+  /** Bounded (g, v, cnt, spos, epos, vnext) lattice position table for
+    * l_extendedprice per return flag. */
+  private def posGrid(s: SparkSession, d: String): DataFrame = {
+    val b = t(s, d, "lineitem")
+      .groupBy(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wLead = Window.partitionBy(col("g")).orderBy(col("v"))
+    b.withColumn("spos", coalesce(sum(col("cnt")).over(wCum), lit(0L)) + 1)
+      .withColumn("epos", col("spos") + col("cnt") - 1)
+      .withColumn("vnext", lead(col("v"), 1).over(wLead))
+  }
+
+  private def nTab(pos: DataFrame): DataFrame =
+    pos.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+
+  /** Type-7 continuous percentiles (p25/p50/p75/p90) of extendedprice
+    * per return flag: slot h−1 = (n−1)·p/100 split into an exact
+    * integer floor and a /100 remainder; the value pair at positions
+    * floor+1, floor+2 interpolates. */
+  private def qAggPctlCont(s: SparkSession, d: String): DataFrame = {
+    val pos = posGrid(s, d)
+    val pcts = nTab(pos)
+      .select(col("g"), col("n"),
+        explode(array(lit(25), lit(50), lit(75), lit(90))).as("p"))
+      .withColumn("k", expr("(n - 1) * p div 100 + 1"))
+      .withColumn("rem", expr("(n - 1) * p % 100"))
+    val m = pos.join(broadcast(pcts), Seq("g"))
+      .filter(col("spos") <= col("k") && col("k") <= col("epos"))
+      // position k+1 is either still inside k's bucket (same value) or
+      // the next lattice value; rem>0 guarantees k < n so vnext exists
+      .withColumn("vhi", coalesce(
+        when(col("k") < col("epos"), col("v")).otherwise(col("vnext")),
+        col("v")))
+      .withColumn("pv", round(dbl(col("v")) +
+        col("rem") / lit(100.0) * (dbl(col("vhi")) - dbl(col("v"))), 6))
+    def pick(p: Int): Column = max(when(col("p") === p, col("pv")))
+    m.groupBy(col("g"), col("n"))
+      .agg(pick(25).as("p25"), pick(50).as("p50"),
+        pick(75).as("p75"), pick(90).as("p90"))
+      .select(col("g").as("l_returnflag"), col("n"),
+        col("p25"), col("p50"), col("p75"), col("p90"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** IQR + Tukey fences + outlier counts per return flag, from the
+    * same exact quartiles; fence comparisons run against the lattice
+    * count grid, never raw rows. */
+  private def qAggIqr(s: SparkSession, d: String): DataFrame = {
+    val pos = posGrid(s, d)
+    val pcts = nTab(pos)
+      .select(col("g"), col("n"), explode(array(lit(25), lit(75))).as("p"))
+      .withColumn("k", expr("(n - 1) * p div 100 + 1"))
+      .withColumn("rem", expr("(n - 1) * p % 100"))
+    val q = pos.join(broadcast(pcts), Seq("g"))
+      .filter(col("spos") <= col("k") && col("k") <= col("epos"))
+      .withColumn("vhi", coalesce(
+        when(col("k") < col("epos"), col("v")).otherwise(col("vnext")),
+        col("v")))
+      .withColumn("pv", round(dbl(col("v")) +
+        col("rem") / lit(100.0) * (dbl(col("vhi")) - dbl(col("v"))), 6))
+      .groupBy(col("g"), col("n"))
+      .agg(max(when(col("p") === 25, col("pv"))).as("q1"),
+        max(when(col("p") === 75, col("pv"))).as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("lo_fence", col("q1") - lit(1.5) * col("iqr"))
+      .withColumn("hi_fence", col("q3") + lit(1.5) * col("iqr"))
+    pos.join(broadcast(q), Seq("g"))
+      .groupBy(col("g"), col("n"), col("q1"), col("q3"), col("iqr"),
+        col("lo_fence"), col("hi_fence"))
+      .agg(sum(when(dbl(col("v")) < col("lo_fence"), col("cnt"))
+        .otherwise(lit(0L))).as("n_low"),
+        sum(when(dbl(col("v")) > col("hi_fence"), col("cnt"))
+          .otherwise(lit(0L))).as("n_high"))
+      .select(col("g").as("l_returnflag"), col("n"), col("q1"), col("q3"),
+        round(col("iqr"), 6).as("iqr"),
+        round(col("lo_fence"), 6).as("lo_fence"),
+        round(col("hi_fence"), 6).as("hi_fence"),
+        col("n_low"), col("n_high"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** 10%-each-side trimmed mean of extendedprice per return flag:
+    * k = n·10 div 100 rows dropped from each end, value mass taken as
+    * exact-decimal overlap-weighted sums over the position grid. */
+  private def qAggTrimmed(s: SparkSession, d: String): DataFrame = {
+    val pos = posGrid(s, d)
+    val k = nTab(pos).withColumn("k", expr("n * 10 div 100"))
+    pos.join(broadcast(k), Seq("g"))
+      .withColumn("ov",
+        greatest(lit(0L), least(col("epos"), col("n") - col("k"))
+          - greatest(col("spos"), col("k") + 1) + 1))
+      .filter(col("ov") > 0)
+      .groupBy(col("g"), col("n"), col("k"))
+      .agg(sum(dec(col("v")) * col("ov")).as("sv"),
+        sum(col("ov")).as("n_kept"))
+      .select(col("g").as("l_returnflag"), col("n"),
+        col("k").as("n_trimmed_each"), col("n_kept"),
+        when(col("n_kept") > 0,
+          round(dbl(col("sv")) / dbl(col("n_kept")), 6))
+          .as("trimmed_mean"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val defs: Map[String, Relational.Q] = Map(
+    "q_agg_pctl_cont" -> (qAggPctlCont _),
+    "q_agg_iqr" -> (qAggIqr _),
+    "q_agg_trimmed" -> (qAggTrimmed _),
+  )
+
+  private val gridSql =
+    """grid AS (
+      |  SELECT l_returnflag AS g, l_extendedprice AS v,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |pos AS (
+      |  SELECT g, v, cnt,
+      |    COALESCE(sum(cnt) OVER (PARTITION BY g ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+      |      AS spos,
+      |    COALESCE(sum(cnt) OVER (PARTITION BY g ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt
+      |      AS epos,
+      |    lead(v, 1) OVER (PARTITION BY g ORDER BY v) AS vnext
+      |  FROM grid),
+      |nt AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM grid GROUP BY g)
+      |""".stripMargin
+
+  private val pctSql =
+    """pcts AS (
+      |  SELECT g, n, p,
+      |    (n - 1) * p // 100 + 1 AS k, (n - 1) * p % 100 AS rem
+      |  FROM nt, (SELECT unnest([25, 50, 75, 90]) AS p)),
+      |m AS (
+      |  SELECT pcts.g, n, p,
+      |    round(v + rem / 100.0 *
+      |      (COALESCE(CASE WHEN k < epos THEN v ELSE vnext END, v) - v), 6)
+      |      AS pv
+      |  FROM pos JOIN pcts ON pos.g = pcts.g
+      |    AND pos.spos <= pcts.k AND pcts.k <= pos.epos)
+      |""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "q_agg_pctl_cont" ->
+      s"""WITH $gridSql, $pctSql
+        |SELECT g AS l_returnflag, n,
+        |  max(CASE WHEN p = 25 THEN pv END) AS p25,
+        |  max(CASE WHEN p = 50 THEN pv END) AS p50,
+        |  max(CASE WHEN p = 75 THEN pv END) AS p75,
+        |  max(CASE WHEN p = 90 THEN pv END) AS p90
+        |FROM m GROUP BY g, n ORDER BY l_returnflag""".stripMargin,
+    "q_agg_iqr" ->
+      s"""WITH $gridSql,
+        |pcts AS (
+        |  SELECT g, n, p,
+        |    (n - 1) * p // 100 + 1 AS k, (n - 1) * p % 100 AS rem
+        |  FROM nt, (SELECT unnest([25, 75]) AS p)),
+        |m AS (
+        |  SELECT pcts.g, n, p,
+        |    round(v + rem / 100.0 *
+        |      (COALESCE(CASE WHEN k < epos THEN v ELSE vnext END, v) - v), 6)
+        |      AS pv
+        |  FROM pos JOIN pcts ON pos.g = pcts.g
+        |    AND pos.spos <= pcts.k AND pcts.k <= pos.epos),
+        |q AS (
+        |  SELECT g, n,
+        |    max(CASE WHEN p = 25 THEN pv END) AS q1,
+        |    max(CASE WHEN p = 75 THEN pv END) AS q3,
+        |    max(CASE WHEN p = 75 THEN pv END)
+        |      - max(CASE WHEN p = 25 THEN pv END) AS iqr
+        |  FROM m GROUP BY g, n),
+        |f AS (SELECT g, n, q1, q3, iqr,
+        |        q1 - 1.5 * iqr AS lo_fence, q3 + 1.5 * iqr AS hi_fence
+        |      FROM q)
+        |SELECT f.g AS l_returnflag, n, q1, q3, round(iqr, 6) AS iqr,
+        |  round(lo_fence, 6) AS lo_fence, round(hi_fence, 6) AS hi_fence,
+        |  CAST(sum(CASE WHEN v < lo_fence THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS n_low,
+        |  CAST(sum(CASE WHEN v > hi_fence THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS n_high
+        |FROM pos JOIN f ON pos.g = f.g
+        |GROUP BY f.g, n, q1, q3, iqr, lo_fence, hi_fence
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_agg_trimmed" ->
+      s"""WITH $gridSql,
+        |kt AS (SELECT g, n, n * 10 // 100 AS k FROM nt),
+        |ov AS (
+        |  SELECT pos.g, n, k, v, cnt,
+        |    greatest(0, least(epos, n - k) - greatest(spos, k + 1) + 1)
+        |      AS ov
+        |  FROM pos JOIN kt ON pos.g = kt.g)
+        |SELECT g AS l_returnflag, n, k AS n_trimmed_each,
+        |  CAST(sum(ov) AS BIGINT) AS n_kept,
+        |  CASE WHEN sum(ov) > 0 THEN
+        |    round(CAST(sum(CAST(v AS DECIMAL(18,4)) * ov) AS DOUBLE)
+        |      / CAST(sum(ov) AS DOUBLE), 6)
+        |  END AS trimmed_mean
+        |FROM ov WHERE ov > 0
+        |GROUP BY g, n, k ORDER BY l_returnflag""".stripMargin,
+  )
+}

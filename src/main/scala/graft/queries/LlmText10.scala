@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Round-8 LLM-pipeline wave: Jensen–Shannon divergence between the
+  * unigram distributions of the two largest languages (the corpus-mix
+  * drift measure sitting between q_agg_psi's binned PSI and
+  * q_text_langid's classification), and asymmetric CONTAINMENT dedup —
+  * the "document A is inside document B" detector that Jaccard misses
+  * (a 100-word doc fully embedded in a 10k-word doc has tiny Jaccard
+  * but containment 1.0; the near-dup class quote-heavy corpora are
+  * full of).
+  *
+  * Scale notes:
+  *  - JSD: token streams collapse to per-(lang, word) counts in one
+  *    map-side-combined shuffle; the vocabulary pivot is word-keyed
+  *    (never broadcast — vocabularies grow with the corpus), totals
+  *    are a 1-row broadcast, and the Σ p·ln(p/m) terms round to 9dp
+  *    and sum in DECIMAL (order-free).
+  *  - Containment: inverted-index blocking — pairs are generated ONLY
+  *    through shared 5-word shingles, with a document-frequency cap
+  *    (2 ≤ df ≤ 50) that both drops boilerplate hot shingles (the
+  *    quadratic risk) and singleton noise. Candidate volume scales
+  *    with true shared-shingle mass, never n². The ≥3-shared floor and
+  *    the ratio threshold are exact integer / exact-division
+  *    decisions. */
+object LlmText10 {
+
+  /** (doc_id, shingle) pairs over distinct 5-word shingles, df-capped
+    * to [2, 50]. */
+  private def cappedShingles(s: SparkSession, d: String): DataFrame = {
+    val ex = t(s, d, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(ws) - 4),
+          |  i -> array_join(slice(ws, i, 5), ' ')))""".stripMargin))
+        .as("sh"))
+    val keep = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 50)
+      .select(col("sh"))
+    ex.join(keep.hint("shuffle_hash"), Seq("sh"), "left_semi")
+  }
+
+  /** JSD (in bits) between the unigram distributions of the top-2
+    * languages by document count. */
+  private def qTextJsd(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val wRk = Window.orderBy(desc("nd"), col("lang"))
+    val top2 = docs.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+      .withColumn("rk", row_number().over(wRk))
+      .filter(col("rk") <= 2)
+      .agg(max(when(col("rk") === 1, col("lang"))).as("la"),
+        max(when(col("rk") === 2, col("lang"))).as("lb"))
+    val counts = docs.crossJoin(broadcast(top2))
+      .filter(col("lang") === col("la") || col("lang") === col("lb"))
+      .select(col("lang"), col("la"), col("lb"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w"))
+      .agg(sum(when(col("lang") === col("la"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("lang") === col("lb"), 1L).otherwise(0L)).as("cb"))
+    val tots = counts.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"),
+      count(lit(1)).as("vocab"))
+    val terms = counts.crossJoin(broadcast(tots))
+      // ta/tb guards: a single-language corpus has tb = 0, and ANSI mode
+      // throws on 0/0 even for doubles (DegenerateInput3Spec)
+      .withColumn("p", when(col("ta") > 0,
+        dbl(col("ca")) / dbl(col("ta"))).otherwise(lit(0.0)))
+      .withColumn("q", when(col("tb") > 0,
+        dbl(col("cb")) / dbl(col("tb"))).otherwise(lit(0.0)))
+      .withColumn("tp", expr(
+        "CAST(ROUND(CASE WHEN p > 0 THEN p * ln(2.0 * p / (p + q)) " +
+          "ELSE 0.0 END, 9) AS DECIMAL(28,9))"))
+      .withColumn("tq", expr(
+        "CAST(ROUND(CASE WHEN q > 0 THEN q * ln(2.0 * q / (p + q)) " +
+          "ELSE 0.0 END, 9) AS DECIMAL(28,9))"))
+    terms
+      .groupBy(col("ta"), col("tb"), col("vocab"))
+      .agg(sum(col("tp")).as("sp"), sum(col("tq")).as("sq"))
+      .crossJoin(broadcast(top2))
+      .select(col("la").as("lang_a"), col("lb").as("lang_b"),
+        col("ta").as("n_tokens_a"), col("tb").as("n_tokens_b"),
+        col("vocab").as("vocab_union"),
+        round((dbl(col("sp")) + dbl(col("sq"))) / (lit(2.0) * log(lit(2.0))),
+          6).as("jsd_bits"))
+  }
+
+  /** Asymmetric containment over inverted-index candidates: pairs
+    * sharing ≥3 df-capped shingles, containment = shared/|A| (and /|B|)
+    * on the capped shingle sets, kept when either side ≥ 0.5. */
+  private def qDedupContainment(s: SparkSession, d: String): DataFrame = {
+    // persisted: feeds the pair join twice plus the per-doc sizes
+    val ex = cappedShingles(s, d).persist()
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("nsz"))
+    val pairs = ex.select(col("sh"), col("doc_id").as("a"))
+      .join(ex.select(col("sh"), col("doc_id").as("b")), Seq("sh"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 3)
+    pairs
+      .join(sizes.select(col("doc_id").as("a"), col("nsz").as("n_a")),
+        Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("nsz").as("n_b")),
+        Seq("b"))
+      .withColumn("cont_a", dbl(col("shared")) / dbl(col("n_a")))
+      .withColumn("cont_b", dbl(col("shared")) / dbl(col("n_b")))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= 0.5)
+      .select(col("a"), col("b"), col("shared"), col("n_a"), col("n_b"),
+        round(col("cont_a"), 6).as("cont_a"),
+        round(col("cont_b"), 6).as("cont_b"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val defs: Map[String, Relational.Q] = Map(
+    "q_text_jsd" -> (qTextJsd _),
+    "q_dedup_containment" -> (qDedupContainment _),
+  )
+
+  private val shinglesSql =
+    """ws AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ws
+      |  FROM documents WHERE len(string_split(lower(text), ' ')) >= 5),
+      |ex0 AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(
+      |      generate_series(1, len(ws) - 4),
+      |      i -> array_to_string(ws[i:i+4], ' ')))) AS sh
+      |  FROM ws),
+      |keep AS (SELECT sh FROM ex0 GROUP BY sh
+      |         HAVING count(*) >= 2 AND count(*) <= 50),
+      |ex AS (SELECT doc_id, ex0.sh FROM ex0 JOIN keep ON ex0.sh = keep.sh)
+      |""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "q_text_jsd" ->
+      """WITH rk AS (
+        |  SELECT lang, count(*) AS nd,
+        |    row_number() OVER (ORDER BY count(*) DESC, lang) AS rk
+        |  FROM documents GROUP BY lang),
+        |top2 AS (
+        |  SELECT max(CASE WHEN rk = 1 THEN lang END) AS la,
+        |    max(CASE WHEN rk = 2 THEN lang END) AS lb
+        |  FROM rk WHERE rk <= 2),
+        |tok AS (
+        |  SELECT d.lang, la, lb, unnest(string_split(lower(d.text), ' '))
+        |    AS w
+        |  FROM documents d, top2
+        |  WHERE d.lang = la OR d.lang = lb),
+        |counts AS (
+        |  SELECT w,
+        |    CAST(sum(CASE WHEN lang = la THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(sum(CASE WHEN lang = lb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM tok WHERE w != '' GROUP BY w),
+        |tots AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+        |           CAST(sum(cb) AS BIGINT) AS tb,
+        |           CAST(count(*) AS BIGINT) AS vocab
+        |         FROM counts),
+        |terms AS (
+        |  SELECT ta, tb, vocab,
+        |    CASE WHEN ta > 0 THEN CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+        |         ELSE 0.0 END AS p,
+        |    CASE WHEN tb > 0 THEN CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)
+        |         ELSE 0.0 END AS q
+        |  FROM counts, tots),
+        |t9 AS (
+        |  SELECT ta, tb, vocab,
+        |    CAST(ROUND(CASE WHEN p > 0 THEN p * ln(2.0 * p / (p + q))
+        |      ELSE 0.0 END, 9) AS DECIMAL(28,9)) AS tp,
+        |    CAST(ROUND(CASE WHEN q > 0 THEN q * ln(2.0 * q / (p + q))
+        |      ELSE 0.0 END, 9) AS DECIMAL(28,9)) AS tq
+        |  FROM terms),
+        |agg AS (
+        |  SELECT ta, tb, vocab,
+        |    CAST(sum(tp) AS DECIMAL(38,9)) AS sp,
+        |    CAST(sum(tq) AS DECIMAL(38,9)) AS sq
+        |  FROM t9 GROUP BY ta, tb, vocab)
+        |SELECT la AS lang_a, lb AS lang_b, ta AS n_tokens_a,
+        |  tb AS n_tokens_b, vocab AS vocab_union,
+        |  round((CAST(sp AS DOUBLE) + CAST(sq AS DOUBLE))
+        |    / (2.0 * ln(2.0)), 6) AS jsd_bits
+        |FROM agg, top2""".stripMargin,
+    "q_dedup_containment" ->
+      s"""WITH $shinglesSql,
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsz
+        |          FROM ex GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    CAST(count(*) AS BIGINT) AS shared
+        |  FROM ex x JOIN ex y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |j AS (
+        |  SELECT a, b, shared, sa.nsz AS n_a, sb.nsz AS n_b,
+        |    CAST(shared AS DOUBLE) / CAST(sa.nsz AS DOUBLE) AS cont_a,
+        |    CAST(shared AS DOUBLE) / CAST(sb.nsz AS DOUBLE) AS cont_b
+        |  FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id
+        |    JOIN sizes sb ON pairs.b = sb.doc_id)
+        |SELECT a, b, shared, n_a, n_b,
+        |  round(cont_a, 6) AS cont_a, round(cont_b, 6) AS cont_b
+        |FROM j WHERE greatest(cont_a, cont_b) >= 0.5
+        |ORDER BY a, b""".stripMargin,
+  )
+}
