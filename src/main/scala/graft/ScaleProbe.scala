@@ -109,14 +109,19 @@ object ScaleProbe {
         Seq("q_join_nearest", "q_win_attribution", "q_win_churn",
           "q_win_cohort", "q_win_session", "q_win_concurrency",
           "q_time_funnel_latency", "q_agg_survival", "q_agg_markov",
-          "q_time_arrival_cv", "q_agg_stickiness", "q_win_lifespan")
+          "q_time_arrival_cv", "q_agg_stickiness", "q_win_lifespan",
+          // r8: bounded-daily-table correlations, lattice gains, split
+          "q_time_lag_corr", "q_time_rolling_corr", "q_agg_gains",
+          "q_split_temporal")
       else
         Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
           "q_dedup_ngram", "q_dedup_span", "q_dedup_url", "q_text_ngrams",
           "q_text_tfidf", "q_dedup_cluster", "q_text_decontaminate",
           "q_text_boilerplate", "q_text_repetition", "q_text_pii",
           "q_text_entropy", "q_dedup_substring", "q_text_novelty",
-          "q_text_lexdiv")
+          "q_text_lexdiv",
+          // r8: df-capped inverted-index containment, unigram JSD
+          "q_dedup_containment", "q_text_jsd")
     val times = ops.map { id =>
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(id)(spark, probeDir).count()

@@ -64,6 +64,7 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     SimHash64.register(spark)
     MinHash16.register(spark)
+    CdcChunks.register(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_dot", exprs => FloatDot(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

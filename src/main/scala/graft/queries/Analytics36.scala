@@ -74,7 +74,10 @@ object Analytics36 {
     * same exact quartiles; fence comparisons run against the lattice
     * count grid, never raw rows. */
   private def qAggIqr(s: SparkSession, d: String): DataFrame = {
-    val pos = posGrid(s, d)
+    // persisted: the grid feeds both the quartile pick and the fence
+    // counts — without it the scan+groupBy+cumsum pipeline runs twice
+    // (ContextCleaner unpersists once unreferenced)
+    val pos = posGrid(s, d).persist()
     val pcts = nTab(pos)
       .select(col("g"), col("n"), explode(array(lit(25), lit(75))).as("p"))
       .withColumn("k", expr("(n - 1) * p div 100 + 1"))

@@ -171,32 +171,18 @@ object LlmText4 {
     * the full word-hash transform per element_at probe — measured
     * minutes per partition at sf0.1 vs sub-second for the fold. */
   private def qTextCdc(s: SparkSession, d: String): DataFrame = {
-    // rolling hash over the last 4 word hashes, computed inside the fold
-    val wh = "aggregate(split(w, ''), 0L, (h, c) -> (h * 31L + ascii(c)) % 1000003L)"
-    val isB = s"acc.pos + 1 >= 4 AND ((acc.p1 * 29791L + acc.p2 * 961L + " +
-      s"acc.p3 * 31L + $wh) % 1000003L) % 8L = 0L"
+    // One pass over the word array via the native CdcChunks expression
+    // (graft.functions.CdcChunks — same boundary algebra the original
+    // SQL fold used: word hash (h·31+cp) mod 1000003, boundary after
+    // word i≥4 when the 31-polynomial of the last 4 word hashes ≡ 0
+    // mod 8). The higher-order fold ran INTERPRETED and hashed every
+    // word twice (boundary predicate + state update) — measured 4.2 s
+    // → 0.6 s at sf0.1. The DuckDB lag-window oracle is unchanged and
+    // still pins the boundary semantics.
+    graft.functions.GraftFunctions.register(s)
     t(s, d, "documents")
       .withColumn("ws", filter(split(col("text"), " "), x => x =!= ""))
-      .withColumn("chunks", expr(
-        s"""aggregate(
-           |  ws,
-           |  named_struct(
-           |    'p1', 0L, 'p2', 0L, 'p3', 0L, 'pos', 0,
-           |    'cur', CAST(array() AS ARRAY<STRING>),
-           |    'done', CAST(array() AS ARRAY<ARRAY<STRING>>)),
-           |  (acc, w) -> named_struct(
-           |    'p1', acc.p2,
-           |    'p2', acc.p3,
-           |    'p3', $wh,
-           |    'pos', acc.pos + 1,
-           |    'cur', IF($isB,
-           |      CAST(array() AS ARRAY<STRING>),
-           |      concat(acc.cur, array(w))),
-           |    'done', IF($isB,
-           |      concat(acc.done, array(concat(acc.cur, array(w)))),
-           |      acc.done)),
-           |  acc -> IF(size(acc.cur) > 0,
-           |    concat(acc.done, array(acc.cur)), acc.done))""".stripMargin))
+      .withColumn("chunks", expr("graft_cdc_chunks(ws)"))
       .select(col("doc_id"),
         posexplode(col("chunks")).as(Seq("ci0", "cw")))
       .select(col("doc_id"), (col("ci0") + 1).cast("int").as("chunk_idx"),
