@@ -68,6 +68,12 @@ object Analytics7 {
     // hex-slice parse in codegen'd projections between them, 4 md5s
     // per row.
     val reps = li
+      // spread the ×B hash/explode stage across the cluster BEFORE the
+      // generate: the scan's partition count is the parquet file
+      // layout (ONE file locally → one task was computing all 4·n
+      // md5s; idle cpu/wall ≈ 2.3 on 32 cores). Only the narrow
+      // (flag, xi, rk) rows shuffle — trivial next to the hashing.
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("l_returnflag"), col("xi"), col("rk"),
         explode(expr("sequence(0, 3)")).as("m"))
       .withColumn("hx", expr("md5(concat(rk, '#', m))"))

@@ -32,6 +32,10 @@ object LlmText7 {
   private def qTextKgramProfile(s: SparkSession, d: String): DataFrame = {
     val grams = t(s, d, "documents")
       .filter(length(col("text")) >= 3) // sequence(1, n<1) runs backwards
+      // spread the per-char trigram explode across the cluster: the
+      // scan inherits the parquet file layout (ONE file locally), and
+      // only narrow (lang, text) rows shuffle
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("lang"), explode(expr(
         "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
         .as("g"))
@@ -77,6 +81,10 @@ object LlmText7 {
     // both the profile build and the overlap scoring read the exploded
     // trigram stream — checkpoint it once (q_win_retention discipline)
     val grams = docs
+      // repartition before the distinct-trigram explode (file-layout-
+      // bound parallelism otherwise; the checkpoint then keeps the
+      // spread partitioning for both consumers)
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), col("lang"), explode(expr(
         "array_distinct(transform(sequence(1, length(text) - 2), " +
           "i -> substring(text, i, 3)))")).as("g"))
