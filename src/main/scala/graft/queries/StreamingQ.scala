@@ -62,8 +62,17 @@ object StreamingQ {
       transform: DataFrame => DataFrame,
       mode: OutputMode): DataFrame = {
     import s.implicits._
+    runStreamT[Ev](s, batch1, batch2, transform, mode)
+  }
+
+  /** Typed generalization of [[runStream]] for non-Ev feeds (the CDC
+    * change stream). */
+  private[graft] def runStreamT[T: org.apache.spark.sql.Encoder](
+      s: SparkSession, batch1: Seq[T], batch2: Seq[T],
+      transform: DataFrame => DataFrame,
+      mode: OutputMode): DataFrame = {
     val input = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[Ev](s)
+      .MemoryStream[T](s)
     val name = s"sink_${UUID.randomUUID().toString.replace("-", "")}"
     // Stateful micro-batches create one state-store instance per shuffle
     // partition; 32 stores for a 7-event feed is pure scheduling
@@ -132,6 +141,56 @@ object StreamingQ {
         }.toDF("user_id", "prev_count", "new_count"),
       OutputMode.Append())
       .orderBy("user_id", "new_count")
+  }
+
+  /** A CDC change record: key, monotone per-key sequence number, op
+    * (upsert/delete), payload. */
+  private[graft] case class Chg(key: Long, seq: Long, op: String,
+      value: Double)
+
+  /** Streaming CDC APPLY — the streaming MERGE every replication
+    * pipeline needs: a change stream of keyed upsert/delete records
+    * folds into per-key latest state via flatMapGroupsWithState, and
+    * the output is the TRANSITION LOG (key, seq, op, old, new,
+    * applied). Replay/out-of-order protection is the production
+    * property pinned here: a change whose seq is ≤ the applied
+    * high-water mark is emitted with applied=false and cannot touch
+    * state — so at-least-once upstream delivery and cross-batch
+    * reordering both converge to the same final state. State per key
+    * is (high-water seq, current value) — O(1), keyed, partitionable;
+    * at 100 TB this is exactly Delta/Hudi-style streaming upsert with
+    * the state store as the table index. */
+  private def qStreamCdcApply(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val batch1 = Seq(Chg(1, 1, "upsert", 1.0), Chg(1, 3, "upsert", 3.0),
+      Chg(2, 1, "upsert", 5.0))
+    val batch2 = Seq(Chg(1, 2, "upsert", 2.0), // STALE: seq 2 < hwm 3
+      Chg(2, 2, "delete", 0.0),
+      Chg(3, 1, "delete", 0.0),                // delete of absent key
+      Chg(1, 4, "delete", 0.0))
+    runStreamT[Chg](s, batch1, batch2,
+      df => df.as[Chg].groupByKey(_.key)
+        .flatMapGroupsWithState[(Long, Option[Double]),
+          (Long, Long, String, Option[Double], Option[Double], Boolean)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (key: Long, chgs: Iterator[Chg],
+              state: GroupState[(Long, Option[Double])]) =>
+            var (hwm, cur) = state.getOption.getOrElse((0L, None))
+            val out = chgs.toSeq.sortBy(_.seq).map { c =>
+              val applied = c.seq > hwm
+              val old = cur
+              if (applied) {
+                hwm = c.seq
+                cur = if (c.op == "delete") None else Some(c.value)
+              }
+              (key, c.seq, c.op, old, cur, applied)
+            }
+            state.update((hwm, cur))
+            out.iterator
+        }
+        .toDF("key", "seq", "op", "old_value", "new_value", "applied"),
+      OutputMode.Append())
+      .orderBy("key", "seq")
   }
 
   /** StatefulProcessor for q_stream_tws: per-user running (count, sum)
@@ -315,6 +374,7 @@ object StreamingQ {
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_stateful" -> (qStreamStateful _),
     "q_stream_tws" -> (qStreamTws _),
+    "q_stream_cdc_apply" -> (qStreamCdcApply _),
   )
 
   val sql: Map[String, String] = Map(

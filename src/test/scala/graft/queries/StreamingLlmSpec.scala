@@ -56,6 +56,27 @@ class StreamingLlmSpec extends AnyFunSuite {
       (3L, 0L, 1L)))
   }
 
+  test("streaming CDC apply: upserts/deletes fold to latest state, a " +
+      "stale replayed seq is rejected, and the transition log is exact") {
+    def od(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    val rows = SparkEntry.queries("q_stream_cdc_apply")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        od(r, 3), od(r, 4), r.getBoolean(5)))
+    assert(rows.toSeq == Seq(
+      // key 1: upsert 1 → upsert 3 (batch 1); stale seq-2 replay
+      // rejected without touching state; delete 4 applies
+      (1L, 1L, "upsert", None, Some(1.0), true),
+      (1L, 2L, "upsert", Some(3.0), Some(3.0), false),
+      (1L, 3L, "upsert", Some(1.0), Some(3.0), true),
+      (1L, 4L, "delete", Some(3.0), None, true),
+      // key 2: upsert then delete
+      (2L, 1L, "upsert", None, Some(5.0), true),
+      (2L, 2L, "delete", Some(5.0), None, true),
+      // key 3: delete of an absent key applies as a no-op transition
+      (3L, 1L, "delete", None, None, true)), s"got: ${rows.toSeq}")
+  }
+
   /** Crafted near-dup corpus: doc 1 = base, 2 = one word changed,
     * 3 = exact duplicate of 1, 4 = unrelated. */
   private lazy val craftedDir: String = {
