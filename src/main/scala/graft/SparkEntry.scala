@@ -19,6 +19,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ Relational2.defs ++ Relational3.defs ++
+      Relational4.defs ++
       Windows.defs ++ Functions.defs ++
       AvroQueries.defs ++ StreamingQ.defs ++ LlmText.defs ++ LlmText2.defs ++
       LlmText3.defs ++ LlmText4.defs ++ LlmText5.defs ++ LlmText6.defs ++
@@ -45,6 +46,7 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.sql ++ Relational2.sql ++ Relational3.sql ++
+      Relational4.sql ++
       Windows.sql ++ Functions.sql ++
       AvroQueries.sql ++ StreamingQ.sql ++ LlmText.sql ++ LlmText2.sql ++
       LlmText3.sql ++ LlmText4.sql ++ LlmText5.sql ++ LlmText6.sql ++
