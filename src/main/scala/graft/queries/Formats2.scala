@@ -75,9 +75,47 @@ object Formats2 {
       .orderBy(col("category"))
   }
 
+  /** PERMISSIVE JSON-lines ingest over a feed with injected damage:
+    * doc_id % 10 == 3 rows lose the n_chars KEY (missing field →
+    * silent null-fill), % 10 == 7 rows are structurally malformed
+    * (truncated object → `_corrupt_record`). The JSON twin of
+    * q_source_csv_corrupt — same 100 TB lesson: the parser flags only
+    * one of the two damage classes, so a robust ingest counts both. */
+  private def qSourceJsonCorrupt(s: SparkSession, d: String): DataFrame = {
+    val base = freshDir("json_corrupt")
+    t(s, d, "documents")
+      .select(expr(
+        """CASE
+          |  WHEN doc_id % 10 = 3 THEN concat('{"doc_id": ', doc_id,
+          |    ', "lang": "', lang, '"}')
+          |  WHEN doc_id % 10 = 7 THEN concat('{"doc_id": ', doc_id,
+          |    ', "lang": "', lang, '", "n_chars": ', n_chars)
+          |  ELSE concat('{"doc_id": ', doc_id, ', "lang": "', lang,
+          |    '", "n_chars": ', n_chars, '}')
+          |END""".stripMargin).as("value"))
+      .coalesce(1).write.mode("overwrite").text(base)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType),
+      StructField("_corrupt_record", StringType)))
+    val read = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(base)
+      .select(
+        when(col("_corrupt_record").isNotNull, "corrupt")
+          .when(col("n_chars").isNull, "missing_field")
+          .otherwise("good").as("category"),
+        col("n_chars"))
+    read.groupBy(col("category"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("category"))
+  }
+
   val defs: Map[String, Relational.Q] = Map(
     "q_fn_surrogate" -> (qFnSurrogate _),
     "q_source_csv_corrupt" -> (qSourceCsvCorrupt _),
+    "q_source_json_corrupt" -> (qSourceJsonCorrupt _),
   )
 
   val sql: Map[String, String] = Map(
@@ -98,6 +136,17 @@ object Formats2 {
         |  FROM uu)
         |SELECT o_orderkey, surrogate_uuid, n_keys, n_distinct
         |FROM uu, audit ORDER BY o_orderkey LIMIT 20""".stripMargin,
+    "q_source_json_corrupt" ->
+      """WITH c AS (
+        |  SELECT CASE WHEN doc_id % 10 = 7 THEN 'corrupt'
+        |              WHEN doc_id % 10 = 3 THEN 'missing_field'
+        |              ELSE 'good' END AS category,
+        |    CASE WHEN doc_id % 10 IN (3, 7) THEN NULL
+        |         ELSE n_chars END AS n_chars
+        |  FROM documents)
+        |SELECT category, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM c GROUP BY category ORDER BY category""".stripMargin,
     "q_source_csv_corrupt" ->
       """WITH c AS (
         |  SELECT CASE WHEN doc_id % 10 = 7 THEN 'corrupt'
