@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -11,23 +10,31 @@ import Tables._
   * sitting between q_agg_markov's single transitions and
   * q_win_funnel's fixed steps.
   *
-  * Scale notes: ONE user-keyed sort (the q_join_nearest discipline)
-  * assigns per-user ranks; the path pivot is three conditional
-  * aggregates on the user key (no collect_list order hazard — Spark's
-  * collect_list is partition-order-dependent), the path count is a
-  * path-keyed map-side-combined aggregate, and the top-20 cut is a
-  * TakeOrdered, never a global sort. */
+  * Scale notes: the first-3 pick runs on the NATIVE TopKPerGroup
+  * operator (earliest-first via a negated-time order column): partial
+  * per-partition heaps mean the exchange carries ≤3 rows per (user,
+  * partition) instead of every user's full history — the windowed
+  * row_number formulation would sort and shuffle the whole event
+  * stream. The path pivot is three conditional aggregates on the user
+  * key (no collect_list order hazard — Spark's collect_list is
+  * partition-order-dependent), the path count is a path-keyed
+  * map-side-combined aggregate, and the top-20 cut is a TakeOrdered,
+  * never a global sort. */
 object Analytics40 {
 
   /** Top 20 first-3-event-type paths by user count (ties → path asc);
     * users with fewer than 3 events contribute their shorter path. */
   private def qWinPaths(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("us"), col("event_id"))
-    val firsts = events(s, d)
-      .select(col("user_id"), col("event_type"), col("us"), col("event_id"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+    val ev = events(s, d)
+      .select(col("user_id"), col("event_type"),
+        (-col("us")).as("neg_us"), col("event_id"))
+    // rnk 1..3 = the 3 EARLIEST events: neg_us descending ≡ us
+    // ascending, event_id ascending tie-break — the exact total-order
+    // prefix the oracle's row_number uses
+    val firsts = graft.plans.TopKPerGroup(ev,
+      groupCols = Seq("user_id"), orderCol = "neg_us",
+      tieCols = Seq("event_id"), k = 3)
+      .withColumnRenamed("rnk", "rn")
       .groupBy(col("user_id"))
       .agg(max(when(col("rn") === 1, col("event_type"))).as("e1"),
         max(when(col("rn") === 2, col("event_type"))).as("e2"),
