@@ -51,7 +51,11 @@ object Analytics39 {
         |keyed AS (
         |  SELECT k,
         |    json_extract_string(props, '$.' || k) AS v
-        |  FROM (SELECT props, unnest(json_keys(props)) AS k FROM ev) z),
+        |  -- json_valid mirrors Spark's behavior (json_object_keys of an
+        |  -- invalid blob is NULL → the explode drops the row); DuckDB's
+        |  -- json_keys would ERROR on it instead
+        |  FROM (SELECT props, unnest(json_keys(props)) AS k FROM ev
+        |        WHERE json_valid(props)) z),
         |agg AS (
         |  SELECT k, CAST(count(*) AS BIGINT) AS n_present,
         |    CAST(sum(CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL
