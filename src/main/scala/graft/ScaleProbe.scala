@@ -112,7 +112,10 @@ object ScaleProbe {
           "q_time_arrival_cv", "q_agg_stickiness", "q_win_lifespan",
           // r8: bounded-daily-table correlations, lattice gains, split
           "q_time_lag_corr", "q_time_rolling_corr", "q_agg_gains",
-          "q_split_temporal")
+          "q_split_temporal",
+          // r8 late wave: native-top-k journey paths, key-bounded
+          // JSON profile, streaming CDC state op
+          "q_win_paths", "q_fn_json_profile")
       else
         Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
           "q_dedup_ngram", "q_dedup_span", "q_dedup_url", "q_text_ngrams",
