@@ -48,6 +48,16 @@ object Formats {
     s.read.schema(p.schema).orc(dir).orderBy("p_partkey")
   }
 
+  /** XML sink + source round trip (Spark 4 built-in XML data source —
+    * rowTag element per record, explicit schema on read). */
+  private def qSourceXml(s: SparkSession, d: String): DataFrame = {
+    val p = t(s, d, "part")
+    val dir = tmp("xml", d)
+    p.write.mode("overwrite").option("rowTag", "part").xml(dir)
+    s.read.schema(p.schema).option("rowTag", "part").xml(dir)
+      .orderBy("p_partkey")
+  }
+
   /** Seeded stratified sample: 20% of 'A', 5% of 'N', 0% of 'R' line
     * rows by return flag. Deterministic per seed (ScalaTest-pinned;
     * sampling is not SQL-oracle-able). */
@@ -126,6 +136,7 @@ object Formats {
     "q_source_csv" -> (qSourceCsv _),
     "q_source_json" -> (qSourceJson _),
     "q_source_orc" -> (qSourceOrc _),
+    "q_source_xml" -> (qSourceXml _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_fn_regex" -> (qFnRegex _),
   )
@@ -150,6 +161,8 @@ object Formats {
     "q_source_json" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
     "q_source_orc" ->
+      "SELECT * FROM part ORDER BY p_partkey",
+    "q_source_xml" ->
       "SELECT * FROM part ORDER BY p_partkey",
     "q_fn_regex" ->
       """SELECT doc_id,
