@@ -116,9 +116,71 @@ object LlmText10 {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Pooled-truth evaluation of the MinHash-LSH dedup index — the
+    * dedup sibling of q_sim_recall (every index ships with its own
+    * quality report). Exact all-pairs ground truth exists at NO scale,
+    * so truth is POOLED (the IR-evaluation standard): the union of two
+    * INDEPENDENT blocked candidate generators — the LSH bands under
+    * evaluation and a df-capped shared-shingle inverted index — each
+    * exact-verified at Jaccard ≥ 0.5 on the index's own 3-word-shingle
+    * definition. A ≥0.5-Jaccard pair shares many shingles, so escaping
+    * the inverted-index pool requires EVERY shared shingle to be
+    * hotter than the df cap — vanishing on any real corpus; the pool
+    * is effectively exact truth, derived scale-safely (both generators
+    * are blocked; verification touches candidates only). Precision =
+    * verified LSH candidates / all LSH candidates; recall = verified
+    * LSH candidates / pooled truth. xxhash-based index → no SQL
+    * oracle; the spec pins the floors. */
+  private def qDedupEval(s: SparkSession, d: String): DataFrame = {
+    // index-definition shingles (LlmText.shingled: 3-word shingles
+    // over split(text, ' ')) — evaluating against a different
+    // similarity definition would measure the definition gap, not the
+    // banding loss
+    val sh3 = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(ws)-3), " +
+          "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("sh"))
+      .persist()
+    val ex = sh3.select(col("doc_id"), explode(col("sh")).as("g"))
+    val keep = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 50).select(col("g"))
+    val exf = ex.join(keep.hint("shuffle_hash"), Seq("g"), "left_semi")
+    val invPairs = exf.select(col("g"), col("doc_id").as("a"))
+      .join(exf.select(col("g"), col("doc_id").as("b")), Seq("g"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val pred = LlmText.defs("q_dedup_minhash")(s, d)
+      .select(col("a"), col("b"))
+    val pool = invPairs.union(pred).distinct()
+    // exact verification on candidates only
+    val truth = pool
+      .join(sh3.select(col("doc_id").as("a"), col("sh").as("sh_a")),
+        Seq("a"))
+      .join(sh3.select(col("doc_id").as("b"), col("sh").as("sh_b")),
+        Seq("b"))
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))) >=
+        lit(0.5) * size(array_union(col("sh_a"), col("sh_b"))))
+      .select(col("a"), col("b"))
+    val hit = pred.join(truth, Seq("a", "b"), "left_semi")
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nPred = pred.agg(count(lit(1)).as("n_pred"))
+    hit.agg(count(lit(1)).as("n_hit"))
+      .crossJoin(broadcast(nTruth)).crossJoin(broadcast(nPred))
+      .select(col("n_truth"), col("n_pred"), col("n_hit"),
+        when(col("n_pred") > 0,
+          round(dbl(col("n_hit")) / dbl(col("n_pred")), 6))
+          .as("precision"),
+        when(col("n_truth") > 0,
+          round(dbl(col("n_hit")) / dbl(col("n_truth")), 6))
+          .as("recall"))
+  }
+
   val defs: Map[String, Relational.Q] = Map(
     "q_text_jsd" -> (qTextJsd _),
     "q_dedup_containment" -> (qDedupContainment _),
+    "q_dedup_eval" -> (qDedupEval _),
   )
 
   private val shinglesSql =

@@ -96,6 +96,17 @@ class StreamingLlmSpec extends AnyFunSuite {
     dir
   }
 
+  test("dedup eval: pooled-truth precision/recall of the LSH index " +
+      "are high and the pool is non-degenerate") {
+    val r = SparkEntry.queries("q_dedup_eval")(spark, sf).collect()
+    assert(r.length == 1)
+    val (nTruth, nPred) = (r(0).getLong(0), r(0).getLong(1))
+    assert(nTruth > 0, "pooled truth is empty — nothing was measured")
+    assert(nPred > 0, "LSH produced no candidates")
+    assert(r(0).getDouble(3) >= 0.9, s"precision: ${r(0).getDouble(3)}")
+    assert(r(0).getDouble(4) >= 0.9, s"recall: ${r(0).getDouble(4)}")
+  }
+
   test("minhash LSH finds the near and exact dup, not the unrelated doc") {
     val pairs = SparkEntry.queries("q_dedup_minhash")(spark, craftedDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
