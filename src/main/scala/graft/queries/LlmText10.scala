@@ -135,13 +135,19 @@ object LlmText10 {
     // index-definition shingles (LlmText.shingled: 3-word shingles
     // over split(text, ' ')) — evaluating against a different
     // similarity definition would measure the definition gap, not the
-    // banding loss
+    // banding loss. Shingles are collapsed to xxhash64 longs BEFORE
+    // any join: Jaccard over distinct 64-bit hashes equals Jaccard
+    // over the strings (collision odds ~n²/2⁶⁴), and every downstream
+    // pair carries 8-byte elements instead of ~30-byte strings — the
+    // verification join's shuffle volume and array_intersect cost both
+    // drop several-fold.
     val sh3 = t(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), array_distinct(expr(
         "transform(sequence(0, size(ws)-3), " +
-          "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("sh"))
+          "i -> xxhash64(concat_ws(' ', ws[i], ws[i+1], ws[i+2])))"))
+        .as("sh"))
       .persist()
     val ex = sh3.select(col("doc_id"), explode(col("sh")).as("g"))
     val keep = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
