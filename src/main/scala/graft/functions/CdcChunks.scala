@@ -96,6 +96,6 @@ object CdcChunks {
 
   /** Register `graft_cdc_chunks(array<string>) → array<array<string>>`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cdc_chunks", exprs => CdcChunks(exprs.head), "scala_udf")
+    GraftFunctions.registerOnce(spark, "graft_cdc_chunks",
+      exprs => CdcChunks(exprs.head))
 }

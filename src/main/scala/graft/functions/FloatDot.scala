@@ -60,15 +60,28 @@ case class FloatDot(left: Expression, right: Expression)
 }
 
 object GraftFunctions {
+
+  /** Register `name` only if the session doesn't already have it: every
+    * query body calls register() defensively, and an unguarded
+    * createOrReplaceTempFunction logs a `SimpleFunctionRegistry ...
+    * replaced` warning per call (hundreds per bench sweep). The builder
+    * closures are stateless singletons, so skip-if-present is safe. */
+  private[functions] def registerOnce(spark: SparkSession, name: String,
+      builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
+
   /** Register the engine's native expressions for use via expr()/SQL. */
   def register(spark: SparkSession): Unit = {
     SimHash64.register(spark)
     MinHash16.register(spark)
     CdcChunks.register(spark)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "float_dot", exprs => FloatDot(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_contains",
-      exprs => BloomContains(exprs(0), exprs(1)), "scala_udf")
+    registerOnce(spark, "float_dot", exprs => FloatDot(exprs(0), exprs(1)))
+    registerOnce(spark, "graft_bloom_contains",
+      exprs => BloomContains(exprs(0), exprs(1)))
   }
 }

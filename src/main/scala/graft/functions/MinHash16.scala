@@ -83,6 +83,6 @@ object MinHash16 {
 
   /** Register `graft_minhash16(array<bigint>) → array<bigint>`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash16", exprs => MinHash16(exprs.head), "scala_udf")
+    GraftFunctions.registerOnce(spark, "graft_minhash16",
+      exprs => MinHash16(exprs.head))
 }

@@ -85,6 +85,6 @@ object SimHash64 {
 
   /** Register `simhash64(array<string>) → bigint` for use via expr(). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+    GraftFunctions.registerOnce(spark, "simhash64",
+      exprs => SimHash64(exprs.head))
 }

@@ -35,15 +35,18 @@ object Analytics22 {
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
     val marg = li.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
-    val nOrders = li.select(col("ok")).distinct().count()
+    // 1-row broadcast order count, not a driver-side .count(): the whole
+    // query stays one job (the Analytics26 qTextBurstiness convention)
+    val no = li.agg(countDistinct(col("ok")).as("n_orders"))
     coPairCounts(s, d).filter(col("cn") >= 3)
       .join(marg.select(col("pk").as("u"), col("cnt").as("cu"))
         .hint("shuffle_hash"), Seq("u"))
       .join(marg.select(col("pk").as("v"), col("cnt").as("cv"))
         .hint("shuffle_hash"), Seq("v"))
+      .crossJoin(broadcast(no))
       .select(col("u"), col("v"), col("cn").as("support_n"),
         round(dbl(col("cn")) / dbl(col("cu")), 6).as("confidence"),
-        round(dbl(col("cn")) * nOrders.toDouble /
+        round(dbl(col("cn")) * dbl(col("n_orders")) /
           (dbl(col("cu")) * dbl(col("cv"))), 6).as("lift"))
       .orderBy(col("lift").desc, col("u"), col("v"))
       .limit(20)

@@ -88,13 +88,16 @@ object Analytics28 {
       .select(col("u"), col("v"))
     val deg = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    val nE = e.count()
+    // 1-row broadcast edge count, not a driver-side .count(): one job,
+    // no scalar round trip (the Analytics26 qTextBurstiness convention)
+    val ne = e.agg(count(lit(1)).as("n_edges"))
     deg.agg(count(lit(1)).as("n_nodes"), max(col("deg")).as("max_deg"),
       sum(col("deg")).as("sum_deg"))
-      .select(col("n_nodes"), lit(nE).as("n_edges"), col("max_deg"),
+      .crossJoin(broadcast(ne))
+      .select(col("n_nodes"), col("n_edges"), col("max_deg"),
         round(dbl(col("sum_deg")) / dbl(col("n_nodes")), 6).as("avg_deg"),
         when(col("n_nodes") > 1,
-          round(lit(2.0) * nE.toDouble /
+          round(lit(2.0) * dbl(col("n_edges")) /
             dbl(col("n_nodes") * (col("n_nodes") - 1)), 6)).as("density"))
   }
 

@@ -33,7 +33,9 @@ object Analytics41 {
       .withColumn("arm",
         when(col("user_id") % 2 === 0, "a").otherwise("b"))
       .withColumn("v", col("value").cast("decimal(18,6)"))
-      .groupBy(lit(1).as("g"))
+      // global agg, NOT groupBy(lit(1)): a zero-click corpus must still
+      // emit the one (na=0, nb=0, NULL-stats) row the oracle's global
+      // aggregate produces (ADVICE r8 — the DegenerateInput3 class)
       .agg(
         expr("count_if(arm = 'a')").as("na"),
         expr("count_if(arm = 'b')").as("nb"),
