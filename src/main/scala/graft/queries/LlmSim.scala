@@ -27,7 +27,7 @@ object LlmSim {
     * label's minimum vec_id — a min_by hash aggregate (partial-agg'd,
     * no per-partition sort), not a window: the shuffle carries one row
     * per (label, input partition) instead of the whole table. */
-  private def probes(s: SparkSession, d: String): DataFrame =
+  private[queries] def probes(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings")
       .groupBy(col("label").as("p_label"))
       .agg(min_by(col("embedding"), col("vec_id")).as("pe"))
@@ -163,13 +163,22 @@ object LlmSim {
       }
     })
 
+  /** IVF search; `keep` (a one-column `vec_id` relation) optionally
+    * restricts candidates INSIDE the probed cells — the filtered /
+    * hybrid-retrieval variant. The semi-join prunes cell members
+    * id-keyed (shuffle_hash, never broadcast: the allowed set scales
+    * with the corpus) between cell assignment and probe scoring, so the
+    * quantizer, the probe routing, and the per-cell candidate fetch are
+    * shared verbatim with the unfiltered path. */
   private[queries] def annIvf(s: SparkSession, d: String, cells: Int,
-      nprobe: Int, k: Int): DataFrame = {
+      nprobe: Int, k: Int, keep: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
     val e = t(s, d, "embeddings")
     val refined = coarseCentroids(s, d, cells)
-    val assigned = e.withColumn("cell", cellOf(refined))
+    val assigned0 = e.withColumn("cell", cellOf(refined))
+    val assigned = keep.fold(assigned0)(ids =>
+      assigned0.join(ids.hint("shuffle_hash"), Seq("vec_id"), "left_semi"))
     // each probe's nprobe nearest cells, ranked driver-side from the
     // cached probe set against the same quantizer and broadcast back as
     // a tiny local relation — no second corpus pass
