@@ -250,6 +250,119 @@ object StreamingQ {
     }
   }
 
+  /** Open-session state for [[runSessionAgg]]: bounds in epoch millis,
+    * event count. O(1) per user — the watermark bounds how long it
+    * lives, so the store holds only open sessions at any stream
+    * length. */
+  private[graft] case class Sess(startMs: Long, endMs: Long, n: Long)
+
+  /** Watermarked session aggregation in UPDATE mode — the production
+    * sessionization shape. Spark's built-in `session_window` supports
+    * only append/complete output (append emits nothing until the
+    * watermark closes a session), so the update-mode variant is built
+    * the way production pipelines build it: `flatMapGroupsWithState`
+    * with `EventTimeTimeout` — custom (user → open-session) state,
+    * gap-30min merge logic, an update row emitted per touched session
+    * per batch, and an explicit finalize+evict when the watermark
+    * passes a session's end (timeout callback, or inline for a key
+    * poked by late data). Behaviors pinned by the returned update LOG:
+    *  - on-time events MERGE into the open session and re-emit it
+    *    (u1's batch-2 event extends [0,31m) n=2 to [0,35m) n=3);
+    *  - watermark passage EVICTS closed state, emitting the session
+    *    once more with finalized=true (u1/u2 during batch 3, after u3's
+    *    +2h event drags the watermark to +110min);
+    *  - a late event can neither update nor resurrect an evicted
+    *    session (u2's +2min batch-3 straggler changes nothing).
+    * `onBatch` lets the spec read per-batch state-store metrics
+    * (numRowsTotal / numRowsRemoved) off the live query. */
+  private[graft] def runSessionAgg(s: SparkSession,
+      onBatch: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame = {
+    import s.implicits._
+    val gapMs = 30L * 60 * 1000
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Ev](s)
+    val name = s"sess_${UUID.randomUUID().toString.replace("-", "")}"
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = input.toDF()
+        .withWatermark("ts", "10 minutes")
+        .as[Ev].groupByKey(_.user_id)
+        .flatMapGroupsWithState[Sess, (Long, Long, Long, Long, Boolean)](
+          OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+          (uid: Long, evs: Iterator[Ev], state: GroupState[Sess]) =>
+            def fin(st: Sess) = {
+              state.remove()
+              Iterator((uid, st.startMs * 1000, st.endMs * 1000, st.n, true))
+            }
+            if (state.hasTimedOut) fin(state.get)
+            else {
+              val wm = state.getCurrentWatermarkMs()
+              // defensive late filter: rows under the watermark must not
+              // touch state even if the engine hands them to us
+              val ts = evs.map(_.ts.getTime).filter(_ >= wm).toSeq.sorted
+              val closing = state.getOption
+                .filter(st => ts.isEmpty && wm > st.endMs)
+              if (closing.isDefined) fin(closing.get)
+              else if (ts.isEmpty) Iterator.empty
+              else {
+                // fold the batch into sessions: extend while the gap
+                // stays under 30 min, finalize-and-restart otherwise
+                var out = List.empty[(Long, Long, Long, Long, Boolean)]
+                var cur = state.getOption match {
+                  case Some(st) if ts.head <= st.endMs =>
+                    Sess(st.startMs, math.max(st.endMs, ts.head + gapMs),
+                      st.n + 1)
+                  case Some(st) =>
+                    out ::= (uid, st.startMs * 1000, st.endMs * 1000,
+                      st.n, true)
+                    Sess(ts.head, ts.head + gapMs, 1)
+                  case None => Sess(ts.head, ts.head + gapMs, 1)
+                }
+                ts.tail.foreach { t =>
+                  if (t <= cur.endMs)
+                    cur = Sess(cur.startMs, math.max(cur.endMs, t + gapMs),
+                      cur.n + 1)
+                  else {
+                    out ::= (uid, cur.startMs * 1000, cur.endMs * 1000,
+                      cur.n, true)
+                    cur = Sess(t, t + gapMs, 1)
+                  }
+                }
+                state.update(cur)
+                state.setTimeoutTimestamp(cur.endMs)
+                out ::= (uid, cur.startMs * 1000, cur.endMs * 1000,
+                  cur.n, false)
+                out.reverseIterator
+              }
+            }
+        }
+        .toDF("user_id", "s_start", "s_end", "n", "finalized")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        // b1: two open sessions — u1 [0,31m) n=2, u2 [100s,31m40s) n=1
+        input.addData(Seq(ev(1, 0, uid = 1), ev(2, 60, uid = 1),
+          ev(3, 100, uid = 2)))
+        q.processAllAvailable(); onBatch(q)
+        // b2: u1 grows (merge into open session); u3 opens at +2h and
+        // drags the watermark to +110min at batch end
+        input.addData(Seq(ev(4, 300, uid = 1), ev(5, 7200, uid = 3)))
+        q.processAllAvailable(); onBatch(q)
+        // b3: u1/u2 time out under the +110min watermark (finalized +
+        // evicted); u2's +2min straggler is beyond the watermark →
+        // dropped, cannot resurrect the session; u3 grows normally
+        input.addData(Seq(ev(6, 120, uid = 2), ev(7, 7260, uid = 3)))
+        q.processAllAvailable(); onBatch(q)
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(name)
+  }
+
+  private def qStreamSessionAgg(s: SparkSession, d: String): DataFrame =
+    runSessionAgg(s).orderBy("user_id", "s_end", "finalized")
+
   /** File-based streaming source: the events parquet consumed via
     * readStream (one micro-batch), windowed per-type counts to a memory
     * sink in complete mode — same results as the batch window query, so
@@ -370,6 +483,7 @@ object StreamingQ {
     "q_stream_tumble" -> (qStreamTumble _),
     "q_stream_slide" -> (qStreamSlide _),
     "q_stream_session" -> (qStreamSession _),
+    "q_stream_session_agg" -> (qStreamSessionAgg _),
     "q_stream_watermark" -> (qStreamWatermark _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_stateful" -> (qStreamStateful _),

@@ -77,6 +77,41 @@ class StreamingLlmSpec extends AnyFunSuite {
       (3L, 1L, "delete", None, None, true)), s"got: ${rows.toSeq}")
   }
 
+  test("update-mode session agg: sessions merge and re-emit, the " +
+      "watermark evicts closed state, late events cannot resurrect it") {
+    val metrics = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val log = StreamingQ.runSessionAgg(spark, q => {
+      val p = Option(q.lastProgress)
+      p.foreach { pr =>
+        val so = pr.stateOperators
+        if (so.nonEmpty)
+          metrics += ((so(0).numRowsTotal, so(0).numRowsRemoved))
+      }
+    }).orderBy("user_id", "s_end", "finalized").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    def abs(off: Long) = usBase + off * 1000000L
+    // the full update LOG: u1's session re-emitted after its batch-2
+    // merge, then finalized by the batch-3 watermark; u2 updated once
+    // (batch 1), finalized in batch 3, and its straggler changed
+    // NOTHING (no post-eviction update, no resurrected session)
+    assert(log.toSeq == Seq(
+      (1L, abs(0), abs(1860), 2L, false),
+      (1L, abs(0), abs(2100), 3L, false),
+      (1L, abs(0), abs(2100), 3L, true),
+      (2L, abs(100), abs(1900), 1L, false),
+      (2L, abs(100), abs(1900), 1L, true),
+      (3L, abs(7200), abs(9000), 1L, false),
+      (3L, abs(7200), abs(9060), 2L, false)), s"got ${log.toSeq}")
+    // state eviction: only u3's open session survives the final
+    // watermark (+110 min); u1/u2's closed sessions were removed
+    assert(metrics.nonEmpty)
+    assert(metrics.last._1 == 1L,
+      s"expected 1 surviving state row, got $metrics")
+    assert(metrics.map(_._2).sum >= 2L,
+      s"expected >= 2 evicted state rows, got $metrics")
+  }
+
   /** Crafted near-dup corpus: doc 1 = base, 2 = one word changed,
     * 3 = exact duplicate of 1, 4 = unrelated. */
   private lazy val craftedDir: String = {
