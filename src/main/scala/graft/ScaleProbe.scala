@@ -84,6 +84,24 @@ object ScaleProbe {
           col("event_type"), col("value"), col("props"))
       }.reduce(_ union _)
         .write.mode("overwrite").parquet(s"$probeDir/events.parquet")
+    } else if (mode == "customer") {
+      // customers inflate with ONE mutated name character per replica
+      // (position cycles over the numeric tail, letter cycles a..z):
+      // every replica is a true Hamming-1 neighbor of its base, and
+      // replicas sharing a mutation position neighbor each other — the
+      // match graph densifies with the factor, so the fuzzy join's
+      // claim (cost tracks TRUE matches, never n²) is what's probed.
+      val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      (0 until factor).map { i =>
+        val p = 10 + (i % 8)
+        val c = ('a' + (i % 26)).toChar
+        cust.select((col("c_custkey") + lit(i * 10000000L)).as("c_custkey"),
+          (if (i == 0) col("c_name") else expr(
+            s"concat(substring(c_name, 1, ${p - 1}), '$c'," +
+              s" substring(c_name, ${p + 1}))")).as("c_name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$probeDir/customer.parquet")
     } else {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       (0 until factor).map { i =>
@@ -97,6 +115,7 @@ object ScaleProbe {
     val tableName = mode match {
       case "embeddings" => "embeddings"
       case "events" => "events"
+      case "customer" => "customer"
       case _ => "documents"
     }
     val n = spark.read.parquet(s"$probeDir/$tableName.parquet").count()
@@ -105,6 +124,8 @@ object ScaleProbe {
         Seq("q_embed_centroids", "q_sim_cosine_topk", "q_sim_ann_ivf",
           "q_dedup_embed", "q_dedup_semantic", "q_embed_norm",
           "q_embed_quantize")
+      else if (mode == "customer")
+        Seq("q_join_fuzzy")
       else if (mode == "events")
         Seq("q_join_nearest", "q_win_attribution", "q_win_churn",
           "q_win_cohort", "q_win_session", "q_win_concurrency",
