@@ -24,10 +24,17 @@ object Analytics39 {
   private def qFnJsonProfile(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d).select(col("props"))
     val tot = ev.agg(count(lit(1)).as("n_rows"))
+    // from_json to map<string,string>, NOT get_json_object over a
+    // string-concatenated '$.'+key path: a key containing JSONPath
+    // metacharacters (dot, bracket, quote, '$') would make the path
+    // lookup return NULL/wrong silently, and Spark's path dialect
+    // differs from the oracle's (ADVICE r8). The map parse has no path
+    // language at all — keys are opaque. Values are assumed scalar
+    // (engine and oracle both render scalars as their JSON text;
+    // nested values would render differently and are out of contract).
     val keyed = ev
-      .select(col("props"),
-        explode(expr("json_object_keys(props)")).as("k"))
-      .withColumn("v", expr("get_json_object(props, concat('$.', k))"))
+      .select(explode(expr("from_json(props, 'map<string,string>')"))
+        .as(Seq("k", "v")))
       .withColumn("num", expr("try_cast(v AS DOUBLE)"))
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n_present"),
