@@ -11,15 +11,14 @@ import Tables._
   * feature-extract step over real PCM bytes, the audio sibling of
   * q_mm_phash's dHash).
   *
-  * Both follow the established multimodal contract: payload synthesis
-  * is the clearly-marked deterministic stand-in for a corpus binary
-  * column (the image/audio libs aren't in this container), while the
-  * Spark-side plumbing — batched mapPartitions over binary, byte-level
-  * decode via the lib-free codecs, bounded per-row state, only
-  * (id, features) ever shuffling — is real and tested. Parallelism is
-  * repartition-spread, never parquet-file-layout-bound (the r8
-  * discipline). No SQL oracle (pixel/PCM decode is not
-  * DuckDB-expressible) → structural ScalaTests pin the math. */
+  * Both SCAN the ingest-once [[MmPayloads]] binary-column table (round
+  * 9 — payload synthesis lives in the materialization step, not in any
+  * operator): read `binary` column → byte-level decode via the
+  * lib-free codecs → bounded per-row state → only (id, features) ever
+  * shuffling. Parallelism is repartition-spread, never
+  * parquet-file-layout-bound (the r8 discipline). No SQL oracle
+  * (pixel/PCM decode is not DuckDB-expressible) → structural
+  * ScalaTests pin the math. */
 object LlmText11 {
 
   /** Block-mean resize of each document's 32×32 BMP raster to 8×8:
@@ -31,21 +30,9 @@ object LlmText11 {
   private def qMmResize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.functions.ImageHeader
-    t(s, d, "documents").select(col("doc_id"))
+    MmPayloads.payloads(s, d).select(col("doc_id"), col("img"))
       .repartition(s.sessionState.conf.numShufflePartitions)
-      .as[Long].mapPartitions(_.map { id =>
-        val group = id / 5
-        val variant = (id % 5).toInt
-        // the q_mm_phash synthesis pattern: per-group frequency mix,
-        // variants get one-pixel edits
-        val img = ImageHeader.bmpPixels(32, 32, (x, y) => {
-          val fx = (group % 97 + 1) * 0.11
-          val fy = (group % 89 + 1) * 0.07
-          (math.sin(fx * (x + 1)) * 55 + math.cos(fy * (y + 1)) * 55
-            + 128).toInt +
-            (if (variant != 0 && x == 3 + variant && y == 2 * variant) 40
-             else 0)
-        })
+      .as[(Long, Array[Byte])].mapPartitions(_.map { case (id, img) =>
         val g = ImageHeader.bmpGray(img).getOrElse(Array(Array(0)))
         val h = g.length
         val w = if (h > 0) g(0).length else 0
@@ -77,9 +64,8 @@ object LlmText11 {
       .orderBy("doc_id")
   }
 
-  /** 64-bit audio energy fingerprint over real PCM WAV bytes: emit a
-    * per-document mono 16-bit WAV (group-keyed two-tone mix, variants
-    * get a small amplitude edit), parse the RIFF chunk stream for the
+  /** 64-bit audio energy fingerprint over real PCM WAV bytes scanned
+    * from the payload table: parse the RIFF chunk stream for the
     * format fields, window the samples (64 windows × 16 frames), and
     * take the circular energy-gradient sign bits — the dHash idea on
     * the energy envelope. Near-identical audio lands within a few
@@ -88,26 +74,13 @@ object LlmText11 {
   private def qMmAudioFingerprint(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.functions.AudioHeader
-    t(s, d, "documents").select(col("doc_id"))
+    MmPayloads.payloads(s, d).select(col("doc_id"), col("wav"))
       .repartition(s.sessionState.conf.numShufflePartitions)
-      .as[Long].mapPartitions(_.map { id =>
-        val group = id / 5
-        val variant = (id % 5).toInt
-        val frames = 1024
-        val bytes = AudioHeader.wav(1, 8000, 16, frames)
-        // fill the (tail) data chunk with a deterministic two-tone mix
-        val dataOff = bytes.length - frames * 2
-        val f1 = (group % 13 + 1) * 0.015
-        val f2 = (group % 7 + 1) * 0.041
-        var i = 0
-        while (i < frames) {
-          var v = (math.sin(f1 * i) * 9000 + math.sin(f2 * i) * 5000).toInt
-          if (variant != 0 && i % 256 == variant) v += 800 // tiny edit
-          bytes(dataOff + 2 * i) = (v & 0xff).toByte
-          bytes(dataOff + 2 * i + 1) = ((v >> 8) & 0xff).toByte
-          i += 1
-        }
+      .as[(Long, Array[Byte])].mapPartitions(_.map { case (id, bytes) =>
         val meta = AudioHeader.parse(bytes).get
+        // this table's WAVs carry the data chunk last (MmPayloads
+        // layout): sample bytes are the declared-frame-count tail
+        val dataOff = bytes.length - meta.nFrames.toInt * 2
         // 64-window mean-absolute energy envelope from the REAL bytes
         val energy = new Array[Long](64)
         var w = 0
