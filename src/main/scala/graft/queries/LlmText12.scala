@@ -54,10 +54,14 @@ object LlmText12 {
 
   /** The three learned merges as one broadcastable row:
     * (p1, c1, p2, c2, p3, c3) with markers A/B/C standing for merges
-    * 1/2/3, plus the rewritten vocab after each round. Returns
-    * (merges, w1, w2, w3) — callers pick what they need. */
+    * 1/2/3, plus the rewritten vocab after each round and the persisted
+    * intermediates (callers MUST unpersist them after eagerly
+    * materializing their result — a lingering vocab cache would be
+    * silently substituted into OTHER queries' matching subplans, e.g.
+    * q_text_bpe_pairs' vocab aggregate; the q_graph_pagerank no-leak
+    * discipline). */
   private def train(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
     // persisted: feeds round-1 counting and the round-1 rewrite; each
     // later round chains on the previous rewrite
     val wf = vocab(s, d).persist()
@@ -74,14 +78,22 @@ object LlmText12 {
     val w3 = w2.crossJoin(broadcast(m3))
       .withColumn("w", expr("replace(w, p3, 'C')"))
     val merges = m1.crossJoin(m2).crossJoin(m3)
-    (merges, w1, w2, w3)
+    (merges, w1, w2, w3, Seq(wf, w1, w2))
+  }
+
+  /** Eagerly materialize a (small) result, then drop the training
+    * caches so nothing leaks past the query build. */
+  private def sealed_(res: DataFrame, caches: Seq[DataFrame]): DataFrame = {
+    val out = res.localCheckpoint(true)
+    caches.foreach(_.unpersist())
+    out
   }
 
   /** Three rows — one per merge round: the raw winning pair (marker
     * encoding), the decoded token it merges to, its weighted count, and
     * the corpus token total after applying rounds 1..step. */
   private def qTextBpeTrain(s: SparkSession, d: String): DataFrame = {
-    val (merges, w1, w2, w3) = train(s, d)
+    val (merges, w1, w2, w3, caches) = train(s, d)
     def tot(df: DataFrame): DataFrame =
       df.agg(sum(col("f") * length(col("w"))).as("total_tokens"))
     val step1 = merges.crossJoin(tot(w1))
@@ -97,15 +109,16 @@ object LlmText12 {
         expr("replace(replace(p3, 'B', replace(p2, 'A', p1)), 'A', p1)")
           .as("merge_token"),
         col("c3").as("pair_count"), col("total_tokens"))
-    step1.unionAll(step2).unionAll(step3).orderBy(col("step"))
+    sealed_(step1.unionAll(step2).unionAll(step3), caches)
+      .orderBy(col("step"))
   }
 
   /** Apply the learned merges to re-tokenize a deterministic document
     * sample (doc_id % 53 = 0): per doc, word count, symbol count before,
     * token count after the three merges, and the compression ratio. */
   private def qTextBpeApply(s: SparkSession, d: String): DataFrame = {
-    val (merges, _, _, _) = train(s, d)
-    t(s, d, "documents")
+    val (merges, _, _, _, caches) = train(s, d)
+    val res = t(s, d, "documents")
       .filter(col("doc_id") % 53 === 0)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .crossJoin(broadcast(merges))
@@ -118,7 +131,7 @@ object LlmText12 {
       .withColumn("compression",
         when(col("n_tokens") > 0,
           round(dbl(col("n_symbols")) / dbl(col("n_tokens")), 6)))
-      .orderBy(col("doc_id"))
+    sealed_(res, caches).orderBy(col("doc_id"))
   }
 
   val defs: Map[String, Relational.Q] = Map(
