@@ -39,6 +39,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"simhash64 takes 1 argument, got ${exprs.length}")
         SimHash64(exprs.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("tdigest_quantiles"),
+      new ExpressionInfo(classOf[graft.functions.TDigestQuantiles].getName,
+        "tdigest_quantiles"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"tdigest_quantiles takes 3 arguments, got ${exprs.length}")
+        graft.functions.TDigestQuantiles(exprs(0), exprs(1), exprs(2))
+      }))
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
   }
 }

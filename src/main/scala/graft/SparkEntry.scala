@@ -37,7 +37,8 @@ object SparkEntry {
       Analytics31.defs ++ Analytics32.defs ++ Analytics33.defs ++
       Analytics34.defs ++ Analytics35.defs ++ Analytics36.defs ++
       Analytics37.defs ++ Analytics38.defs ++ Analytics39.defs ++
-      Analytics40.defs ++ Analytics41.defs ++ LlmText10.defs ++
+      Analytics40.defs ++ Analytics41.defs ++ Analytics42.defs ++
+      LlmText10.defs ++
       LlmText11.defs ++ LlmText12.defs ++ LlmSim2.defs ++ LlmSim3.defs ++
       ScalePatterns2.defs ++ ScalePatterns3.defs ++
       LlmSim.defs ++ FunctionsExt.defs ++ ScalePatterns.defs ++
@@ -65,7 +66,8 @@ object SparkEntry {
       Analytics31.sql ++ Analytics32.sql ++ Analytics33.sql ++
       Analytics34.sql ++ Analytics35.sql ++ Analytics36.sql ++
       Analytics37.sql ++ Analytics38.sql ++ Analytics39.sql ++
-      Analytics40.sql ++ Analytics41.sql ++ LlmText10.sql ++
+      Analytics40.sql ++ Analytics41.sql ++ Analytics42.sql ++
+      LlmText10.sql ++
       LlmText11.sql ++ LlmText12.sql ++ LlmSim2.sql ++ LlmSim3.sql ++
       ScalePatterns2.sql ++ ScalePatterns3.sql ++
       LlmSim.sql ++ FunctionsExt.sql ++ ScalePatterns.sql ++

@@ -83,5 +83,6 @@ object GraftFunctions {
     registerOnce(spark, "float_dot", exprs => FloatDot(exprs(0), exprs(1)))
     registerOnce(spark, "graft_bloom_contains",
       exprs => BloomContains(exprs(0), exprs(1)))
+    TDigestQuantiles.register(spark)
   }
 }

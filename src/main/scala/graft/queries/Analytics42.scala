@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Round-9 sixth wave: weighted single-source shortest paths over the
+  * co-purchase graph — the "how related is everything to the hub"
+  * primitive (product-affinity distance, recommendation radius) that
+  * complements the unweighted k-hop reach of q_graph_khop.
+  *
+  * Scale notes:
+  *  - Bellman-Ford with 4 unrolled relaxation rounds (the PageRank /
+  *    k-hop unrolled-iteration discipline): each round is
+  *    dist ⋈ edges → (v, dist+w) → union prior → min per node. Every
+  *    shuffle keys on the node id; the distance table is bounded by
+  *    the reachable set, and the edge cache is localCheckpointed once
+  *    and reused by all four rounds (no re-derivation per round).
+  *  - Weights are INTEGER (1000000 div co-purchase-count), so path
+  *    sums are exact BIGINTs in both engines — no float-accumulation
+  *    ordering hazard in the min() combine, and the DuckDB oracle
+  *    (the same four relaxations as unrolled CTEs) hash-matches
+  *    bit-for-bit.
+  *  - min() is an algebraic aggregate: partial combines run map-side,
+  *    so a relaxation round's shuffle volume is one (node, dist) pair
+  *    per map partition per node, not one per candidate edge. */
+object Analytics42 {
+
+  /** Single-source shortest paths (≤ 4 edges) from the highest-degree
+    * node of the support-≥2 co-purchase graph. Edge cost w =
+    * 1000000 div cn: strong ties (many shared orders) are cheap, so
+    * the distance field measures affinity, not just hop count —
+    * a 2-edge path through two strong ties can beat a direct weak tie.
+    * Output: (node, dist) for every node reachable within 4 edges. */
+  private def qGraphSssp(s: SparkSession, d: String): DataFrame = {
+    val e = coPairCounts(s, d).filter(col("cn") >= 2)
+      .withColumn("w", expr("1000000 div cn"))
+    val sym = e.select(col("u"), col("v"), col("w"))
+      .union(e.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .localCheckpoint(true)
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val src = deg.orderBy(desc("deg"), col("u")).limit(1)
+      .select(col("u"), lit(0L).as("dist"))
+    def relax(dk: DataFrame): DataFrame =
+      dk.union(dk.join(sym, Seq("u"))
+          .select(col("v").as("u"), (col("dist") + col("w")).as("dist")))
+        .groupBy(col("u")).agg(min(col("dist")).as("dist"))
+    val d4 = relax(relax(relax(relax(src))))
+    d4.select(col("u").as("node"), col("dist"))
+      .orderBy(col("dist"), col("node"))
+  }
+
+  /** Per-group quantiles via the native mergeable t-digest aggregate
+    * (functions/TDigestQuantiles.scala) side-by-side with the exact
+    * percentiles it approximates. At 100 TB the exact `percentile()`
+    * shuffles every value to its group and sorts; the digest ships one
+    * O(compression) sketch per map partition per group and combines
+    * map-side — the exact columns exist here as the in-query accuracy
+    * report (est vs ex per quantile). Declared per SURVEY §2.C rule 4
+    * (approximate sketch, no DuckDB oracle); TDigestSpec pins the
+    * rank-error bound, partition invariance, and serialization. */
+  private def qAggTdigest(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val li = t(s, d, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("double").as("x"))
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("tdigest_quantiles(x, array(0.5D, 0.95D, 0.99D), 200)")
+          .as("est"),
+        expr("percentile(x, array(0.5D, 0.95D, 0.99D))").as("ex"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("est")(0), 4).as("est_p50"),
+        round(col("ex")(0), 4).as("ex_p50"),
+        round(col("est")(1), 4).as("est_p95"),
+        round(col("ex")(1), 4).as("ex_p95"),
+        round(col("est")(2), 4).as("est_p99"),
+        round(col("ex")(2), 4).as("ex_p99"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val defs: Map[String, Relational.Q] = Map(
+    "q_graph_sssp" -> (qGraphSssp _),
+    "q_agg_tdigest" -> (qAggTdigest _),
+  )
+
+  val sql: Map[String, String] = Map(
+    // Same four Bellman-Ford relaxations as unrolled CTEs; integer
+    // weights keep every distance an exact BIGINT in both engines.
+    "q_graph_sssp" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |e AS (SELECT a.pk AS u, b.pk AS v, count(*) AS cn
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT u, v, 1000000 // cn AS w FROM e
+        |        UNION ALL
+        |        SELECT v AS u, u AS v, 1000000 // cn AS w FROM e),
+        |deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+        |src AS (SELECT u, CAST(0 AS BIGINT) AS dist
+        |        FROM deg ORDER BY deg DESC, u LIMIT 1),
+        |d1 AS (SELECT u, min(dist) AS dist FROM (
+        |         SELECT u, dist FROM src
+        |         UNION ALL
+        |         SELECT s.v AS u, p.dist + s.w AS dist
+        |         FROM src p JOIN sym s ON s.u = p.u) GROUP BY u),
+        |d2 AS (SELECT u, min(dist) AS dist FROM (
+        |         SELECT u, dist FROM d1
+        |         UNION ALL
+        |         SELECT s.v AS u, p.dist + s.w AS dist
+        |         FROM d1 p JOIN sym s ON s.u = p.u) GROUP BY u),
+        |d3 AS (SELECT u, min(dist) AS dist FROM (
+        |         SELECT u, dist FROM d2
+        |         UNION ALL
+        |         SELECT s.v AS u, p.dist + s.w AS dist
+        |         FROM d2 p JOIN sym s ON s.u = p.u) GROUP BY u),
+        |d4 AS (SELECT u, min(dist) AS dist FROM (
+        |         SELECT u, dist FROM d3
+        |         UNION ALL
+        |         SELECT s.v AS u, p.dist + s.w AS dist
+        |         FROM d3 p JOIN sym s ON s.u = p.u) GROUP BY u)
+        |SELECT u AS node, CAST(dist AS BIGINT) AS dist FROM d4
+        |ORDER BY dist, node""".stripMargin,
+  )
+}

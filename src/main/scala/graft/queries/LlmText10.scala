@@ -157,10 +157,14 @@ object LlmText10 {
       .join(exf.select(col("g"), col("doc_id").as("b")), Seq("g"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
+    // persisted: the LSH generator feeds the pool (→ truth, read twice)
+    // AND the hit/precision side — unpersisted, the full minhash plan
+    // re-runs four times (measured 2× on the whole query at sf0.1)
     val pred = LlmText.defs("q_dedup_minhash")(s, d)
-      .select(col("a"), col("b"))
+      .select(col("a"), col("b")).persist()
     val pool = invPairs.union(pred).distinct()
-    // exact verification on candidates only
+    // exact verification on candidates only; persisted — feeds both the
+    // hit semi-join and the n_truth denominator
     val truth = pool
       .join(sh3.select(col("doc_id").as("a"), col("sh").as("sh_a")),
         Seq("a"))
@@ -168,7 +172,7 @@ object LlmText10 {
         Seq("b"))
       .filter(size(array_intersect(col("sh_a"), col("sh_b"))) >=
         lit(0.5) * size(array_union(col("sh_a"), col("sh_b"))))
-      .select(col("a"), col("b"))
+      .select(col("a"), col("b")).persist()
     val hit = pred.join(truth, Seq("a", "b"), "left_semi")
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     val nPred = pred.agg(count(lit(1)).as("n_pred"))

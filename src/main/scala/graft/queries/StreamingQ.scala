@@ -475,7 +475,81 @@ object StreamingQ {
     s.read.parquet(outDir).orderBy("event_type")
   }
 
+  /** A streamed token occurrence for the heavy-hitter summary. */
+  private[graft] case class Tok(event_id: Long, ts: java.sql.Timestamp,
+      item: String)
+
+  private[graft] def tok(id: Long, offSec: Long, item: String): Tok =
+    Tok(id, new java.sql.Timestamp((t0 + offSec) * 1000L), item)
+
+  /** Streaming heavy hitters — bounded-state frequent-items maintenance
+    * (the SpaceSaving summary of Metwally, Agrawal & El Abbadi, "Efficient
+    * computation of frequent and top-k elements in data streams") over a
+    * micro-batched stream. The item space is sharded by hash into a fixed
+    * number of key-groups, and each shard's state is ONE SpaceSaving
+    * summary of fixed capacity — so total state is shards × capacity
+    * entries no matter how many distinct items flow past (the unbounded
+    * per-item-keyed count state a naive streaming groupBy would keep is
+    * exactly what this op exists to avoid). Every batch emits the
+    * shard's current summary rows (item, est, err) in update mode; the
+    * final read takes the latest estimate per item and ranks. The
+    * SpaceSaving invariants pinned by StreamingLlmSpec:
+    * true_count ≤ est ≤ true_count + err, and any item with frequency
+    * above capacity⁻¹ of its shard's stream is present in the summary.
+    * Deterministic: batch items fold in (ts, event_id) order and
+    * eviction ties break lexicographically. No SQL oracle (stateful
+    * streaming; SURVEY §2.C rule 4). */
+  private def qStreamTopk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cap = 4
+    // skewed feed across 8 distinct items: "alpha" dominates with 10,
+    // "beta" 5, "gamma" 3, five singletons force evictions past cap=4
+    val batch1 = Seq.tabulate(6)(i => tok(i + 1, 10 + i, "alpha")) ++
+      Seq(tok(7, 20, "beta"), tok(8, 21, "beta"), tok(9, 22, "gamma"),
+        tok(10, 23, "noise1"), tok(11, 24, "noise2"))
+    val batch2 = Seq.tabulate(4)(i => tok(20 + i, 40 + i, "alpha")) ++
+      Seq(tok(30, 50, "beta"), tok(31, 51, "beta"), tok(32, 52, "beta"),
+        tok(33, 53, "gamma"), tok(34, 54, "gamma"),
+        tok(35, 55, "noise3"), tok(36, 56, "noise4"), tok(37, 57, "noise5"))
+    val summaries = runStreamT[Tok](s, batch1, batch2,
+      df => df.as[Tok]
+        .groupByKey(tk => math.floorMod(tk.item.hashCode, 2))
+        .flatMapGroupsWithState[Map[String, (Long, Long)],
+          (Int, String, Long, Long)](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+          (shard: Int, toks: Iterator[Tok],
+              state: GroupState[Map[String, (Long, Long)]]) =>
+            var m = state.getOption.getOrElse(Map.empty[String, (Long, Long)])
+            toks.toSeq.sortBy(tk => (tk.ts.getTime, tk.event_id))
+              .foreach { tk =>
+                m.get(tk.item) match {
+                  case Some((c, e)) => m += tk.item -> (c + 1, e)
+                  case None if m.size < cap => m += tk.item -> (1L, 0L)
+                  case None =>
+                    // evict the min-count entry (tie → lexicographic
+                    // min item) and inherit its count as the error bound
+                    val (victim, (vc, _)) =
+                      m.minBy { case (it, (c, _)) => (c, it) }
+                    m -= victim
+                    m += tk.item -> (vc + 1, vc)
+                }
+              }
+            state.update(m)
+            m.toSeq.sortBy(_._1)
+              .map { case (it, (c, e)) => (shard, it, c, e) }.iterator
+        }
+        .toDF("shard", "item", "est", "err"),
+      OutputMode.Update())
+    // latest summary per item (counts are monotone across batches), then
+    // global rank — stale rows of evicted items can't outrank survivors
+    summaries.groupBy(col("item"))
+      .agg(max(col("est")).as("est"), max(col("err")).as("err"))
+      .orderBy(desc("est"), col("item")).limit(5)
+      .select(col("item"), col("est"), col("err"))
+  }
+
   val defs: Map[String, Relational.Q] = Map(
+    "q_stream_topk" -> (qStreamTopk _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_static_join" -> (qStreamStaticJoin _),
     "q_stream_foreachbatch" -> (qStreamForeachBatch _),

@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Crafted-graph contract for weighted single-source shortest paths:
+  * the weighted distance field must beat a direct weak edge via a
+  * 2-edge strong-tie path (proving the op is weighted, not hop-count
+  * BFS), and reach a 3-edge-deep node with the exact integer sum. */
+class Analytics42Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("sssp: 2-edge strong-tie path (200000) beats the direct weak " +
+      "edge (500000); 3-edge chain sums exactly") {
+    import spark.implicits._
+    val dir = Tables.freshDir("a42_sssp")
+    // pair -> co-purchase count cn; weight = 1000000 div cn.
+    // Source is node 1 (highest sym degree 4, tie-break min id).
+    // Expected: d(3)=100000 direct strong; d(4)=200000 via 3 (beats
+    // the direct 1-4 weak edge at 500000); d(6)=300000 (3 edges);
+    // d(2)=d(5)=500000 (direct weak only).
+    val pairs = Seq(
+      ((1L, 2L), 2), ((1L, 3L), 10), ((1L, 4L), 2), ((1L, 5L), 2),
+      ((3L, 4L), 10), ((4L, 6L), 10))
+    var ok = 1000L
+    val rows = pairs.flatMap { case ((a, b), cn) =>
+      (0 until cn).flatMap { _ =>
+        ok += 1; Seq((ok, a), (ok, b))
+      }
+    }
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q_graph_sssp")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 0L), (3L, 100000L), (4L, 200000L),
+      (6L, 300000L), (2L, 500000L), (5L, 500000L)),
+      s"sssp distances wrong: ${out.toSeq}")
+  }
+}

@@ -34,6 +34,25 @@ class StreamingLlmSpec extends AnyFunSuite {
       (usBase + 900000000L, 1L, 1L)))
   }
 
+  test("streaming top-k: SpaceSaving bounds hold (true ≤ est ≤ true+err), " +
+      "alpha leads, and every above-threshold item survives eviction") {
+    val rows = SparkEntry.queries("q_stream_topk")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val truth = Map("alpha" -> 10L, "beta" -> 5L, "gamma" -> 3L,
+      "noise1" -> 1L, "noise2" -> 1L, "noise3" -> 1L, "noise4" -> 1L,
+      "noise5" -> 1L)
+    assert(rows.head._1 == "alpha" && rows.head._2 >= 10L,
+      s"alpha must lead with est >= its true count 10: ${rows.toSeq}")
+    rows.foreach { case (item, est, err) =>
+      val t = truth(item)
+      assert(est >= t && est - err <= t,
+        s"SpaceSaving bound violated for $item: est=$est err=$err true=$t")
+    }
+    // the two genuinely frequent items can never be evicted at cap 4
+    assert(rows.map(_._1).take(2).toSet == Set("alpha", "beta"),
+      s"frequent items missing from the summary top-2: ${rows.toSeq}")
+  }
+
   test("streaming dedup emits each event_id once across batches") {
     val rows = SparkEntry.queries("q_stream_dedup")(spark, sf)
       .collect().map(_.getLong(0))
