@@ -40,6 +40,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHash64(exprs.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("tdigest_agg"),
+      new ExpressionInfo(classOf[graft.functions.TDigestAgg].getName,
+        "tdigest_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"tdigest_agg takes 2 arguments, got ${exprs.length}")
+        graft.functions.TDigestAgg(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("tdigest_merge_quantiles"),
+      new ExpressionInfo(
+        classOf[graft.functions.TDigestMergeQuantiles].getName,
+        "tdigest_merge_quantiles"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"tdigest_merge_quantiles takes 3 arguments, got ${exprs.length}")
+        graft.functions.TDigestMergeQuantiles(exprs(0), exprs(1), exprs(2))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("tdigest_quantiles"),
       new ExpressionInfo(classOf[graft.functions.TDigestQuantiles].getName,
         "tdigest_quantiles"),

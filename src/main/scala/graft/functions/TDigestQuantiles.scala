@@ -8,8 +8,8 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType,
-  IntegerType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType,
+  DoubleType, IntegerType}
 
 /** Mergeable t-digest state (Dunning & Ertl's *merging* t-digest,
   * "Computing extremely accurate quantiles using t-digests"): a sorted
@@ -296,10 +296,172 @@ case class TDigestQuantiles(
 }
 
 object TDigestQuantiles {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     GraftFunctions.registerOnce(spark, "tdigest_quantiles", exprs => {
       require(exprs.length == 3,
         s"tdigest_quantiles takes 3 arguments, got ${exprs.length}")
       TDigestQuantiles(exprs(0), exprs(1), exprs(2))
     })
+    GraftFunctions.registerOnce(spark, "tdigest_agg", exprs => {
+      require(exprs.length == 2,
+        s"tdigest_agg takes 2 arguments, got ${exprs.length}")
+      TDigestAgg(exprs(0), exprs(1))
+    })
+    GraftFunctions.registerOnce(spark, "tdigest_merge_quantiles", exprs => {
+      require(exprs.length == 3,
+        s"tdigest_merge_quantiles takes 3 arguments, got ${exprs.length}")
+      TDigestMergeQuantiles(exprs(0), exprs(1), exprs(2))
+    })
+  }
+}
+
+/** `tdigest_agg(x, compression)` — aggregate a column into a SERIALIZED
+  * t-digest (binary). The sketch-table half of the rollup lifecycle:
+  * materialize per-fine-grain digests once, answer any later quantile
+  * question by merging stored digests instead of re-scanning the fact
+  * table (`tdigest_merge_quantiles`). The binary layout is the same
+  * serde the shuffle uses, so stored sketches and in-flight partials
+  * are interchangeable. */
+case class TDigestAgg(
+    child: Expression,
+    compressionExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TDigest] {
+
+  private lazy val compression: Double = {
+    require(compressionExpr.foldable,
+      "tdigest_agg: compression must be a foldable integer")
+    val c = compressionExpr.eval().asInstanceOf[Int]
+    require(c >= 20 && c <= 10000,
+      s"tdigest_agg: compression out of range [20, 10000]: $c")
+    c.toDouble
+  }
+
+  override def createAggregationBuffer(): TDigest = new TDigest(compression)
+
+  override def update(buffer: TDigest, input: InternalRow): TDigest = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Double])
+    buffer
+  }
+
+  override def merge(buffer: TDigest, other: TDigest): TDigest =
+    buffer.mergeWith(other)
+
+  override def eval(buffer: TDigest): Any = buffer.serialize()
+
+  override def serialize(buffer: TDigest): Array[Byte] = buffer.serialize()
+
+  override def deserialize(bytes: Array[Byte]): TDigest =
+    TDigest.deserialize(bytes)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, compressionExpr.dataType) match {
+      case (DoubleType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"tdigest_agg needs (double, int), got $other")
+    }
+
+  override def nullable: Boolean = false
+
+  override def dataType: DataType = BinaryType
+
+  override def children: Seq[Expression] = Seq(child, compressionExpr)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), compressionExpr = newChildren(1))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TDigestAgg =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): TDigestAgg =
+    copy(inputAggBufferOffset = newOffset)
+
+  override def prettyName: String = "tdigest_agg"
+}
+
+/** `tdigest_merge_quantiles(digest_bin, array(q...), compression)` —
+  * merge SERIALIZED t-digests (a sketch-table column) and evaluate
+  * quantiles on the union. The read half of the rollup lifecycle:
+  * any coarser grouping of a digest table answers quantiles without
+  * touching the fact table, because the digest is a mergeable partial
+  * (the property q_agg_reagg demonstrates for HLL distinct counts,
+  * here for quantiles). */
+case class TDigestMergeQuantiles(
+    child: Expression,
+    quantilesExpr: Expression,
+    compressionExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TDigest] {
+
+  private lazy val qs: Array[Double] = {
+    require(quantilesExpr.foldable,
+      "tdigest_merge_quantiles: quantiles must be a foldable array literal")
+    quantilesExpr.eval().asInstanceOf[ArrayData].toDoubleArray()
+  }
+
+  private lazy val compression: Double = {
+    require(compressionExpr.foldable,
+      "tdigest_merge_quantiles: compression must be a foldable integer")
+    val c = compressionExpr.eval().asInstanceOf[Int]
+    require(c >= 20 && c <= 10000,
+      s"tdigest_merge_quantiles: compression out of range [20, 10000]: $c")
+    c.toDouble
+  }
+
+  override def createAggregationBuffer(): TDigest = new TDigest(compression)
+
+  override def update(buffer: TDigest, input: InternalRow): TDigest = {
+    val v = child.eval(input)
+    if (v != null)
+      buffer.mergeWith(TDigest.deserialize(v.asInstanceOf[Array[Byte]]))
+    buffer
+  }
+
+  override def merge(buffer: TDigest, other: TDigest): TDigest =
+    buffer.mergeWith(other)
+
+  override def eval(buffer: TDigest): Any = {
+    if (buffer.totalWeight == 0) null
+    else new GenericArrayData(qs.map(buffer.quantile))
+  }
+
+  override def serialize(buffer: TDigest): Array[Byte] = buffer.serialize()
+
+  override def deserialize(bytes: Array[Byte]): TDigest =
+    TDigest.deserialize(bytes)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, quantilesExpr.dataType, compressionExpr.dataType) match {
+      case (BinaryType, ArrayType(DoubleType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        "tdigest_merge_quantiles needs (binary, array<double>, int), " +
+          s"got $other")
+    }
+
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def children: Seq[Expression] =
+    Seq(child, quantilesExpr, compressionExpr)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), quantilesExpr = newChildren(1),
+      compressionExpr = newChildren(2))
+
+  override def withNewMutableAggBufferOffset(
+      newOffset: Int): TDigestMergeQuantiles =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(
+      newOffset: Int): TDigestMergeQuantiles =
+    copy(inputAggBufferOffset = newOffset)
+
+  override def prettyName: String = "tdigest_merge_quantiles"
 }

@@ -81,9 +81,46 @@ object Analytics42 {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Sketch-table rollup — the pre-aggregated-quantile lifecycle: a
+    * per-(flag, month) digest table materializes ONCE
+    * (`tdigest_agg` → binary), and coarser quantile questions are
+    * answered by merging stored digests (`tdigest_merge_quantiles`)
+    * with no second fact-table scan — the q_agg_reagg property (HLL
+    * distinct-count reaggregation) extended to quantiles. Output
+    * compares the merged-rollup estimate against the direct
+    * whole-group digest and the exact percentile per flag; TDigestSpec
+    * + Analytics42Spec pin the bounds. At 100 TB the monthly digest
+    * table is thousands of rows of ~2 KB sketches; every later
+    * quantile query costs its size, not the fact table's. */
+  private def qAggTdigestRollup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val li = t(s, d, "lineitem")
+      .select(col("l_returnflag"), month(col("l_shipdate")).as("m"),
+        col("l_extendedprice").cast("double").as("x"))
+    val monthly = li.groupBy(col("l_returnflag"), col("m"))
+      .agg(expr("tdigest_agg(x, 200)").as("dg"))
+    val rolled = monthly.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sketches"),
+        expr("tdigest_merge_quantiles(dg, array(0.5D, 0.95D), 200)")
+          .as("rolled"))
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(expr("tdigest_quantiles(x, array(0.5D, 0.95D), 200)").as("direct"),
+        expr("percentile(x, array(0.5D, 0.95D))").as("ex"))
+    rolled.join(direct, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_sketches"),
+        round(col("rolled")(0), 4).as("roll_p50"),
+        round(col("direct")(0), 4).as("dir_p50"),
+        round(col("ex")(0), 4).as("ex_p50"),
+        round(col("rolled")(1), 4).as("roll_p95"),
+        round(col("direct")(1), 4).as("dir_p95"),
+        round(col("ex")(1), 4).as("ex_p95"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val defs: Map[String, Relational.Q] = Map(
     "q_graph_sssp" -> (qGraphSssp _),
     "q_agg_tdigest" -> (qAggTdigest _),
+    "q_agg_tdigest_rollup" -> (qAggTdigestRollup _),
   )
 
   val sql: Map[String, String] = Map(

@@ -97,6 +97,28 @@ class TDigestSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("sketch-table rollup: quantiles from 13 merged STORED digests " +
+      "(tdigest_agg -> binary -> tdigest_merge_quantiles) hold the " +
+      "rank bound with no re-scan of the raw values") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val xs = sample(20000)
+    val est = xs.toSeq.zipWithIndex.map { case (x, i) => (i % 13, x) }
+      .toDF("g", "x")
+      .createOrReplaceTempView("tdr_raw")
+    val rows = spark.sql(
+      """SELECT tdigest_merge_quantiles(dg, array(0.5D, 0.95D, 0.99D), 200)
+        |  AS e
+        |FROM (SELECT g, tdigest_agg(x, 200) AS dg
+        |      FROM tdr_raw GROUP BY g)""".stripMargin)
+      .head.getSeq[Double](0)
+    for ((q, v) <- Seq(0.5, 0.95, 0.99).zip(rows)) {
+      val r = rankOf(xs, v)
+      assert(math.abs(r - q) <= 0.02,
+        s"rollup q=$q est=$v achieved rank $r")
+    }
+  }
+
   test("nulls are skipped; an all-null group evaluates to NULL") {
     GraftFunctions.register(spark)
     val rows = spark.sql(
