@@ -66,6 +66,10 @@ object ExplainDump {
     "q_agg_pctl_cont",     // exact interpolated percentiles off the grid
     "q_dedup_containment", // df-capped inverted-index pair blocking
     "q_time_lag_corr",     // bounded daily table, 8-lag broadcast join
+    "q_graph_sssp",        // checkpointed edges, node-keyed min relax (r9)
+    "q_agg_tdigest",       // ObjectHashAggregate partial/final digest (r9)
+    "q_agg_tdigest_rollup",// stored-sketch merge, no second fact scan (r9)
+    "q_sim_filtered",      // pushed predicate + pre-score semi-join (r9)
   )
 
   def main(args: Array[String]): Unit = {

@@ -548,8 +548,52 @@ object StreamingQ {
       .select(col("item"), col("est"), col("err"))
   }
 
+  /** Streaming running quantiles — the native t-digest carried as
+    * per-key streaming state: each micro-batch folds its values into
+    * the key's digest (deserialized from the state store, re-serialized
+    * after — the same binary layout the batch aggregate shuffles and
+    * the sketch tables persist), and emits the key's current
+    * (n, p50, p95) in update mode. State per key is O(compression)
+    * bytes FOREVER — a running exact quantile would have to retain
+    * every value seen. The final read takes each key's latest emission.
+    * No SQL oracle (stateful streaming; SURVEY §2.C rule 4);
+    * StreamingLlmSpec pins exact small-n quantiles (singleton centroids
+    * make the digest exact below compression). */
+  private def qStreamQuantiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TDigest
+    val batch1 = Seq(ev(1, 10, uid = 1, v = 1.0), ev(2, 11, uid = 1, v = 2.0),
+      ev(3, 12, uid = 1, v = 3.0), ev(4, 13, uid = 1, v = 4.0),
+      ev(5, 20, uid = 2, v = 10.0), ev(6, 21, uid = 2, v = 30.0))
+    val batch2 = Seq(ev(7, 30, uid = 1, v = 5.0), ev(8, 31, uid = 1, v = 6.0),
+      ev(9, 32, uid = 1, v = 7.0), ev(10, 33, uid = 1, v = 8.0),
+      ev(11, 34, uid = 1, v = 9.0), ev(12, 40, uid = 2, v = 20.0))
+    val emitted = runStreamT[Ev](s, batch1, batch2,
+      df => df.as[Ev].groupByKey(_.user_id)
+        .flatMapGroupsWithState[Array[Byte], (Long, Long, Double, Double)](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+          (uid: Long, evs: Iterator[Ev], state: GroupState[Array[Byte]]) =>
+            val dg = state.getOption.map(TDigest.deserialize)
+              .getOrElse(new TDigest(100.0))
+            evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+              .foreach(e => dg.add(e.value))
+            state.update(dg.serialize())
+            Iterator((uid, dg.totalWeight, dg.quantile(0.5),
+              dg.quantile(0.95)))
+        }
+        .toDF("user_id", "n", "p50", "p95"),
+      OutputMode.Update())
+    // latest emission per key = the one with the largest n (monotone)
+    emitted.groupBy(col("user_id"))
+      .agg(max(struct(col("n"), col("p50"), col("p95"))).as("s"))
+      .select(col("user_id"), col("s.n").as("n"),
+        round(col("s.p50"), 6).as("p50"), round(col("s.p95"), 6).as("p95"))
+      .orderBy("user_id")
+  }
+
   val defs: Map[String, Relational.Q] = Map(
     "q_stream_topk" -> (qStreamTopk _),
+    "q_stream_quantiles" -> (qStreamQuantiles _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_static_join" -> (qStreamStaticJoin _),
     "q_stream_foreachbatch" -> (qStreamForeachBatch _),

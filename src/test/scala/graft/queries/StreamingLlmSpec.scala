@@ -53,6 +53,17 @@ class StreamingLlmSpec extends AnyFunSuite {
       s"frequent items missing from the summary top-2: ${rows.toSeq}")
   }
 
+  test("streaming quantiles: per-key digest state folds across batches " +
+      "(exact at singleton-centroid n) and the latest emission wins") {
+    val rows = SparkEntry.queries("q_stream_quantiles")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // uid 1 folded 1..9 across two batches: p50 = 5 (rank midpoint),
+    // p95 lands in the max-endpoint segment = 9; uid 2 folded {10,30,20}
+    assert(rows.toSeq == Seq((1L, 9L, 5.0, 9.0), (2L, 3L, 20.0, 30.0)),
+      s"streaming quantiles wrong: ${rows.toSeq}")
+  }
+
   test("streaming dedup emits each event_id once across batches") {
     val rows = SparkEntry.queries("q_stream_dedup")(spark, sf)
       .collect().map(_.getLong(0))
