@@ -40,6 +40,7 @@ object SparkEntry {
       Analytics40.defs ++ Analytics41.defs ++ Analytics42.defs ++
       LlmText10.defs ++
       LlmText11.defs ++ LlmText12.defs ++ LlmSim2.defs ++ LlmSim3.defs ++
+      LlmSim4.defs ++
       ScalePatterns2.defs ++ ScalePatterns3.defs ++
       LlmSim.defs ++ FunctionsExt.defs ++ ScalePatterns.defs ++
       Formats.defs ++ Formats2.defs
@@ -69,6 +70,7 @@ object SparkEntry {
       Analytics40.sql ++ Analytics41.sql ++ Analytics42.sql ++
       LlmText10.sql ++
       LlmText11.sql ++ LlmText12.sql ++ LlmSim2.sql ++ LlmSim3.sql ++
+      LlmSim4.sql ++
       ScalePatterns2.sql ++ ScalePatterns3.sql ++
       LlmSim.sql ++ FunctionsExt.sql ++ ScalePatterns.sql ++
       Formats.sql ++ Formats2.sql

@@ -19,9 +19,9 @@ object LlmSim {
 
   /** Sequential-fold dot product of two float array columns in double
     * (native expression; registered per session, idempotent). */
-  private def dot(a: String, b: String): Column = expr(s"float_dot($a, $b)")
+  private[queries] def dot(a: String, b: String): Column = expr(s"float_dot($a, $b)")
 
-  private def norm2(a: String): Column = dot(a, a)
+  private[queries] def norm2(a: String): Column = dot(a, a)
 
   /** One deterministic probe vector per label: the embedding of the
     * label's minimum vec_id — a min_by hash aggregate (partial-agg'd,
@@ -69,7 +69,7 @@ object LlmSim {
   private def qSimAnnIvf(s: SparkSession, d: String): DataFrame =
     annIvf(s, d, cells = 8, nprobe = 6, k = 3)
 
-  private def unit(v: Array[Float]): Array[Float] = {
+  private[queries] def unit(v: Array[Float]): Array[Float] = {
     val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
     v.map(x => (x / n).toFloat)
   }
@@ -78,7 +78,7 @@ object LlmSim {
     * Cosine argmax needs only dot(e, c/|c|) — |e| is a common positive
     * factor; struct max orders by (sim, -cell) so ties pick the lowest
     * cell. */
-  private def cellOf(cents: Array[Array[Float]]): Column = {
+  private[queries] def cellOf(cents: Array[Array[Float]]): Column = {
     val scored = array(cents.zipWithIndex.map { case (c, i) =>
       struct(
         call_function("float_dot", col("embedding"), typedlit(unit(c)))
@@ -120,7 +120,7 @@ object LlmSim {
 
   /** ONE probe aggregate (min_by per label), collected and shared by
     * every ANN variant in the session. */
-  private def probesCollected(s: SparkSession,
+  private[queries] def probesCollected(s: SparkSession,
       d: String): Seq[(Int, Array[Float])] =
     probeCache.computeIfAbsent(d, _ =>
       probes(s, d).collect().toSeq
@@ -132,7 +132,7 @@ object LlmSim {
     * reason the old Spark-side trainer routed means through DECIMAL).
     * Assignment mirrors `cellOf` exactly: argmax of dot(v, unit(c)),
     * ties to the lowest cell. */
-  private def coarseCentroids(s: SparkSession, d: String, cells: Int,
+  private[queries] def coarseCentroids(s: SparkSession, d: String, cells: Int,
       trainCap: Int = 4096): Array[Array[Float]] =
     coarseCache.computeIfAbsent((d, cells, trainCap), _ => {
       val sample = hashSample(s, d, trainCap)
