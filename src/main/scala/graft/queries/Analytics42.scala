@@ -51,6 +51,36 @@ object Analytics42 {
       .orderBy(col("dist"), col("node"))
   }
 
+  /** Shortest-path TREE — q_graph_sssp carrying the argmin parent so
+    * the actual route is reconstructable (the "why are these related"
+    * follow-up to the distance field). Each relaxation's min() becomes
+    * a struct-min argmin ((dist, parent), lexicographic: min dist,
+    * tie → min parent — deterministic in both engines, the
+    * Analytics16/21 struct argmax discipline), everything else is the
+    * same node-keyed Bellman-Ford; the source's parent stays NULL and
+    * always survives because its dist 0 is strictly minimal. */
+  private def qGraphSsspTree(s: SparkSession, d: String): DataFrame = {
+    val e = coPairCounts(s, d).filter(col("cn") >= 2)
+      .withColumn("w", expr("1000000 div cn"))
+    val sym = e.select(col("u"), col("v"), col("w"))
+      .union(e.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .localCheckpoint(true)
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val src = deg.orderBy(desc("deg"), col("u")).limit(1)
+      .select(col("u"), lit(0L).as("dist"),
+        lit(null).cast("bigint").as("par"))
+    def relax(dk: DataFrame): DataFrame =
+      dk.union(dk.join(sym, Seq("u"))
+          .select(col("v").as("u"), (col("dist") + col("w")).as("dist"),
+            dk("u").as("par")))
+        .groupBy(col("u"))
+        .agg(min(struct(col("dist"), col("par"))).as("s"))
+        .select(col("u"), col("s.dist").as("dist"), col("s.par").as("par"))
+    val d4 = relax(relax(relax(relax(src))))
+    d4.select(col("u").as("node"), col("dist"), col("par"))
+      .orderBy(col("dist"), col("node"))
+  }
+
   /** Per-group quantiles via the native mergeable t-digest aggregate
     * (functions/TDigestQuantiles.scala) side-by-side with the exact
     * percentiles it approximates. At 100 TB the exact `percentile()`
@@ -119,11 +149,53 @@ object Analytics42 {
 
   val defs: Map[String, Relational.Q] = Map(
     "q_graph_sssp" -> (qGraphSssp _),
+    "q_graph_sssp_tree" -> (qGraphSsspTree _),
     "q_agg_tdigest" -> (qAggTdigest _),
     "q_agg_tdigest_rollup" -> (qAggTdigestRollup _),
   )
 
   val sql: Map[String, String] = Map(
+    // Struct-min argmin relaxations: min(struct_pack(d, p)) is the
+    // lexicographic (dist, parent) pick in both engines.
+    "q_graph_sssp_tree" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |e AS (SELECT a.pk AS u, b.pk AS v, count(*) AS cn
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT u, v, 1000000 // cn AS w FROM e
+        |        UNION ALL
+        |        SELECT v AS u, u AS v, 1000000 // cn AS w FROM e),
+        |deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+        |src AS (SELECT u, CAST(0 AS BIGINT) AS dist,
+        |          CAST(NULL AS BIGINT) AS par
+        |        FROM deg ORDER BY deg DESC, u LIMIT 1),
+        |d1 AS (SELECT u, min(struct_pack(d := dist, p := par)) AS s FROM (
+        |         SELECT u, dist, par FROM src
+        |         UNION ALL
+        |         SELECT s.v AS u, p.dist + s.w AS dist, p.u AS par
+        |         FROM src p JOIN sym s ON s.u = p.u) GROUP BY u),
+        |d1f AS (SELECT u, s.d AS dist, s.p AS par FROM d1),
+        |d2 AS (SELECT u, min(struct_pack(d := dist, p := par)) AS s FROM (
+        |         SELECT u, dist, par FROM d1f
+        |         UNION ALL
+        |         SELECT s.v AS u, p.dist + s.w AS dist, p.u AS par
+        |         FROM d1f p JOIN sym s ON s.u = p.u) GROUP BY u),
+        |d2f AS (SELECT u, s.d AS dist, s.p AS par FROM d2),
+        |d3 AS (SELECT u, min(struct_pack(d := dist, p := par)) AS s FROM (
+        |         SELECT u, dist, par FROM d2f
+        |         UNION ALL
+        |         SELECT s.v AS u, p.dist + s.w AS dist, p.u AS par
+        |         FROM d2f p JOIN sym s ON s.u = p.u) GROUP BY u),
+        |d3f AS (SELECT u, s.d AS dist, s.p AS par FROM d3),
+        |d4 AS (SELECT u, min(struct_pack(d := dist, p := par)) AS s FROM (
+        |         SELECT u, dist, par FROM d3f
+        |         UNION ALL
+        |         SELECT s.v AS u, p.dist + s.w AS dist, p.u AS par
+        |         FROM d3f p JOIN sym s ON s.u = p.u) GROUP BY u)
+        |SELECT u AS node, CAST(s.d AS BIGINT) AS dist,
+        |  CAST(s.p AS BIGINT) AS par
+        |FROM d4 ORDER BY dist, node""".stripMargin,
     // Same four Bellman-Ford relaxations as unrolled CTEs; integer
     // weights keep every distance an exact BIGINT in both engines.
     "q_graph_sssp" ->

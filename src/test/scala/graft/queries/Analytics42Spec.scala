@@ -44,5 +44,14 @@ class Analytics42Spec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 0L), (3L, 100000L), (4L, 200000L),
       (6L, 300000L), (2L, 500000L), (5L, 500000L)),
       s"sssp distances wrong: ${out.toSeq}")
+    // the tree variant carries the argmin parent: 4's parent is 3 (the
+    // cheap 2-edge route), NOT the direct weak edge from 1
+    val tree = SparkEntry.queries("q_graph_sssp_tree")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(tree.toSeq === Seq((1L, 0L, -1L), (3L, 100000L, 1L),
+      (4L, 200000L, 3L), (6L, 300000L, 4L), (2L, 500000L, 1L),
+      (5L, 500000L, 1L)),
+      s"sssp tree wrong: ${tree.toSeq}")
   }
 }
