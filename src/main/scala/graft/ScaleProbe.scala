@@ -102,6 +102,21 @@ object ScaleProbe {
           col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
       }.reduce(_ union _)
         .write.mode("overwrite").parquet(s"$probeDir/customer.parquet")
+    } else if (mode == "lineitem") {
+      // lineitem inflates by replicating ORDERS (shifted orderkeys,
+      // SAME partkeys, per-replica price perturbation): the co-purchase
+      // graph DENSIFIES — pair counts scale with the factor, so the
+      // support floor admits more edges and weights shrink — while the
+      // part universe stays fixed. That probes the graph ops against
+      // edge growth (the expensive direction) and the t-digest ops
+      // against pure row growth.
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      (0 until factor).map { i =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
+          .withColumn("l_extendedprice",
+            col("l_extendedprice") + lit(i).cast("decimal(12,2)") * 0.01)
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$probeDir/lineitem.parquet")
     } else {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       (0 until factor).map { i =>
@@ -116,6 +131,7 @@ object ScaleProbe {
       case "embeddings" => "embeddings"
       case "events" => "events"
       case "customer" => "customer"
+      case "lineitem" => "lineitem"
       case _ => "documents"
     }
     val n = spark.read.parquet(s"$probeDir/$tableName.parquet").count()
@@ -137,6 +153,9 @@ object ScaleProbe {
           // r8 late wave: native-top-k journey paths, key-bounded
           // JSON profile, streaming CDC state op
           "q_win_paths", "q_fn_json_profile")
+      else if (mode == "lineitem")
+        Seq("q_graph_sssp", "q_graph_sssp_tree", "q_agg_tdigest",
+          "q_agg_tdigest_rollup")
       else
         Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
           "q_dedup_ngram", "q_dedup_span", "q_dedup_url", "q_text_ngrams",
