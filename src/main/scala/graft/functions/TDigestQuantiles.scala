@@ -245,9 +245,16 @@ case class TDigestQuantiles(
 
   override def createAggregationBuffer(): TDigest = new TDigest(compression)
 
+  // non-finite inputs (NaN, ±Inf) are skipped like nulls: one NaN in a
+  // centroid's weighted mean would poison every quantile of the group,
+  // and ±Inf degenerates the interpolation — the sketch summarizes the
+  // finite distribution (TDigestSpec pins this)
   override def update(buffer: TDigest, input: InternalRow): TDigest = {
     val v = child.eval(input)
-    if (v != null) buffer.add(v.asInstanceOf[Double])
+    if (v != null) {
+      val x = v.asInstanceOf[Double]
+      if (java.lang.Double.isFinite(x)) buffer.add(x)
+    }
     buffer
   }
 
@@ -340,9 +347,13 @@ case class TDigestAgg(
 
   override def createAggregationBuffer(): TDigest = new TDigest(compression)
 
+  // same finite-values contract as tdigest_quantiles
   override def update(buffer: TDigest, input: InternalRow): TDigest = {
     val v = child.eval(input)
-    if (v != null) buffer.add(v.asInstanceOf[Double])
+    if (v != null) {
+      val x = v.asInstanceOf[Double]
+      if (java.lang.Double.isFinite(x)) buffer.add(x)
+    }
     buffer
   }
 

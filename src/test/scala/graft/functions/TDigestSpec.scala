@@ -119,6 +119,17 @@ class TDigestSpec extends AnyFunSuite {
     }
   }
 
+  test("non-finite inputs are skipped: NaN and ±Inf cannot poison the " +
+      "group's quantiles") {
+    GraftFunctions.register(spark)
+    val est = spark.sql(
+      """SELECT tdigest_quantiles(x, array(0.5D), 100) AS e
+        |FROM VALUES (1.0D), (double('NaN')), (3.0D),
+        |            (double('Infinity')), (double('-Infinity'))
+        |  AS t(x)""".stripMargin).head.getSeq[Double](0)
+    assert(est.head == 2.0, s"non-finite leak into the digest: $est")
+  }
+
   test("nulls are skipped; an all-null group evaluates to NULL") {
     GraftFunctions.register(spark)
     val rows = spark.sql(
