@@ -81,6 +81,34 @@ object Analytics42 {
       .orderBy(col("dist"), col("node"))
   }
 
+  /** Landmark distances — multi-source weighted shortest paths from the
+    * top-3-degree nodes in ONE iteration run: the state rows carry a
+    * landmark column ((landmark, node, dist) keyed on node for the
+    * edge join), so L sources cost one extra BIGINT per state row
+    * instead of L separate traversals. The classic use is
+    * landmark/pivot distance features (graph coordinates for ML, and
+    * dist(a,b) ≤ min_l d(l,a)+d(l,b) triangle sketches for
+    * point-to-point queries). Same integer weights and relaxation
+    * discipline as q_graph_sssp. */
+  private def qGraphLandmarks(s: SparkSession, d: String): DataFrame = {
+    val e = coPairCounts(s, d).filter(col("cn") >= 2)
+      .withColumn("w", expr("1000000 div cn"))
+    val sym = e.select(col("u"), col("v"), col("w"))
+      .union(e.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .localCheckpoint(true)
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val src = deg.orderBy(desc("deg"), col("u")).limit(3)
+      .select(col("u").as("l"), col("u"), lit(0L).as("dist"))
+    def relax(dk: DataFrame): DataFrame =
+      dk.union(dk.join(sym, Seq("u"))
+          .select(col("l"), col("v").as("u"),
+            (col("dist") + col("w")).as("dist")))
+        .groupBy(col("l"), col("u")).agg(min(col("dist")).as("dist"))
+    val d4 = relax(relax(relax(relax(src))))
+    d4.select(col("l").as("landmark"), col("u").as("node"), col("dist"))
+      .orderBy(col("landmark"), col("dist"), col("node"))
+  }
+
   /** Per-group quantiles via the native mergeable t-digest aggregate
     * (functions/TDigestQuantiles.scala) side-by-side with the exact
     * percentiles it approximates. At 100 TB the exact `percentile()`
@@ -150,11 +178,47 @@ object Analytics42 {
   val defs: Map[String, Relational.Q] = Map(
     "q_graph_sssp" -> (qGraphSssp _),
     "q_graph_sssp_tree" -> (qGraphSsspTree _),
+    "q_graph_landmarks" -> (qGraphLandmarks _),
     "q_agg_tdigest" -> (qAggTdigest _),
     "q_agg_tdigest_rollup" -> (qAggTdigestRollup _),
   )
 
   val sql: Map[String, String] = Map(
+    // One relaxation run, 3 sources: state rows carry the landmark.
+    "q_graph_landmarks" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |e AS (SELECT a.pk AS u, b.pk AS v, count(*) AS cn
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT u, v, 1000000 // cn AS w FROM e
+        |        UNION ALL
+        |        SELECT v AS u, u AS v, 1000000 // cn AS w FROM e),
+        |deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+        |src AS (SELECT u AS l, u, CAST(0 AS BIGINT) AS dist
+        |        FROM deg ORDER BY deg DESC, u LIMIT 3),
+        |d1 AS (SELECT l, u, min(dist) AS dist FROM (
+        |         SELECT l, u, dist FROM src
+        |         UNION ALL
+        |         SELECT p.l, s.v AS u, p.dist + s.w AS dist
+        |         FROM src p JOIN sym s ON s.u = p.u) GROUP BY l, u),
+        |d2 AS (SELECT l, u, min(dist) AS dist FROM (
+        |         SELECT l, u, dist FROM d1
+        |         UNION ALL
+        |         SELECT p.l, s.v AS u, p.dist + s.w AS dist
+        |         FROM d1 p JOIN sym s ON s.u = p.u) GROUP BY l, u),
+        |d3 AS (SELECT l, u, min(dist) AS dist FROM (
+        |         SELECT l, u, dist FROM d2
+        |         UNION ALL
+        |         SELECT p.l, s.v AS u, p.dist + s.w AS dist
+        |         FROM d2 p JOIN sym s ON s.u = p.u) GROUP BY l, u),
+        |d4 AS (SELECT l, u, min(dist) AS dist FROM (
+        |         SELECT l, u, dist FROM d3
+        |         UNION ALL
+        |         SELECT p.l, s.v AS u, p.dist + s.w AS dist
+        |         FROM d3 p JOIN sym s ON s.u = p.u) GROUP BY l, u)
+        |SELECT l AS landmark, u AS node, CAST(dist AS BIGINT) AS dist
+        |FROM d4 ORDER BY landmark, dist, node""".stripMargin,
     // Struct-min argmin relaxations: min(struct_pack(d, p)) is the
     // lexicographic (dist, parent) pick in both engines.
     "q_graph_sssp_tree" ->

@@ -53,5 +53,17 @@ class Analytics42Spec extends AnyFunSuite {
       (4L, 200000L, 3L), (6L, 300000L, 4L), (2L, 500000L, 1L),
       (5L, 500000L, 1L)),
       s"sssp tree wrong: ${tree.toSeq}")
+    // landmarks = top-3 degree {1, 4, 3}; one relaxation run carries
+    // all three sources — spot the full 18-row field
+    val lm = SparkEntry.queries("q_graph_landmarks")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(lm.toSeq === Seq(
+      (1L, 1L, 0L), (1L, 3L, 100000L), (1L, 4L, 200000L),
+      (1L, 6L, 300000L), (1L, 2L, 500000L), (1L, 5L, 500000L),
+      (3L, 3L, 0L), (3L, 1L, 100000L), (3L, 4L, 100000L),
+      (3L, 6L, 200000L), (3L, 2L, 600000L), (3L, 5L, 600000L),
+      (4L, 4L, 0L), (4L, 3L, 100000L), (4L, 6L, 100000L),
+      (4L, 1L, 200000L), (4L, 2L, 700000L), (4L, 5L, 700000L)),
+      s"landmark distances wrong: ${lm.toSeq}")
   }
 }
