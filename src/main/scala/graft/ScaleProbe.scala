@@ -141,7 +141,9 @@ object ScaleProbe {
           "q_dedup_embed", "q_dedup_semantic", "q_embed_norm",
           "q_embed_quantize")
       else if (mode == "customer")
-        Seq("q_join_fuzzy")
+        // r9 late wave: the k-anonymity audit rides the same inflation
+        // (classes deepen, class COUNT stays QI-bounded)
+        Seq("q_join_fuzzy", "q_quality_kanon")
       else if (mode == "events")
         Seq("q_join_nearest", "q_win_attribution", "q_win_churn",
           "q_win_cohort", "q_win_session", "q_win_concurrency",
@@ -155,7 +157,9 @@ object ScaleProbe {
           "q_win_paths", "q_fn_json_profile")
       else if (mode == "lineitem")
         Seq("q_graph_sssp", "q_graph_sssp_tree", "q_agg_tdigest",
-          "q_agg_tdigest_rollup")
+          "q_agg_tdigest_rollup",
+          // r9 late wave: CC rides the densifying co-purchase graph
+          "q_graph_cc")
       else
         Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
           "q_dedup_ngram", "q_dedup_span", "q_dedup_url", "q_text_ngrams",
@@ -164,7 +168,9 @@ object ScaleProbe {
           "q_text_entropy", "q_dedup_substring", "q_text_novelty",
           "q_text_lexdiv",
           // r8: df-capped inverted-index containment, unigram JSD
-          "q_dedup_containment", "q_text_jsd")
+          "q_dedup_containment", "q_text_jsd",
+          // r9 late wave: one-generation τ sweep, per-source datacard
+          "q_dedup_sweep", "q_quality_datacard")
     val times = ops.map { id =>
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(id)(spark, probeDir).count()

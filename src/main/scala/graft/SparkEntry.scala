@@ -38,6 +38,7 @@ object SparkEntry {
       Analytics34.defs ++ Analytics35.defs ++ Analytics36.defs ++
       Analytics37.defs ++ Analytics38.defs ++ Analytics39.defs ++
       Analytics40.defs ++ Analytics41.defs ++ Analytics42.defs ++
+      Analytics43.defs ++
       LlmText10.defs ++
       LlmText11.defs ++ LlmText12.defs ++ LlmSim2.defs ++ LlmSim3.defs ++
       LlmSim4.defs ++
@@ -68,6 +69,7 @@ object SparkEntry {
       Analytics34.sql ++ Analytics35.sql ++ Analytics36.sql ++
       Analytics37.sql ++ Analytics38.sql ++ Analytics39.sql ++
       Analytics40.sql ++ Analytics41.sql ++ Analytics42.sql ++
+      Analytics43.sql ++
       LlmText10.sql ++
       LlmText11.sql ++ LlmText12.sql ++ LlmSim2.sql ++ LlmSim3.sql ++
       LlmSim4.sql ++

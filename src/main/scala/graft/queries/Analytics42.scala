@@ -109,6 +109,40 @@ object Analytics42 {
       .orderBy(col("landmark"), col("dist"), col("node"))
   }
 
+  /** Connected components of the support-≥2 co-purchase graph —
+    * hash-min label propagation WITH pointer jumping (each round:
+    * lbl(v) ← min over closed neighborhood, then lbl(v) ← lbl(lbl(v))),
+    * the O(log diameter) distributed-CC discipline (large-star/
+    * small-star family). Four rounds reach ≥ 30 hops on a worst-case
+    * path — far past any co-purchase component diameter — and the
+    * DuckDB oracle runs the SAME four rounds, so the engines agree
+    * bit-for-bit by construction. Labels only shrink and every label
+    * is a live node id, so the jump lookup join is total.
+    * Output: one row per component (min-node-id label, size), the
+    * "how fragmented is the product graph" report. At 100 TB: state
+    * is ONE (node, lbl) row per node, every shuffle keys on the node
+    * id, min() combines map-side, and the round count grows with
+    * log(diameter), not diameter. */
+  private def qGraphComponents(s: SparkSession, d: String): DataFrame = {
+    val e = coPairCounts(s, d).filter(col("cn") >= 2)
+    val sym = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    val init = sym.select(col("u")).distinct()
+      .select(col("u"), col("u").as("lbl"))
+    def round(st: DataFrame): DataFrame = {
+      val m = st.union(st.join(sym, Seq("u"))
+          .select(col("v").as("u"), col("lbl")))
+        .groupBy(col("u")).agg(min(col("lbl")).as("lbl"))
+      val lk = m.select(col("u").as("lbl"), col("lbl").as("jump"))
+      m.join(lk, Seq("lbl")).select(col("u"), col("jump").as("lbl"))
+    }
+    val fin = round(round(round(round(init))))
+    fin.groupBy(col("lbl")).agg(count(lit(1)).as("n_nodes"))
+      .select(col("lbl").as("component"), col("n_nodes"))
+      .orderBy(desc("n_nodes"), col("component"))
+  }
+
   /** Per-group quantiles via the native mergeable t-digest aggregate
     * (functions/TDigestQuantiles.scala) side-by-side with the exact
     * percentiles it approximates. At 100 TB the exact `percentile()`
@@ -177,6 +211,7 @@ object Analytics42 {
 
   val defs: Map[String, Relational.Q] = Map(
     "q_graph_sssp" -> (qGraphSssp _),
+    "q_graph_cc" -> (qGraphComponents _),
     "q_graph_sssp_tree" -> (qGraphSsspTree _),
     "q_graph_landmarks" -> (qGraphLandmarks _),
     "q_agg_tdigest" -> (qAggTdigest _),
@@ -184,6 +219,42 @@ object Analytics42 {
   )
 
   val sql: Map[String, String] = Map(
+    // Same four hash-min + pointer-jump rounds as unrolled CTEs: the
+    // jump is a self-join of the round's min table on its own labels.
+    "q_graph_cc" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |e AS (SELECT a.pk AS u, b.pk AS v, count(*) AS cn
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |l0 AS (SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM sym)),
+        |m1 AS (SELECT u, min(lbl) AS lbl FROM (
+        |         SELECT u, lbl FROM l0
+        |         UNION ALL
+        |         SELECT s.v AS u, p.lbl FROM l0 p JOIN sym s ON s.u = p.u)
+        |       GROUP BY u),
+        |l1 AS (SELECT a.u, b.lbl FROM m1 a JOIN m1 b ON a.lbl = b.u),
+        |m2 AS (SELECT u, min(lbl) AS lbl FROM (
+        |         SELECT u, lbl FROM l1
+        |         UNION ALL
+        |         SELECT s.v AS u, p.lbl FROM l1 p JOIN sym s ON s.u = p.u)
+        |       GROUP BY u),
+        |l2 AS (SELECT a.u, b.lbl FROM m2 a JOIN m2 b ON a.lbl = b.u),
+        |m3 AS (SELECT u, min(lbl) AS lbl FROM (
+        |         SELECT u, lbl FROM l2
+        |         UNION ALL
+        |         SELECT s.v AS u, p.lbl FROM l2 p JOIN sym s ON s.u = p.u)
+        |       GROUP BY u),
+        |l3 AS (SELECT a.u, b.lbl FROM m3 a JOIN m3 b ON a.lbl = b.u),
+        |m4 AS (SELECT u, min(lbl) AS lbl FROM (
+        |         SELECT u, lbl FROM l3
+        |         UNION ALL
+        |         SELECT s.v AS u, p.lbl FROM l3 p JOIN sym s ON s.u = p.u)
+        |       GROUP BY u),
+        |l4 AS (SELECT a.u, b.lbl FROM m4 a JOIN m4 b ON a.lbl = b.u)
+        |SELECT lbl AS component, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM l4 GROUP BY lbl ORDER BY n_nodes DESC, component""".stripMargin,
     // One relaxation run, 3 sources: state rows carry the landmark.
     "q_graph_landmarks" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

@@ -116,6 +116,54 @@ object LlmText10 {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Threshold-sweep tuning report for the shingle-Jaccard dedup
+    * family: for each candidate threshold τ, how many near-dup pairs
+    * and how many distinct documents would a τ-cut remove — the
+    * knob-tuning curve every production dedup rollout reads before
+    * committing to a threshold (too low strips paraphrases, too high
+    * leaves templates). Pairs come from the same df-capped inverted
+    * index as q_dedup_containment (never all-pairs); Jaccard is exact
+    * on the capped shingle sets, rounded to 9dp before the τ compare
+    * so the boundary decision is engine-independent. The sweep itself
+    * is a 5-row broadcast cross join over the (small) verified-pair
+    * table — at 100 TB the pair table scales with true duplicate mass,
+    * and the five thresholds are answered from ONE candidate
+    * generation, not five dedup runs. */
+  private def qDedupSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // persisted: feeds the pair join twice plus the per-doc sizes
+    val ex = cappedShingles(s, d).persist()
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("nsz"))
+    val pairs = ex.select(col("sh"), col("doc_id").as("a"))
+      .join(ex.select(col("sh"), col("doc_id").as("b")), Seq("sh"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 3)
+      .join(sizes.select(col("doc_id").as("a"), col("nsz").as("n_a")),
+        Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("nsz").as("n_b")),
+        Seq("b"))
+      .withColumn("jac", round(dbl(col("shared")) /
+        dbl(col("n_a") + col("n_b") - col("shared")), 9))
+    val taus = Seq(0.2, 0.3, 0.4, 0.5, 0.7).toDF("tau")
+    // persisted: the τ-filtered pairs feed the pair count AND the
+    // distinct-doc count (qAggIqr persist-what-feeds-two-branches rule)
+    val pf = pairs.crossJoin(broadcast(taus))
+      .filter(col("jac") >= col("tau")).persist()
+    val np = pf.groupBy(col("tau")).agg(count(lit(1)).as("n_pairs"))
+    val docs = pf.select(col("tau"), col("a").as("docid"))
+      .union(pf.select(col("tau"), col("b").as("docid")))
+      .groupBy(col("tau")).agg(countDistinct(col("docid")).as("n_docs"))
+    val total = t(s, d, "documents").agg(count(lit(1)).as("nt"))
+    np.join(docs, Seq("tau"))
+      .crossJoin(broadcast(total))
+      .select(col("tau"), col("n_pairs"), col("n_docs"),
+        when(col("nt") > 0,
+          round(dbl(col("n_docs")) / dbl(col("nt")), 9))
+          .as("dup_doc_share"))
+      .orderBy(col("tau"))
+  }
+
   /** Pooled-truth evaluation of the MinHash-LSH dedup index — the
     * dedup sibling of q_sim_recall (every index ships with its own
     * quality report). Exact all-pairs ground truth exists at NO scale,
@@ -190,6 +238,7 @@ object LlmText10 {
   val defs: Map[String, Relational.Q] = Map(
     "q_text_jsd" -> (qTextJsd _),
     "q_dedup_containment" -> (qDedupContainment _),
+    "q_dedup_sweep" -> (qDedupSweep _),
     "q_dedup_eval" -> (qDedupEval _),
   )
 
@@ -258,6 +307,39 @@ object LlmText10 {
         |  round((CAST(sp AS DOUBLE) + CAST(sq AS DOUBLE))
         |    / (2.0 * ln(2.0)), 6) AS jsd_bits
         |FROM agg, top2""".stripMargin,
+    // Same capped inverted index; τ list is a VALUES CTE cast to
+    // DOUBLE (DuckDB literals are DECIMAL), jac rounds to 9dp before
+    // the boundary compare in both engines.
+    "q_dedup_sweep" ->
+      s"""WITH $shinglesSql,
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsz
+        |          FROM ex GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    CAST(count(*) AS BIGINT) AS shared
+        |  FROM ex x JOIN ex y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |j AS (
+        |  SELECT a, b, round(CAST(shared AS DOUBLE) /
+        |      CAST(sa.nsz + sb.nsz - shared AS DOUBLE), 9) AS jac
+        |  FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id
+        |    JOIN sizes sb ON pairs.b = sb.doc_id),
+        |taus AS (SELECT CAST(tau AS DOUBLE) AS tau
+        |         FROM (VALUES (0.2), (0.3), (0.4), (0.5), (0.7)) v(tau)),
+        |pf AS (SELECT tau, a, b FROM j CROSS JOIN taus WHERE jac >= tau),
+        |np AS (SELECT tau, CAST(count(*) AS BIGINT) AS n_pairs
+        |       FROM pf GROUP BY tau),
+        |docs AS (SELECT tau, CAST(count(DISTINCT docid) AS BIGINT)
+        |           AS n_docs
+        |         FROM (SELECT tau, a AS docid FROM pf
+        |               UNION ALL SELECT tau, b FROM pf) GROUP BY tau),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM documents)
+        |SELECT tau, n_pairs, n_docs,
+        |  CASE WHEN nt > 0 THEN
+        |    round(CAST(n_docs AS DOUBLE) / CAST(nt AS DOUBLE), 9)
+        |  END AS dup_doc_share
+        |FROM np JOIN docs USING (tau) CROSS JOIN tot
+        |ORDER BY tau""".stripMargin,
     "q_dedup_containment" ->
       s"""WITH $shinglesSql,
         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsz

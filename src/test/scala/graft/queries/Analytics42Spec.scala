@@ -66,4 +66,24 @@ class Analytics42Spec extends AnyFunSuite {
       (4L, 1L, 200000L), (4L, 2L, 700000L), (4L, 5L, 700000L)),
       s"landmark distances wrong: ${lm.toSeq}")
   }
+
+  test("cc: 10-node path (9 hops — past plain 4-round hash-min reach, " +
+      "proving the pointer jump), triangle, and pair resolve to 3 " +
+      "min-id components") {
+    import spark.implicits._
+    val dir = Tables.freshDir("a42_cc")
+    val pathEdges = (101L to 109L).map(i => (i, i + 1))
+    val edges = pathEdges ++ Seq((201L, 202L), (201L, 203L),
+      (202L, 203L), (301L, 302L))
+    var ok = 5000L
+    val rows = edges.flatMap { case (a, b) =>
+      (0 until 2).flatMap { _ => ok += 1; Seq((ok, a), (ok, b)) }
+    }
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q_graph_cc")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((101L, 10L), (201L, 3L), (301L, 2L)),
+      s"components wrong: ${out.toSeq}")
+  }
 }
