@@ -205,8 +205,18 @@ object Bench {
           try { fn(spark, sfDir).count(); "ok" }
           catch { case e: Throwable => e.getClass.getSimpleName }
         loadMax = math.max(loadMax, loadAvg())
-        QRes((System.nanoTime() - t0) / 1e9, gcSec() - g0, cpuSec() - c0,
-          status)
+        val res = QRes((System.nanoTime() - t0) / 1e9, gcSec() - g0,
+          cpuSec() - c0, status)
+        // Per-op cache isolation (VERDICT r9): a query-body persist must
+        // not outlive its op — leftover CacheManager entries accumulate
+        // memory forever on a long-lived session AND get silently
+        // substituted into later queries' plans (plan-equality matching),
+        // which both distorts their timings and caused the
+        // "Asked to cache already cached data" warnings in the r9 tail.
+        // The clear runs OUTSIDE the timed region; each op's own cache
+        // build cost was already inside its measurement.
+        spark.catalog.clearCache()
+        res
       }
 
       val firstPass = selected.zipWithIndex.map { case ((name, fn), i) =>

@@ -111,10 +111,17 @@ object ScaleProbe {
       // edge growth (the expensive direction) and the t-digest ops
       // against pure row growth.
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      // perturbation stays in DECIMAL end-to-end and the sum casts back
+      // to the base column's exact type: a double literal here would
+      // promote l_extendedprice to DOUBLE and silently drift the probe
+      // parquet's schema from the base table's (ADVICE r9)
+      val baseTy = li.schema("l_extendedprice").dataType.sql
       (0 until factor).map { i =>
         li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
           .withColumn("l_extendedprice",
-            col("l_extendedprice") + lit(i).cast("decimal(12,2)") * 0.01)
+            (col("l_extendedprice") +
+              lit(i).cast("decimal(12,2)") * lit("0.01").cast("decimal(12,2)"))
+              .cast(baseTy))
       }.reduce(_ union _)
         .write.mode("overwrite").parquet(s"$probeDir/lineitem.parquet")
     } else {

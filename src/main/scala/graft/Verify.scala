@@ -24,9 +24,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // per-op cache isolation: no query-body persist outlives its op
+        // (VERDICT r9 — CacheManager entries otherwise accumulate across
+        // the 346-op dump and leak into later queries' plans)
+        spark.catalog.clearCache()
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // Emit an explicit error-marker result instead of omitting the id:
         // a broken query then surfaces as a red (schema/hash-mismatch) row

@@ -40,11 +40,15 @@ object Analytics38 {
   /** Pearson correlation of clicks(day) vs purchases(day+lag) for
     * lag 0..7, over day pairs where both days are active. */
   private def qTimeLagCorr(s: SparkSession, d: String): DataFrame = {
-    // persisted: the daily aggregate feeds BOTH sides of the lag
-    // self-join, and column pruning (c vs p) would otherwise split it
-    // into two aggregate subplans that each rescan + reshuffle the
-    // events stream (ADVICE r8; the qAggIqr precedent)
-    val dl = daily(s, d).persist()
+    // eager localCheckpoint, NOT persist: the daily aggregate feeds BOTH
+    // sides of the lag self-join, and column pruning (c vs p) would
+    // otherwise split it into two aggregate subplans that each rescan +
+    // reshuffle the events stream (ADVICE r8). Checkpoint blocks are
+    // RDD-level — reclaimed by the ContextCleaner once unreferenced —
+    // where Dataset.persist would sit in the CacheManager until an
+    // explicit unpersist and leak past the op (VERDICT r9). The daily
+    // table is calendar-bounded, so the eager materialization is tiny.
+    val dl = daily(s, d).localCheckpoint(true)
     val a = dl.select(col("day"), col("c").cast("decimal(19,0)").as("x"))
     val b = dl.select(col("day").as("day_b"),
       col("p").cast("decimal(19,0)").as("y"))

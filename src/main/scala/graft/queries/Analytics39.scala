@@ -56,13 +56,16 @@ object Analytics39 {
       """WITH ev AS (SELECT props FROM events),
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM ev),
         |keyed AS (
-        |  SELECT k,
-        |    json_extract_string(props, '$.' || k) AS v
-        |  -- json_valid mirrors Spark's behavior (json_object_keys of an
-        |  -- invalid blob is NULL → the explode drops the row); DuckDB's
-        |  -- json_keys would ERROR on it instead
-        |  FROM (SELECT props, unnest(json_keys(props)) AS k FROM ev
-        |        WHERE json_valid(props)) z),
+        |  -- key-opaque like the engine side: the whole object becomes a
+        |  -- MAP and its entries unnest — no '$.'||k path concat, so keys
+        |  -- containing JSONPath metacharacters ('.', '"', '[', '$')
+        |  -- extract their own values (ADVICE r9). json_valid mirrors
+        |  -- Spark's behavior (from_json of an invalid blob is NULL → the
+        |  -- explode drops the row); the transform would ERROR on it
+        |  SELECT e.key AS k, e.value AS v
+        |  FROM (SELECT unnest(map_entries(
+        |          json_transform(props, '"MAP(VARCHAR, VARCHAR)"'))) AS e
+        |        FROM ev WHERE json_valid(props)) z),
         |agg AS (
         |  SELECT k, CAST(count(*) AS BIGINT) AS n_present,
         |    CAST(sum(CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL

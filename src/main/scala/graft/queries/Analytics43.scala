@@ -65,18 +65,23 @@ object Analytics43 {
     * per-source aggregates; the dominant language is a
     * row_number-over-counts argmax (deterministic lang tie-break). */
   private def qQualityDatacard(s: SparkSession, d: String): DataFrame = {
-    // persisted: the token-annotated scan feeds the per-source base
-    // aggregate AND the per-(source, lang) argmax
+    // eager localCheckpoint, NOT persist (feeds the per-source base
+    // aggregate AND the per-(source, lang) argmax): RDD-level blocks the
+    // ContextCleaner reclaims, no CacheManager entry to leak past the op
+    // (VERDICT r9). The text column collapses to its md5 BEFORE the
+    // materialization — the dup-share aggregate only ever consumes the
+    // hash, so the checkpointed table carries 16 bytes per doc instead
+    // of the corpus.
     val docs = t(s, d, "documents")
-      .select(col("source"), col("lang"), col("text"),
+      .select(col("source"), col("lang"), md5(col("text")).as("th"),
         size(split(col("text"), " ")).cast("bigint").as("ntok"))
-      .persist()
+      .localCheckpoint(true)
     val base = docs.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
       sum(col("ntok")).as("n_tokens"),
       countDistinct(col("lang")).as("n_langs"),
       sum(when(col("ntok") < 20, 1L).otherwise(0L)).as("n_short"),
-      countDistinct(md5(col("text"))).as("n_uniq"))
+      countDistinct(col("th")).as("n_uniq"))
     val wTop = Window.partitionBy(col("source"))
       .orderBy(desc("nl"), col("lang"))
     val top = docs.groupBy(col("source"), col("lang"))

@@ -92,23 +92,68 @@ object StreamingQ {
     s.table(name)
   }
 
-  /** Watermarked tumbling agg: the straggler (45 min late vs a 10-min
-    * watermark) must be dropped; on-time out-of-order events must land. */
-  private def qStreamWatermark(s: SparkSession, d: String): DataFrame = {
+  /** Observability readout for [[runWatermarkObserved]]: rows the
+    * `observe()` hook counted entering the pipeline, and rows the
+    * watermark dropped at the stateful operator (the engine's
+    * numRowsDroppedByWatermark), summed over all micro-batches. */
+  private[graft] case class WatermarkObs(observedRows: Long,
+      droppedByWatermark: Long)
+
+  /** Watermarked tumbling agg WITH the production monitoring surface
+    * wired in: a `Dataset.observe()` named aggregate on the raw input
+    * (rows entering, per batch — the sink every streaming pipeline
+    * exports to its metrics system) plus the engine's own
+    * per-state-operator `numRowsDroppedByWatermark`, both read off the
+    * StreamingQueryProgress API after the run. observe() computes its
+    * aggregates inline on rows flowing past — no extra pass, no state —
+    * and the two counters together give the live late-data equation:
+    * rows_in − rows_dropped = rows aggregated. The straggler (55+ min
+    * late vs a 10-min watermark) must be dropped; on-time out-of-order
+    * events must land. StreamingLlmSpec asserts the observed totals
+    * equal the crafted feed (7 in, exactly the 1 straggler dropped). */
+  private[graft] def runWatermarkObserved(s: SparkSession)
+      : (DataFrame, WatermarkObs) = {
+    import s.implicits._
     val batch1 = Seq(ev(1, 60), ev(2, 400), ev(3, 310), // window 0-5min ×2, 5-10 ×1
       ev(4, 1000))                                      // 15-20min
     val batch2 = Seq(ev(5, 3600),                       // advances watermark to 50min
       ev(6, 70),                                        // 55+ min late → DROPPED
       ev(7, 3650))
-    runStream(s, batch1, batch2,
-      df => df.withWatermark("ts", "10 minutes")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Ev](s)
+    val name = s"wmsink_${UUID.randomUUID().toString.replace("-", "")}"
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = input.toDF()
+        .observe("graft_input", count(lit(1)).as("n_rows"))
+        .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "5 minutes"))
         .agg(count(lit(1)).as("n"), sum(col("value").cast("long")).as("sum_v"))
         .select(unix_micros(col("window.start")).as("w_start"), col("n"),
-          col("sum_v")),
-      OutputMode.Append())
-      .orderBy("w_start")
+          col("sum_v"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      val obs = try {
+        input.addData(batch1)
+        q.processAllAvailable()
+        input.addData(batch2)
+        q.processAllAvailable()
+        // recentProgress covers every batch of this short run (default
+        // retention 100); no-data batches carry no observed metrics
+        val ps = q.recentProgress.toSeq
+        WatermarkObs(
+          ps.flatMap(p => Option(p.observedMetrics.get("graft_input")))
+            .map(_.getAs[Long]("n_rows")).sum,
+          ps.flatMap(_.stateOperators.toSeq)
+            .map(_.numRowsDroppedByWatermark).sum)
+      } finally q.stop()
+      (s.table(name).orderBy("w_start"), obs)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
+
+  private def qStreamWatermark(s: SparkSession, d: String): DataFrame =
+    runWatermarkObserved(s)._1
 
   /** Streaming dropDuplicates on event_id within the watermark. */
   private def qStreamDedup(s: SparkSession, d: String): DataFrame = {
@@ -273,9 +318,31 @@ object StreamingQ {
     *    +2h event drags the watermark to +110min);
     *  - a late event can neither update nor resurrect an evicted
     *    session (u2's +2min batch-3 straggler changes nothing).
-    * `onBatch` lets the spec read per-batch state-store metrics
-    * (numRowsTotal / numRowsRemoved) off the live query. */
+    * Out-of-order events ABOVE the watermark merge exactly: an event
+    * earlier than the open session's start (reachable — the 10-min
+    * watermark is shorter than the 30-min gap) moves startMs BACK
+    * (min-merge), so the emitted s_start always covers every counted
+    * event (ADVICE r9). `onBatch` lets the spec read per-batch
+    * state-store metrics (numRowsTotal / numRowsRemoved) off the live
+    * query. */
   private[graft] def runSessionAgg(s: SparkSession,
+      onBatch: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame =
+    runSessionAggFeed(s, Seq(
+      // b1: two open sessions — u1 [0,31m) n=2, u2 [100s,31m40s) n=1
+      Seq(ev(1, 0, uid = 1), ev(2, 60, uid = 1), ev(3, 100, uid = 2)),
+      // b2: u1 grows (merge into open session); u3 opens at +2h and
+      // drags the watermark to +110min at batch end
+      Seq(ev(4, 300, uid = 1), ev(5, 7200, uid = 3)),
+      // b3: u1/u2 time out under the +110min watermark (finalized +
+      // evicted); u2's +2min straggler is beyond the watermark →
+      // dropped, cannot resurrect the session; u3 grows normally
+      Seq(ev(6, 120, uid = 2), ev(7, 7260, uid = 3))), onBatch)
+
+  /** [[runSessionAgg]] with a caller-supplied micro-batch feed (the
+    * spec uses it to pin the out-of-order min-merge case). */
+  private[graft] def runSessionAggFeed(s: SparkSession,
+      batches: Seq[Seq[Ev]],
       onBatch: org.apache.spark.sql.streaming.StreamingQuery => Unit =
         _ => ()): DataFrame = {
     import s.implicits._
@@ -312,8 +379,12 @@ object StreamingQ {
                 var out = List.empty[(Long, Long, Long, Long, Boolean)]
                 var cur = state.getOption match {
                   case Some(st) if ts.head <= st.endMs =>
-                    Sess(st.startMs, math.max(st.endMs, ts.head + gapMs),
-                      st.n + 1)
+                    // min-merge: an above-watermark but out-of-order
+                    // event earlier than the open session's start moves
+                    // startMs back, so s_start covers every counted
+                    // event (ADVICE r9)
+                    Sess(math.min(st.startMs, ts.head),
+                      math.max(st.endMs, ts.head + gapMs), st.n + 1)
                   case Some(st) =>
                     out ::= (uid, st.startMs * 1000, st.endMs * 1000,
                       st.n, true)
@@ -342,19 +413,10 @@ object StreamingQ {
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Update()).start()
       try {
-        // b1: two open sessions — u1 [0,31m) n=2, u2 [100s,31m40s) n=1
-        input.addData(Seq(ev(1, 0, uid = 1), ev(2, 60, uid = 1),
-          ev(3, 100, uid = 2)))
-        q.processAllAvailable(); onBatch(q)
-        // b2: u1 grows (merge into open session); u3 opens at +2h and
-        // drags the watermark to +110min at batch end
-        input.addData(Seq(ev(4, 300, uid = 1), ev(5, 7200, uid = 3)))
-        q.processAllAvailable(); onBatch(q)
-        // b3: u1/u2 time out under the +110min watermark (finalized +
-        // evicted); u2's +2min straggler is beyond the watermark →
-        // dropped, cannot resurrect the session; u3 grows normally
-        input.addData(Seq(ev(6, 120, uid = 2), ev(7, 7260, uid = 3)))
-        q.processAllAvailable(); onBatch(q)
+        batches.foreach { b =>
+          input.addData(b)
+          q.processAllAvailable(); onBatch(q)
+        }
       } finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.table(name)
@@ -422,6 +484,71 @@ object StreamingQ {
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.table(name).orderBy("ad_id")
   }
+
+  /** Watermarked stream-stream LEFT OUTER join — the attribution /
+    * conversion-funnel staple (every impression reports exactly once:
+    * matched with its click when one lands inside the 10-minute window,
+    * or null-padded once the watermark passes the window's end). This
+    * exercises a state-eviction path the inner join never touches: an
+    * unmatched left row is EMITTED (not just dropped) at eviction time,
+    * and must be emitted exactly once. Three phases, with `onPhase`
+    * exposing the sink between them so the spec can pin WHEN the null
+    * row appears:
+    *  1. impressions 1/2/3 + a click for 1 (and a clickless click 4):
+    *     the match emits immediately; 2/3 are buffered, no null rows —
+    *     the watermark hasn't passed their windows;
+    *  2. a +~67min impression/click pair: the pair matches, and its
+    *     event time drags the watermark to +~57min — past impressions
+    *     2/3's join-window ends — so their null-padded rows emit (in
+    *     this trigger's no-data follow-up batch or the next batch);
+    *  3. a flush impression whose own window the watermark has NOT
+    *     passed: it forces one more micro-batch (evicting anything
+    *     pending) but must itself stay buffered, proving null emission
+    *     is watermark-gated, not stop-gated.
+    * State on both sides is bounded by the watermark (evicted rows
+    * leave the store — the production guarantee that the join's memory
+    * is O(window), not O(stream)). No SQL oracle (stateful streaming;
+    * SURVEY §2.C rule 4); StreamingLlmSpec pins the phase behavior and
+    * exactly-once emission. */
+  private[graft] def runStreamJoinOuter(s: SparkSession,
+      onPhase: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+    import s.implicits._
+    val imp = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Ev](s)
+    val clk = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Ev](s)
+    val name = s"josink_${UUID.randomUUID().toString.replace("-", "")}"
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val impDf = imp.toDF().select(col("event_id").as("ad_id"),
+        col("ts").as("imp_ts")).withWatermark("imp_ts", "10 minutes")
+      val clkDf = clk.toDF().select(col("event_id").as("c_ad_id"),
+        col("ts").as("clk_ts")).withWatermark("clk_ts", "10 minutes")
+      val joined = impDf.join(clkDf, expr(
+        "ad_id = c_ad_id AND clk_ts BETWEEN imp_ts AND imp_ts + INTERVAL 10 MINUTES"),
+        "left_outer")
+        .select(col("ad_id"), unix_micros(col("imp_ts")).as("imp_us"),
+          unix_micros(col("clk_ts")).as("clk_us"))
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        imp.addData(Seq(ev(1, 0), ev(2, 60), ev(3, 120)))
+        clk.addData(Seq(ev(1, 300),  // 5 min later → matches ad 1
+          ev(4, 200)))               // click with no impression → dropped
+        q.processAllAvailable(); onPhase(1, s.table(name))
+        imp.addData(Seq(ev(9, 4000)))
+        clk.addData(Seq(ev(9, 4200))) // watermark → 4200s − 10min = 3600s
+        q.processAllAvailable(); onPhase(2, s.table(name))
+        imp.addData(Seq(ev(10, 4600))) // flush; own window not yet closed
+        q.processAllAvailable(); onPhase(3, s.table(name))
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(name)
+  }
+
+  private def qStreamJoinOuter(s: SparkSession, d: String): DataFrame =
+    runStreamJoinOuter(s).orderBy("ad_id")
 
   /** Stream-static join: the streaming event feed enriched against a
     * small static dimension (event_type → funnel stage) and aggregated —
@@ -595,6 +722,7 @@ object StreamingQ {
     "q_stream_topk" -> (qStreamTopk _),
     "q_stream_quantiles" -> (qStreamQuantiles _),
     "q_stream_join" -> (qStreamJoin _),
+    "q_stream_join_outer" -> (qStreamJoinOuter _),
     "q_stream_static_join" -> (qStreamStaticJoin _),
     "q_stream_foreachbatch" -> (qStreamForeachBatch _),
     "q_stream_file_source" -> (qStreamFileSource _),

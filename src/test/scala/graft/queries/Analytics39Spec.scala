@@ -26,7 +26,11 @@ class Analytics39Spec extends AnyFunSuite {
     val d = Files.createTempDirectory("graft-jsonprof").toString
     Seq(
       (1L, t0, 1L, "click", 1.0, """{"a.b": 1, "x": "y"}"""),
-      (2L, t0, 2L, "click", 1.0, """{"a.b": 2}"""),
+      // every JSONPath metachar class: quote (JSON-escaped \"), brackets,
+      // dollar — tools/oracle_regress.py runs the DuckDB ORACLE over this
+      // same corpus and must produce the same table (ADVICE r9)
+      (2L, t0, 2L, "click", 1.0,
+        """{"a.b": 2, "qu\"ote": "z", "br[ack]et": 3, "$d": 4}"""),
       (3L, t0, 3L, "click", 1.0, """not json"""))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(s"$d/events.parquet")
@@ -40,9 +44,12 @@ class Analytics39Spec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
         r.getLong(3), Option(r.get(4)), Option(r.get(5))))
     assert(rows.toSeq == Seq(
+      ("$d", 1L, 0.333333, 1L, Some(4.0), Some(4.0)),
       // a dotted key would be '$.a.b' under path concat — a lookup of
       // b inside a, i.e. NULL — but profiles correctly via the map
       ("a.b", 2L, 0.666667, 2L, Some(1.0), Some(2.0)),
+      ("br[ack]et", 1L, 0.333333, 1L, Some(3.0), Some(3.0)),
+      ("qu\"ote", 1L, 0.333333, 0L, None, None),
       ("x", 1L, 0.333333, 0L, None, None)), s"got ${rows.toSeq}")
   }
 }

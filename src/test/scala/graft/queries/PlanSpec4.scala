@@ -64,8 +64,9 @@ class PlanSpec4 extends AnyFunSuite {
     }
   }
 
-  test("containment: both pair-join inputs are df-cap-filtered " +
-      "(LeftSemi below the join), never the raw shingle stream") {
+  test("containment: both pair-join inputs read the df-capped artifact " +
+      "(write-once parquet), never the raw shingle stream; the artifact " +
+      "build carries the df-cap LeftSemi") {
     val ns = nodes("q_dedup_containment")
     val pairJoins = ns.collect {
       case j: BaseJoinExec
@@ -76,14 +77,24 @@ class PlanSpec4 extends AnyFunSuite {
     assert(pairJoins.nonEmpty, "no shingle-keyed pair join found")
     pairJoins.foreach { j =>
       Seq(j.left, j.right).foreach { side =>
-        val hasSemi = flattenPlan(side).exists {
-          case jj: BaseJoinExec => jj.joinType.toString == "LeftSemi"
-          case _ => false
+        val scans = flattenPlan(side).collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+        assert(scans.nonEmpty, s"pair-join side has no file scan:\n$side")
+        scans.foreach { sc =>
+          assert(sc.toString.contains("capped_sh5"),
+            s"pair-join side reads something other than the capped " +
+              s"artifact:\n$sc")
         }
-        assert(hasSemi,
-          s"pair-join side reads the uncapped shingle stream:\n$side")
       }
     }
+    // the df-cap lives in the artifact BUILD plan: a LeftSemi between
+    // the exploded shingle stream and the [2,50]-df keep set
+    val build = LlmText10.cappedShinglesPlan(spark, sf)
+      .queryExecution.executedPlan
+    assert(flattenPlan(build).exists {
+      case jj: BaseJoinExec => jj.joinType.toString == "LeftSemi"
+      case _ => false
+    }, s"artifact build plan lost the df-cap semi-join:\n$build")
   }
 
   test("radius search broadcasts the probes and never shuffles the " +

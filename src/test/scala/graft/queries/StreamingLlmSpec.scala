@@ -438,6 +438,69 @@ class StreamingLlmSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, 300000000L)), s"got ${rows.toSeq}")
   }
 
+  test("left-outer stream-stream join: matches emit immediately, " +
+      "unmatched impressions null-pad only AFTER the watermark passes " +
+      "their window, each row exactly once") {
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    val phases = scala.collection.mutable.Map[Int,
+      Seq[(Long, Long, Option[Long])]]()
+    val fin = snap(StreamingQ.runStreamJoinOuter(spark,
+      (i, df) => phases(i) = snap(df)))
+    // phase 1: the in-window click matched and emitted; impressions 2/3
+    // are BUFFERED, not null-emitted — their windows aren't closed yet
+    assert(phases(1).toSet == Set((1L, usBase, Some(usBase + 300000000L))),
+      s"phase 1: ${phases(1)}")
+    // final: the phase-2 pair matched; 2/3 null-padded exactly once when
+    // the watermark passed +10min-after-impression; the flush impression
+    // (ad 10, window still open at stop) must NOT have emitted
+    val expect = Seq(
+      (1L, usBase, Some(usBase + 300000000L)),
+      (2L, usBase + 60000000L, None),
+      (3L, usBase + 120000000L, None),
+      (9L, usBase + 4000000000L, Some(usBase + 4200000000L)))
+    assert(fin.sortBy(_._1) == expect, s"final sink: ${fin.sortBy(_._1)}")
+    // exactly-once: no row (matched or null-padded) appears twice
+    assert(fin.distinct.size == fin.size, s"duplicate emission: $fin")
+  }
+
+  test("watermark observability: observe() input counter and the " +
+      "engine's numRowsDroppedByWatermark reconcile with the crafted " +
+      "feed (7 in, exactly the 1 straggler dropped)") {
+    val (df, obs) = StreamingQ.runWatermarkObserved(spark)
+    val emitted = df.collect().map(_.getLong(1)).sum
+    assert(obs.observedRows == 7L,
+      s"observe() saw ${obs.observedRows} input rows, crafted feed has 7")
+    assert(obs.droppedByWatermark == 1L,
+      s"engine dropped ${obs.droppedByWatermark} rows, crafted 1 straggler")
+    // the live late-data ledger: rows_in − rows_dropped = rows kept;
+    // append mode emitted the 4 rows whose windows the watermark closed,
+    // and the remaining 2 kept rows (ev5/ev7, +60min windows) were still
+    // in open windows at stop
+    assert(emitted == 4L, s"closed-window rows emitted: $emitted != 4")
+    assert(obs.observedRows - obs.droppedByWatermark - emitted == 2L,
+      s"open-window remainder: ${obs.observedRows} - " +
+        s"${obs.droppedByWatermark} - $emitted != 2")
+  }
+
+  test("session agg min-merge: an above-watermark but out-of-order " +
+      "event earlier than the open session's start moves s_start back") {
+    import StreamingQ.ev
+    val log = StreamingQ.runSessionAggFeed(spark, Seq(
+      Seq(ev(1, 1200, uid = 7)),  // session [20m, 50m) n=1
+      // +15min event: above the watermark (20m − 10m = 10m) but BEFORE
+      // the open session's start — must merge and move s_start to 15m
+      Seq(ev(2, 900, uid = 7))))
+      .orderBy("n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    def abs(off: Long) = usBase + off * 1000000L
+    assert(log.toSeq == Seq(
+      (7L, abs(1200), abs(3000), 1L, false),
+      (7L, abs(900), abs(3000), 2L, false)), s"got ${log.toSeq}")
+  }
+
   test("batch session windows merge at <30min gaps and split at >=30min") {
     val rows = SparkEntry.queries("q_stream_session")(spark, sf).collect()
     assert(rows.nonEmpty)
