@@ -57,6 +57,42 @@ object Analytics43 {
       .orderBy(col("k"))
   }
 
+  /** l-diversity audit — k-anonymity's required companion (a class can
+    * be k-anonymous and still leak: if all k members share one value of
+    * the sensitive attribute, membership alone discloses it). QI here
+    * is (nation, balance band); the SENSITIVE attribute is the market
+    * segment. Per class: size and distinct sensitive values; per
+    * candidate l ∈ {2, 3}: classes below l and the rows they expose.
+    * Same bounded shape as the k audit — ONE map-side-combined scan to
+    * the QI-cardinality-bounded class table (countDistinct over the
+    * 5-value segment domain adds a constant factor, not a new shuffle
+    * key), then a 2-row broadcast cross join answers the sweep. */
+  private def qQualityLdiv(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cls = t(s, d, "customer")
+      .select(col("c_nationkey").as("nat"),
+        floor(col("c_acctbal") / lit(1000.0)).cast("bigint").as("balband"),
+        col("c_mktsegment").as("seg"))
+      .groupBy(col("nat"), col("balband"))
+      .agg(count(lit(1)).as("sz"), countDistinct(col("seg")).as("ldiv"))
+    val ls = Seq(2, 3).toDF("l")
+    cls.crossJoin(broadcast(ls))
+      .groupBy(col("l"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("ldiv") < col("l"), 1L).otherwise(0L))
+          .as("classes_below"),
+        sum(when(col("ldiv") < col("l"), col("sz")).otherwise(0L))
+          .as("rows_exposed"),
+        sum(col("sz")).as("n_rows"),
+        min(col("ldiv")).as("min_ldiv"))
+      .select(col("l"), col("n_classes"), col("classes_below"),
+        col("rows_exposed"), col("n_rows"), col("min_ldiv"),
+        when(col("n_rows") > 0,
+          round(dbl(col("rows_exposed")) / dbl(col("n_rows")), 9))
+          .as("exposed_share"))
+      .orderBy(col("l"))
+  }
+
   /** Per-source dataset card — the datasheet row published with every
     * training-data drop: volume (docs, whitespace tokens), language
     * mix (distinct langs, dominant lang + share), short-document share
@@ -105,6 +141,7 @@ object Analytics43 {
 
   val defs: Map[String, Relational.Q] = Map(
     "q_quality_kanon" -> (qQualityKanon _),
+    "q_quality_ldiv" -> (qQualityLdiv _),
     "q_quality_datacard" -> (qQualityDatacard _),
   )
 
@@ -131,6 +168,27 @@ object Analytics43 {
         |      / CAST(sum(sz) AS DOUBLE), 9)
         |  END AS risk_share
         |FROM cls CROSS JOIN ks GROUP BY k ORDER BY k""".stripMargin,
+    "q_quality_ldiv" ->
+      """WITH qi AS (SELECT c_nationkey AS nat,
+        |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS balband,
+        |  c_mktsegment AS seg
+        |  FROM customer),
+        |cls AS (SELECT nat, balband, CAST(count(*) AS BIGINT) AS sz,
+        |          CAST(count(DISTINCT seg) AS BIGINT) AS ldiv
+        |        FROM qi GROUP BY 1, 2),
+        |ls AS (SELECT l FROM (VALUES (2), (3)) v(l))
+        |SELECT l, CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(CASE WHEN ldiv < l THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS classes_below,
+        |  CAST(sum(CASE WHEN ldiv < l THEN sz ELSE 0 END) AS BIGINT)
+        |    AS rows_exposed,
+        |  CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  CAST(min(ldiv) AS BIGINT) AS min_ldiv,
+        |  CASE WHEN sum(sz) > 0 THEN
+        |    round(CAST(sum(CASE WHEN ldiv < l THEN sz ELSE 0 END) AS DOUBLE)
+        |      / CAST(sum(sz) AS DOUBLE), 9)
+        |  END AS exposed_share
+        |FROM cls CROSS JOIN ls GROUP BY l ORDER BY l""".stripMargin,
     // len(string_split) mirrors size(split); md5 hex strings match;
     // the dominant-language pick is the same (count DESC, lang)
     // row_number in both engines.

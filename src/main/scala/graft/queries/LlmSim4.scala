@@ -53,14 +53,58 @@ object LlmSim4 {
     p
   }
 
+  /** Incrementally-maintained index (the q_dedup_incremental pattern
+    * applied to the IVF lifecycle): the BASE slice (vec_id % 5 != 0) is
+    * assigned at build time; the DELTA (vec_id % 5 == 0 — "today's
+    * ingest") is assigned LATER against the STORED centroid table — no
+    * quantizer retrain, no base re-scan — and APPENDED into the same
+    * cell-partitioned layout. Per-batch maintenance cost scales with
+    * the delta (one map-only pass over the new vectors + an 8-row
+    * centroid read), not the corpus; searches over the maintained index
+    * are row-for-row identical to a full rebuild under the same
+    * quantizer (LlmSim4Spec pins it against q_sim_index_search, whose
+    * coarseCentroids call shares the cached model). */
+  private[queries] def buildIncIndex(s: SparkSession, d: String): String = {
+    val p = s"/root/repo/target/qtmp/sim_ivf_inc_${math.abs(d.hashCode)}"
+    if (!pathExists(s"$p/done")) {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      // base-time build: same quantizer as the monolithic index, only
+      // the base slice assigned
+      val cents = LlmSim.coarseCentroids(s, d, Cells)
+      cents.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
+        .write.mode("overwrite").parquet(s"$p/centroids")
+      t(s, d, "embeddings").filter(col("vec_id") % 5 =!= 0)
+        .withColumn("cell", LlmSim.cellOf(cents))
+        .select(col("vec_id"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$p/assign")
+      // delta maintenance: the ingest job reads the STORED model back
+      // (it has no access to the trainer), assigns ONLY the new
+      // vectors, and appends — the base assignment files are untouched
+      val stored: Array[Array[Float]] =
+        s.read.parquet(s"$p/centroids").orderBy("cell")
+          .as[(Int, Seq[Float])].collect().map(_._2.toArray)
+      t(s, d, "embeddings").filter(col("vec_id") % 5 === 0)
+        .withColumn("cell", LlmSim.cellOf(stored))
+        .select(col("vec_id"), col("cell"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$p/assign")
+      val (fs, done) = hfs(s"$p/done")
+      fs.create(done).close()
+    }
+    p
+  }
+
   /** Search the stored index: rank each probe's nprobe cells from the
     * centroid TABLE (cells rows, collected — bounded model state), prune
     * the assignment table to the probed cells (partition pruning on the
     * stored layout), then score only those members' embeddings. */
-  private def qSimIndexSearch(s: SparkSession, d: String): DataFrame = {
+  private def searchIndex(s: SparkSession, d: String,
+      p: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
-    val p = buildIndex(s, d)
     val cents: Array[Array[Float]] =
       s.read.parquet(s"$p/centroids").orderBy("cell")
         .as[(Int, Seq[Float])].collect().map(_._2.toArray)
@@ -89,8 +133,17 @@ object LlmSim4 {
       .orderBy("label", "k")
   }
 
+  private def qSimIndexSearch(s: SparkSession, d: String): DataFrame =
+    searchIndex(s, d, buildIndex(s, d))
+
+  /** Search over the incrementally-maintained (base build + delta
+    * append) index — must equal the full-rebuild search row-for-row. */
+  private def qSimIndexDelta(s: SparkSession, d: String): DataFrame =
+    searchIndex(s, d, buildIncIndex(s, d))
+
   val defs: Map[String, Relational.Q] = Map(
     "q_sim_index_search" -> (qSimIndexSearch _),
+    "q_sim_index_delta" -> (qSimIndexDelta _),
   )
 
   val sql: Map[String, String] = Map()

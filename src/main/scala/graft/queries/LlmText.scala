@@ -52,9 +52,20 @@ object LlmText {
     * expression (the SQL `array_min(transform(...))×16` formulation
     * walked the array 16 times and allocated 16 transient arrays per
     * doc) — exploded into 4 bands of 4 rows each. */
-  private def bandedSigs(sh: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(sh.sparkSession)
-    sh.withColumn("hs", transform(col("shingles"), x => xxhash64(x)))
+  private def bandedSigs(sh: DataFrame): DataFrame =
+    bandedSigsFromHashes(sh
+      .withColumn("hs", transform(col("shingles"), x => xxhash64(x)))
+      .select(col("doc_id"), col("hs")))
+
+  /** [[bandedSigs]] over PRE-HASHED shingle arrays (doc_id, hs) — the
+    * entry point for callers that already materialized the xxhash64
+    * shingle table (q_dedup_eval's pooled-truth table): the signature
+    * derivation is order-independent (minima), so feeding the same hash
+    * sets yields the identical index without a second corpus
+    * tokenize+hash pass. */
+  private[queries] def bandedSigsFromHashes(hashed: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(hashed.sparkSession)
+    hashed
       .withColumn("sig", expr("graft_minhash16(hs)"))
       .select(col("doc_id"), col("sig"),
         posexplode(array((0 until 4).map(b =>
@@ -85,6 +96,13 @@ object LlmText {
     * candidates instead of re-deriving them). */
   private def minhashCandidates(sh: DataFrame): DataFrame =
     candidatePairs(bandedSigs(sh))
+
+  /** MinHash+LSH candidate pairs from pre-hashed shingle arrays —
+    * identical output to [[minhashCandidates]] on the same corpus
+    * (same hash sets → same minima → same bands). */
+  private[queries] def minhashCandidatesFromHashes(
+      hashed: DataFrame): DataFrame =
+    candidatePairs(bandedSigsFromHashes(hashed))
 
   /** Incremental dedup — the shape that matters at 100 TB, where the
     * corpus is already deduped and only the DELTA is new: band the

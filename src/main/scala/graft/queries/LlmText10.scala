@@ -232,8 +232,12 @@ object LlmText10 {
     // eager checkpoint: the LSH generator feeds the pool (→ truth, read
     // twice) AND the hit/precision side — unmaterialized, the full
     // minhash plan re-runs four times (measured 2× on the whole query
-    // at sf0.1)
-    val pred = LlmText.defs("q_dedup_minhash")(s, d)
+    // at sf0.1). The generator consumes sh3's ALREADY-materialized hash
+    // arrays (minhashCandidatesFromHashes): identical index — the
+    // signature minima are order-independent over the same hash sets —
+    // without a second corpus tokenize+hash pass (r10; ~1 s at sf0.1).
+    val pred = LlmText.minhashCandidatesFromHashes(
+        sh3.select(col("doc_id"), col("sh").as("hs")))
       .select(col("a"), col("b")).localCheckpoint(true)
     val pool = invPairs.union(pred).distinct()
     // exact verification on candidates only; checkpointed — feeds both

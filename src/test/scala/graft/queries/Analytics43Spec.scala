@@ -43,6 +43,28 @@ class Analytics43Spec extends AnyFunSuite {
       s"kanon sweep wrong: ${out.toSeq}")
   }
 
+  test("ldiv: a k-anonymous single-segment class still fails l=2; a " +
+      "two-segment class fails only l=3") {
+    import spark.implicits._
+    val dir = Tables.freshDir("a43_ldiv")
+    val rows =
+      (1 to 3).map(i => (100L + i, 1, 500.0, "AUTOMOBILE")) ++ // ldiv 1
+        Seq((201L, 2, 500.0, "AUTOMOBILE"), (202L, 2, 600.0, "AUTOMOBILE"),
+          (203L, 2, 700.0, "BUILDING"), (204L, 2, 800.0, "BUILDING")) ++ // 2
+        Seq((301L, 3, 500.0, "AUTOMOBILE"), (302L, 3, 600.0, "BUILDING"),
+          (303L, 3, 700.0, "FURNITURE")) // ldiv 3
+    rows.toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .withColumn("c_name", org.apache.spark.sql.functions.lit("x"))
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = SparkEntry.queries("q_quality_ldiv")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(out.toSeq === Seq(
+      (2, 3L, 1L, 3L, 10L, 1L, 0.3),
+      (3, 3L, 2L, 7L, 10L, 1L, 0.7)),
+      s"ldiv sweep wrong: ${out.toSeq}")
+  }
+
   test("datacard: dominant-lang argmax, short share, exact-dup share") {
     import spark.implicits._
     val dir = Tables.freshDir("a43_card")

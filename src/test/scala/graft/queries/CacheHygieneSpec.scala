@@ -12,10 +12,10 @@ import graft.SparkEntry
   * forever AND get silently substituted into later queries' plans by
   * plan-equality matching. The former offenders now use eager
   * localCheckpoint (RDD-level, cleaner-reclaimed) or the write-once
-  * parquet artifact pattern; this spec pins that running each leaves the
-  * CacheManager exactly as it found it (empty). q_agg_iqr is the one
-  * DOCUMENTED exception — its persist is introspection-load-bearing for
-  * PlanSpec4 and Bench/Verify clear caches per-op. */
+  * parquet artifact pattern (cappedShingles, posGrid); this spec pins
+  * that running each leaves the CacheManager exactly as it found it
+  * (empty). Bench/Verify additionally clear the cache per-op as a
+  * backstop. */
 class CacheHygieneSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -31,7 +31,8 @@ class CacheHygieneSpec extends AnyFunSuite {
   private val formerOffenders = Seq(
     "q_dedup_containment", "q_dedup_sweep", "q_dedup_eval",
     "q_dedup_incremental", "q_dedup_ngram", "q_text_tfidf",
-    "q_time_lag_corr", "q_quality_datacard")
+    "q_time_lag_corr", "q_quality_datacard",
+    "q_agg_pctl_cont", "q_agg_iqr", "q_agg_trimmed")
 
   test("the r9 cache-leak offenders leave the CacheManager empty") {
     spark.catalog.clearCache()

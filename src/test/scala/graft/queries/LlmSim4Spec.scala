@@ -34,6 +34,34 @@ class LlmSim4Spec extends AnyFunSuite {
         s"inline=${inline.take(5).toSeq}")
   }
 
+  test("incrementally-maintained index (base build + delta append " +
+      "against the stored centroids) searches row-for-row like the " +
+      "full rebuild; maintenance appends, never rewrites base files") {
+    val p = LlmSim4.buildIncIndex(spark, sf)
+    val inc = SparkEntry.queries("q_sim_index_delta")(spark, sf)
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val full = SparkEntry.queries("q_sim_index_search")(spark, sf)
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(inc.nonEmpty && inc.toSeq == full.toSeq,
+      s"delta-maintained/full-rebuild divergence: inc=${inc.take(5).toSeq} " +
+        s"full=${full.take(5).toSeq}")
+    // the maintained index holds BOTH slices (base + appended delta)...
+    val assigned = spark.read.parquet(s"$p/assign").count()
+    val corpus = spark.read
+      .parquet(s"$sf/embeddings.parquet").count()
+    assert(assigned == corpus,
+      s"maintained index covers $assigned of $corpus vectors")
+    // ...and a re-query must not rebuild it (write-once guard on the
+    // done marker)
+    val f = new java.io.File(s"$p/done")
+    assert(f.exists)
+    val t0 = f.lastModified()
+    SparkEntry.queries("q_sim_index_delta")(spark, sf).collect()
+    assert(f.lastModified() == t0, "inc index was rebuilt on re-query")
+  }
+
   test("the index builds once: a second search reuses the artifact " +
       "(assignment table mtime unchanged)") {
     val p = LlmSim4.buildIndex(spark, sf)

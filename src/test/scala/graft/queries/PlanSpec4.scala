@@ -52,8 +52,9 @@ class PlanSpec4 extends AnyFunSuite {
 
   test("order statistics and gains: every Window runs over a " +
       "pre-aggregated lattice/bucket table") {
-    for (q <- Seq("q_agg_pctl_cont", "q_agg_iqr", "q_agg_trimmed",
-        "q_agg_gains")) {
+    // gains derives its bucket table inline — its Window must sit over
+    // the pre-aggregated grid inside the query plan itself
+    for (q <- Seq("q_agg_gains")) {
       val wins = nodes(q).collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w }
       assert(wins.nonEmpty, s"$q: expected lattice cumsum windows")
@@ -61,6 +62,24 @@ class PlanSpec4 extends AnyFunSuite {
         assert(flattenPlan(w).exists(_.isInstanceOf[HashAggregateExec]),
           s"$q: Window sorts un-aggregated input:\n$w")
       }
+    }
+    // the three Analytics36 consumers read the write-once grid artifact
+    // (no per-query rebuild, no cache state); the cumsum Window lives in
+    // the artifact BUILD plan, over the pre-aggregated lattice
+    for (q <- Seq("q_agg_pctl_cont", "q_agg_iqr", "q_agg_trimmed")) {
+      val scans = nodes(q).collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec
+          if sc.toString.contains("pos_grid") => sc }
+      assert(scans.nonEmpty, s"$q: does not read the pos_grid artifact")
+    }
+    val build = Analytics36.posGridPlan(spark, sf).queryExecution
+      .executedPlan
+    val bwins = flattenPlan(build).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(bwins.nonEmpty, "pos_grid build lost the cumsum window")
+    bwins.foreach { w =>
+      assert(flattenPlan(w).exists(_.isInstanceOf[HashAggregateExec]),
+        s"pos_grid build: Window sorts un-aggregated input:\n$w")
     }
   }
 

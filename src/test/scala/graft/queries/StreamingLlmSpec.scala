@@ -424,6 +424,28 @@ class StreamingLlmSpec extends AnyFunSuite {
     }
   }
 
+  test("hash-fed LSH generator (minhashCandidatesFromHashes) emits the " +
+      "identical candidate set as the string-fed q_dedup_minhash") {
+    import org.apache.spark.sql.functions._
+    val viaStrings = graft.SparkEntry.queries("q_dedup_minhash")(spark, sf)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same derivation q_dedup_eval materializes as its sh3 table
+    val hashed = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(ws)-3), " +
+          "i -> xxhash64(concat_ws(' ', ws[i], ws[i+1], ws[i+2])))"))
+        .as("hs"))
+    val viaHashes = LlmText.minhashCandidatesFromHashes(hashed)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStrings.nonEmpty && viaHashes == viaStrings,
+      s"divergence: onlyStrings=${(viaStrings -- viaHashes).take(5)} " +
+        s"onlyHashes=${(viaHashes -- viaStrings).take(5)}")
+  }
+
   test("seeded sample is deterministic across runs") {
     val a = SparkEntry.queries("q_sample")(spark, sf).collect().toSeq
     val b = SparkEntry.queries("q_sample")(spark, sf).collect().toSeq
