@@ -38,12 +38,13 @@ object SparkEntry {
       Analytics34.defs ++ Analytics35.defs ++ Analytics36.defs ++
       Analytics37.defs ++ Analytics38.defs ++ Analytics39.defs ++
       Analytics40.defs ++ Analytics41.defs ++ Analytics42.defs ++
-      Analytics43.defs ++
+      Analytics43.defs ++ Analytics44.defs ++ Analytics45.defs ++
       LlmText10.defs ++
       LlmText11.defs ++ LlmText12.defs ++ LlmSim2.defs ++ LlmSim3.defs ++
-      LlmSim4.defs ++
+      LlmSim4.defs ++ LlmSim5.defs ++
       ScalePatterns2.defs ++ ScalePatterns3.defs ++
-      LlmSim.defs ++ FunctionsExt.defs ++ ScalePatterns.defs ++
+      LlmSim.defs ++ FunctionsExt.defs ++ Functions3.defs ++
+      ScalePatterns.defs ++
       Formats.defs ++ Formats2.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -69,11 +70,12 @@ object SparkEntry {
       Analytics34.sql ++ Analytics35.sql ++ Analytics36.sql ++
       Analytics37.sql ++ Analytics38.sql ++ Analytics39.sql ++
       Analytics40.sql ++ Analytics41.sql ++ Analytics42.sql ++
-      Analytics43.sql ++
+      Analytics43.sql ++ Analytics44.sql ++ Analytics45.sql ++
       LlmText10.sql ++
       LlmText11.sql ++ LlmText12.sql ++ LlmSim2.sql ++ LlmSim3.sql ++
-      LlmSim4.sql ++
+      LlmSim4.sql ++ LlmSim5.sql ++
       ScalePatterns2.sql ++ ScalePatterns3.sql ++
-      LlmSim.sql ++ FunctionsExt.sql ++ ScalePatterns.sql ++
+      LlmSim.sql ++ FunctionsExt.sql ++ Functions3.sql ++
+      ScalePatterns.sql ++
       Formats.sql ++ Formats2.sql
 }

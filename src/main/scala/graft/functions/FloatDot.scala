@@ -84,5 +84,7 @@ object GraftFunctions {
     registerOnce(spark, "graft_bloom_contains",
       exprs => BloomContains(exprs(0), exprs(1)))
     TDigestQuantiles.register(spark)
+    UnicodeNorm.register(spark)
+    DtwBand.register(spark)
   }
 }
