@@ -39,6 +39,8 @@ object SparkEntry {
       Analytics37.defs ++ Analytics38.defs ++ Analytics39.defs ++
       Analytics40.defs ++ Analytics41.defs ++ Analytics42.defs ++
       Analytics43.defs ++ Analytics44.defs ++ Analytics45.defs ++
+      Analytics46.defs ++ Analytics47.defs ++ LlmText13.defs ++
+      StreamingQ2.defs ++
       LlmText10.defs ++
       LlmText11.defs ++ LlmText12.defs ++ LlmSim2.defs ++ LlmSim3.defs ++
       LlmSim4.defs ++ LlmSim5.defs ++
@@ -71,6 +73,8 @@ object SparkEntry {
       Analytics37.sql ++ Analytics38.sql ++ Analytics39.sql ++
       Analytics40.sql ++ Analytics41.sql ++ Analytics42.sql ++
       Analytics43.sql ++ Analytics44.sql ++ Analytics45.sql ++
+      Analytics46.sql ++ Analytics47.sql ++ LlmText13.sql ++
+      StreamingQ2.sql ++
       LlmText10.sql ++
       LlmText11.sql ++ LlmText12.sql ++ LlmSim2.sql ++ LlmSim3.sql ++
       LlmSim4.sql ++ LlmSim5.sql ++
