@@ -35,4 +35,28 @@ class StreamingQ2Spec extends AnyFunSuite {
       .collect().toSeq
     assert(a === b)
   }
+
+  test("stream drift: per-batch PSI matches an independent replay — " +
+      "in-distribution batch near 0, shifted batch strictly higher") {
+    val out = SparkEntry.queries("q_stream_drift")(spark, "unused")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // replay: reference uniform 10×4 on bins 0..3; batch 0 = 40 events
+    // uniform on bins 0..3; batch 1 adds 30 events on bins 8..9
+    def psi(cnt: Map[Int, Long]): Double = {
+      val n = cnt.values.sum
+      val v = (0 to 9).map { b =>
+        val pa = (cnt.getOrElse(b, 0L) + 1.0) / (n + 10.0)
+        val pb = (if (b <= 3) 10L else 0L) + 1.0
+        val pbb = pb / 50.0
+        math.rint((pa - pbb) * math.log(pa / pbb) * 1e9) / 1e9
+      }.sum
+      math.rint(v * 1e6) / 1e6
+    }
+    val b0 = Map(0 -> 10L, 1 -> 10L, 2 -> 10L, 3 -> 10L)
+    val b1 = b0 ++ Map(8 -> 15L, 9 -> 15L)
+    assert(out.toSeq === Seq((0L, 40L, psi(b0)), (1L, 70L, psi(b1))),
+      s"drift trajectory wrong: ${out.toSeq} vs ${(psi(b0), psi(b1))}")
+    assert(out(0)._3 < 0.01 && out(1)._3 > out(0)._3 + 0.1,
+      s"drift ordering wrong: ${out.toSeq}")
+  }
 }
