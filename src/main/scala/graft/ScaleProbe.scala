@@ -146,11 +146,17 @@ object ScaleProbe {
       if (mode == "embeddings")
         Seq("q_embed_centroids", "q_sim_cosine_topk", "q_sim_ann_ivf",
           "q_dedup_embed", "q_dedup_semantic", "q_embed_norm",
-          "q_embed_quantize")
+          "q_embed_quantize",
+          // r10: greedy k-center (k broadcast scans) and the binary
+          // retrieval tier (pack map-only, rank windows probe-keyed)
+          "q_sample_coreset", "q_embed_binary")
       else if (mode == "customer")
         // r9 late wave: the k-anonymity audit rides the same inflation
         // (classes deepen, class COUNT stays QI-bounded)
-        Seq("q_join_fuzzy", "q_quality_kanon")
+        Seq("q_join_fuzzy", "q_quality_kanon",
+          // r10: the statistical gates ride the same inflation (test
+          // tables stay nation/segment-bounded as rows deepen)
+          "q_agg_fdr", "q_agg_conformal", "q_agg_ebayes")
       else if (mode == "events")
         Seq("q_join_nearest", "q_win_attribution", "q_win_churn",
           "q_win_cohort", "q_win_session", "q_win_concurrency",
@@ -161,7 +167,12 @@ object ScaleProbe {
           "q_split_temporal",
           // r8 late wave: native-top-k journey paths, key-bounded
           // JSON profile, streaming CDC state op
-          "q_win_paths", "q_fn_json_profile")
+          "q_win_paths", "q_fn_json_profile",
+          // r10: coalition/decile/permutation ops collapse to bounded
+          // grids after one user-keyed aggregate; the folds ride the
+          // calendar-bounded daily table
+          "q_win_shapley", "q_win_uplift", "q_agg_permtest",
+          "q_agg_gst", "q_time_kalman", "q_time_holtwinters")
       else if (mode == "lineitem")
         Seq("q_graph_sssp", "q_graph_sssp_tree", "q_agg_tdigest",
           "q_agg_tdigest_rollup",
@@ -177,7 +188,10 @@ object ScaleProbe {
           // r8: df-capped inverted-index containment, unigram JSD
           "q_dedup_containment", "q_text_jsd",
           // r9 late wave: one-generation τ sweep, per-source datacard
-          "q_dedup_sweep", "q_quality_datacard")
+          "q_dedup_sweep", "q_quality_datacard",
+          // r10: pooled-truth eval after the shared>=2 candidate prune,
+          // nested-subsample Heaps fit, RAKE
+          "q_dedup_eval", "q_text_heaps", "q_text_rake")
     val times = ops.map { id =>
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(id)(spark, probeDir).count()
