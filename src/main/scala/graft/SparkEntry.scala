@@ -43,7 +43,7 @@ object SparkEntry {
       StreamingQ2.defs ++ Analytics48.defs ++ Analytics49.defs ++
       Analytics50.defs ++ Analytics51.defs ++ Analytics52.defs ++
       Analytics53.defs ++ Analytics54.defs ++ Analytics55.defs ++
-      Analytics56.defs ++ Analytics57.defs ++
+      Analytics56.defs ++ Analytics57.defs ++ Analytics58.defs ++
       LlmText10.defs ++
       LlmText11.defs ++ LlmText12.defs ++ LlmSim2.defs ++ LlmSim3.defs ++
       LlmSim4.defs ++ LlmSim5.defs ++
@@ -80,7 +80,7 @@ object SparkEntry {
       StreamingQ2.sql ++ Analytics48.sql ++ Analytics49.sql ++
       Analytics50.sql ++ Analytics51.sql ++ Analytics52.sql ++
       Analytics53.sql ++ Analytics54.sql ++ Analytics55.sql ++
-      Analytics56.sql ++ Analytics57.sql ++
+      Analytics56.sql ++ Analytics57.sql ++ Analytics58.sql ++
       LlmText10.sql ++
       LlmText11.sql ++ LlmText12.sql ++ LlmSim2.sql ++ LlmSim3.sql ++
       LlmSim4.sql ++ LlmSim5.sql ++
