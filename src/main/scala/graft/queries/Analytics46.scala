@@ -67,7 +67,16 @@ object Analytics46 {
     * seeded uniform (md5 of the class⊕ε key → 32-bit mantissa →
     * u ∈ (0,1)), released count clamped at 0 — the calibration report
     * (true vs released vs error) a privacy team signs off before
-    * publishing histogram statistics. */
+    * publishing histogram statistics.
+    *
+    * NOT a usable privacy mechanism: the seeded inverse-CDF
+    * construction exists ONLY for cross-engine reproducibility (both
+    * engines must emit bit-equal noise for the DuckDB hash compare) —
+    * anyone holding the released (nat, eps) key can recompute the
+    * noise exactly, so the release provides no actual differential
+    * privacy. A real deployment keeps the Laplace calibration math
+    * (b = Δf/ε = 1/ε for a unit-sensitivity count) but draws from a
+    * non-reproducible CSPRNG. */
   private def qQualityDpcount(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val cls = t(s, d, "customer")

@@ -121,8 +121,12 @@ object Analytics48 {
       .withColumn("rn", row_number().over(wSc))
       // k = ceil(0.9 * (n_cal + 1)) in EXACT integer arithmetic — a
       // double 0.9·(n+1) sits on an engine-shared but mathematically
-      // wrong boundary whenever n+1 is a multiple of 10
-      .filter(col("rn") === expr("(9 * (n_cal + 1) + 9) div 10"))
+      // wrong boundary whenever n+1 is a multiple of 10. Clamped to
+      // n_cal so a tiny calibration split (n_cal < 9 ⇒ k > n_cal)
+      // degrades to the max residual instead of an empty qhat table
+      // silently zeroing the whole report (both engines identically).
+      .filter(col("rn") ===
+        expr("least((9 * (n_cal + 1) + 9) div 10, n_cal)"))
       .select(col("sc").as("qhat"), col("n_cal"))
     val test = cust.filter(col("part") === "test")
       .join(broadcast(model), Seq("seg"))
@@ -217,7 +221,7 @@ object Analytics48 {
         |  SELECT sc AS qhat, n_cal FROM (
         |    SELECT sc, n_cal, ROW_NUMBER() OVER (ORDER BY sc, ck) AS rn
         |    FROM cal CROSS JOIN nc) a
-        |  WHERE rn = (9 * (n_cal + 1) + 9) // 10)
+        |  WHERE rn = LEAST((9 * (n_cal + 1) + 9) // 10, n_cal))
         |SELECT seg, CAST(count(*) AS BIGINT) AS n_test,
         |  CAST(sum(CASE WHEN ROUND(abs(bal - yhat), 9) <= qhat
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,

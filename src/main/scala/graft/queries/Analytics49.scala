@@ -62,6 +62,16 @@ object Analytics49 {
     val grid = users.groupBy(col("umask"))
       .agg(sum(col("conv")).as("n_conv"))
     val nTab = chan.agg(count(lit(1)).as("n"))
+      // exact-Shapley tractability guard: the 2^n coalition grid and
+      // BIGINT factorial(n) are only sound for small n (Spark's
+      // factorial() returns NULL past 20, and sequence() would blow up
+      // well before). Fail LOUDLY on vocabulary growth instead of
+      // silently emitting NULL phi. The filter form (not a dropped
+      // column) keeps the assert out of reach of column pruning.
+      .filter(expr("assert_true(n <= 16, " +
+        "'q_win_shapley: channel vocabulary exceeds 16; the exact " +
+        "2^n coalition grid is refused — sample or truncate channels'" +
+        ") IS NULL"))
     // all 2^n coalitions; v(S) = Σ conversions of users with umask ⊆ S
     val masks = nTab.select(col("n"),
       explode(expr("sequence(CAST(0 AS BIGINT), " +

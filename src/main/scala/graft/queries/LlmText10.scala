@@ -222,24 +222,41 @@ object LlmText10 {
       // verification join) — RDD-level blocks, no CacheManager leak
       .localCheckpoint(true)
     val ex = sh3.select(col("doc_id"), explode(col("sh")).as("g"))
-    val keep = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= 50).select(col("g"))
+    val dfTab = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val keep = dfTab.filter(col("df") >= 2 && col("df") <= 50)
+      .select(col("g"))
     val exf = ex.join(keep.hint("shuffle_hash"), Seq("g"), "left_semi")
     // shared-shingle ≥ 2 candidate prune: same shuffle as the plain
     // distinct, but the surviving pair set shrinks ~10× (1.13M → 112k
     // measured on this corpus), which is what the verification join
-    // pays for. LOSSLESS for the ≥0.5-Jaccard truth definition here:
-    // the smallest shingle set in the corpus has 8 elements, and
-    // |A∩B| ≥ 0.5·|A∪B| with |A|,|B| ≥ 8 forces ≥ 3 shared shingles —
-    // a true pair sharing only one capped shingle cannot exist (only
-    // docs with ≤ 2 shingles could produce one, and the ws-size filter
-    // plus the measured corpus floor exclude them; cross-checked in
-    // DuckDB: all 256 true pairs carry shared ≥ 2).
+    // pays for. The prune is gated STRUCTURALLY, not by measured
+    // corpus properties (r11, ADVICE): a true pair (Jaccard ≥ 0.5 on
+    // full sets) has |A∩B| ≥ 0.5·|A∪B| ≥ 0.5·min_full, and its shared
+    // shingles all have df ≥ 2, so the only shared shingles the df
+    // cap can hide are HOT (df > 50) ones: capped-shared ≥
+    // 0.5·min_full − max_hot. The 1-row gate keeps the prune only
+    // when 0.5·min_full − max_hot ≥ 2 — i.e. NO true pair can share
+    // fewer than 2 capped shingles — and otherwise falls back to the
+    // unpruned shared ≥ 1 pool (slower, never recall-biased). A
+    // corpus drift that invalidates the prune therefore degrades
+    // perf, not the recall denominator of the op that measures recall.
+    val docStats = sh3.select(col("doc_id"), size(col("sh")).as("nf"))
+    val hotPerDoc = ex
+      .join(dfTab.filter(col("df") > 50).select(col("g"))
+        .hint("shuffle_hash"), Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hot"))
+    val pruneGate = docStats
+      .join(hotPerDoc, Seq("doc_id"), "left")
+      .agg(max(coalesce(col("hot"), lit(0L))).as("max_hot"),
+        min(col("nf")).as("min_full"))
+      .select((lit(0.5) * col("min_full") - col("max_hot") >= lit(2.0))
+        .as("prune_ok"))
     val invPairs = exf.select(col("g"), col("doc_id").as("a"))
       .join(exf.select(col("g"), col("doc_id").as("b")), Seq("g"))
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 2)
+      .crossJoin(broadcast(pruneGate))
+      .filter(col("n_shared") >= 2 || !col("prune_ok"))
       .select(col("a"), col("b"))
     // eager checkpoint: the LSH generator feeds the pool (→ truth, read
     // twice) AND the hit/precision side — unmaterialized, the full
