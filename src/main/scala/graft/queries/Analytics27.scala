@@ -73,25 +73,31 @@ object Analytics27 {
   }
 
   /** Referential-integrity audit: orphan lineitems (no order), orphan
-    * orders (no customer), suppliers with no lineitems. */
+    * orders (no customer), suppliers with no lineitems. ONE plan, one
+    * action (r11): each relation's audit is a left-anti-join aggregate
+    * cross-joined with its table total as a 1-row broadcast aggregate
+    * (the Analytics22 discipline), the three UNION ALL'd — replacing
+    * six sequential driver-side `.count()` jobs with a single job
+    * whose branches schedule concurrently. At 100 TB each scan is
+    * expensive; serializing six of them was the repo's last driver-
+    * side holdout. */
   private def qQualityIntegrity(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val li = t(s, d, "lineitem")
     val o = t(s, d, "orders")
     val c = t(s, d, "customer")
     val sup = t(s, d, "supplier")
-    def orphans(left: DataFrame, lk: String, right: DataFrame,
-        rk: String): Long =
-      left.select(col(lk)).join(right.select(col(rk).as(lk)),
-        Seq(lk), "left_anti").count()
-    Seq(
-      ("lineitem_without_order",
-        orphans(li, "l_orderkey", o, "o_orderkey"), li.count()),
-      ("order_without_customer",
-        orphans(o, "o_custkey", c, "c_custkey"), o.count()),
-      ("supplier_without_lineitem",
-        orphans(sup, "s_suppkey", li, "l_suppkey"), sup.count()))
-      .toDF("relation", "n_orphans", "n_rows")
+    def audit(name: String, left: DataFrame, lk: String,
+        right: DataFrame, rk: String): DataFrame =
+      left.select(col(lk))
+        .join(right.select(col(rk).as(lk)), Seq(lk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .crossJoin(broadcast(left.agg(count(lit(1)).as("n_rows"))))
+        .select(lit(name).as("relation"), col("n_orphans"), col("n_rows"))
+    audit("lineitem_without_order", li, "l_orderkey", o, "o_orderkey")
+      .unionAll(audit("order_without_customer", o, "o_custkey",
+        c, "c_custkey"))
+      .unionAll(audit("supplier_without_lineitem", sup, "s_suppkey",
+        li, "l_suppkey"))
       .orderBy(col("relation"))
   }
 
