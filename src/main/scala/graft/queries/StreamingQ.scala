@@ -550,6 +550,68 @@ object StreamingQ {
   private def qStreamJoinOuter(s: SparkSession, d: String): DataFrame =
     runStreamJoinOuter(s).orderBy("ad_id")
 
+  /** Watermarked stream-stream FULL OUTER join — completes the outer
+    * matrix (inner / left r10 / full r11). Beyond the left-outer rig
+    * this exercises CLICK-side state eviction, which left-outer never
+    * touches: an unmatched click must itself be emitted null-padded
+    * (no impression arrived for it) exactly once, when the watermark
+    * guarantees no future impression can still match — i.e. both
+    * stores evict-and-emit, in opposite directions. Phases:
+    *  1. impressions 1/2/3, a matching click for 1 and an orphan click
+    *     4: the match emits; 2/3 AND click 4 are all buffered — full
+    *     outer may not drop the orphan click the inner join dropped;
+    *  2. a +~67min matched pair drags the global watermark (min of the
+    *     two sides' watermarks) past every phase-1 window: impressions
+    *     2/3 null-pad on the click side, click 4 null-pads on the
+    *     impression side;
+    *  3. flush rows on BOTH sides whose own windows are still open:
+    *     they force eviction micro-batches but must not emit, proving
+    *     both directions' null emission is watermark-gated.
+    * State on both sides stays O(window) — every evicted row leaves
+    * its store. No SQL oracle (stateful streaming; SURVEY §2.C rule
+    * 4); StreamingLlmSpec pins both null-pad directions + exactly-once. */
+  private[graft] def runStreamJoinFull(s: SparkSession,
+      onPhase: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+    import s.implicits._
+    val imp = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Ev](s)
+    val clk = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Ev](s)
+    val name = s"jfsink_${UUID.randomUUID().toString.replace("-", "")}"
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val impDf = imp.toDF().select(col("event_id").as("ad_id"),
+        col("ts").as("imp_ts")).withWatermark("imp_ts", "10 minutes")
+      val clkDf = clk.toDF().select(col("event_id").as("c_ad_id"),
+        col("ts").as("clk_ts")).withWatermark("clk_ts", "10 minutes")
+      val joined = impDf.join(clkDf, expr(
+        "ad_id = c_ad_id AND clk_ts BETWEEN imp_ts AND imp_ts + INTERVAL 10 MINUTES"),
+        "full_outer")
+        .select(col("ad_id"), col("c_ad_id"),
+          unix_micros(col("imp_ts")).as("imp_us"),
+          unix_micros(col("clk_ts")).as("clk_us"))
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        imp.addData(Seq(ev(1, 0), ev(2, 60), ev(3, 120)))
+        clk.addData(Seq(ev(1, 300),  // 5 min later → matches ad 1
+          ev(4, 200)))               // orphan click → must null-pad later
+        q.processAllAvailable(); onPhase(1, s.table(name))
+        imp.addData(Seq(ev(9, 4000)))
+        clk.addData(Seq(ev(9, 4200))) // global wm → min(3400, 3600) s
+        q.processAllAvailable(); onPhase(2, s.table(name))
+        imp.addData(Seq(ev(10, 4600))) // flush both sides; own windows
+        clk.addData(Seq(ev(11, 4700))) // still open → must stay buffered
+        q.processAllAvailable(); onPhase(3, s.table(name))
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(name)
+  }
+
+  private def qStreamJoinFull(s: SparkSession, d: String): DataFrame =
+    runStreamJoinFull(s).orderBy("ad_id", "c_ad_id")
+
   /** Stream-static join: the streaming event feed enriched against a
     * small static dimension (event_type → funnel stage) and aggregated —
     * the standard streaming-enrichment shape. The static side is
@@ -723,6 +785,7 @@ object StreamingQ {
     "q_stream_quantiles" -> (qStreamQuantiles _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_join_outer" -> (qStreamJoinOuter _),
+    "q_stream_join_full" -> (qStreamJoinFull _),
     "q_stream_static_join" -> (qStreamStaticJoin _),
     "q_stream_foreachbatch" -> (qStreamForeachBatch _),
     "q_stream_file_source" -> (qStreamFileSource _),

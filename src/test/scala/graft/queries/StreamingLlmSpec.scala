@@ -487,6 +487,40 @@ class StreamingLlmSpec extends AnyFunSuite {
     assert(fin.distinct.size == fin.size, s"duplicate emission: $fin")
   }
 
+  test("full-outer stream-stream join: both null-pad directions appear " +
+      "only after watermark passage, each exactly once, and open-window " +
+      "flush rows on both sides never emit") {
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (
+        if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    val phases = scala.collection.mutable.Map[Int,
+      Seq[(Option[Long], Option[Long], Option[Long], Option[Long])]]()
+    val fin = snap(StreamingQ.runStreamJoinFull(spark,
+      (i, df) => phases(i) = snap(df)))
+    // phase 1: ONLY the match emitted — impressions 2/3 and the orphan
+    // click 4 are all buffered (their windows aren't watermark-closed)
+    assert(phases(1).toSet == Set(
+      (Some(1L), Some(1L), Some(usBase), Some(usBase + 300000000L))),
+      s"phase 1: ${phases(1)}")
+    // final: impression-side null-pads for 2/3 (no click), the
+    // CLICK-side null-pad for orphan click 4 (no impression — the
+    // direction left-outer never emits), the two matches, and neither
+    // flush row (imp 10 / clk 11 windows still open at stop)
+    val expect = Set(
+      (Some(1L), Some(1L), Some(usBase), Some(usBase + 300000000L)),
+      (Some(2L), None, Some(usBase + 60000000L), None),
+      (Some(3L), None, Some(usBase + 120000000L), None),
+      (None, Some(4L), None, Some(usBase + 200000000L)),
+      (Some(9L), Some(9L), Some(usBase + 4000000000L),
+        Some(usBase + 4200000000L)))
+    assert(fin.toSet == expect, s"final sink: ${fin.sortBy(_._1)}")
+    // exactly-once: no row (matched or either-side null-padded) twice
+    assert(fin.distinct.size == fin.size, s"duplicate emission: $fin")
+  }
+
   test("watermark observability: observe() input counter and the " +
       "engine's numRowsDroppedByWatermark reconcile with the crafted " +
       "feed (7 in, exactly the 1 straggler dropped)") {
