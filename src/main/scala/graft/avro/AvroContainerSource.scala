@@ -122,8 +122,9 @@ class AvroContainerSource extends TableProvider with DataSourceRegister {
               case None => throw new IllegalArgumentException(
                 s"incompatible schema evolution for column '${f.name}': " +
                   s"${ex.dataType.simpleString} vs " +
-                  s"${f.dataType.simpleString} (add-field evolution is " +
-                  "supported; a field's TYPE must match across " +
+                  s"${f.dataType.simpleString} (add-field evolution and " +
+                  "avro numeric promotions int→long/float→double are " +
+                  "supported; other TYPE changes must match across " +
                   "generations up to nullability)")
             }
         }
@@ -165,20 +166,48 @@ class AvroContainerSource extends TableProvider with DataSourceRegister {
 }
 
 object AvroContainerSource {
-  import org.apache.spark.sql.types.{ArrayType, DataType, MapType}
+  import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, MapType}
+
+  /** Avro-spec reader-schema numeric promotions (Avro 1.x spec, "Schema
+    * Resolution": writer int is readable as long/float/double, long as
+    * float/double, float as double). Two generations that disagree only
+    * by such a widening resolve to the widened type — int+long → long,
+    * float+double → double — and pairs where neither side can represent
+    * the other exactly (int/long vs float) resolve to double, which the
+    * Avro spec allows BOTH writers to be read as. The decoder
+    * (AvroDatum) widens old generations' values at read time, mirroring
+    * GenericDatumReader's reader-schema resolution. */
+  private[avro] def promoteNumeric(a: DataType,
+      b: DataType): Option[DataType] = (a, b) match {
+    case (IntegerType, LongType) | (LongType, IntegerType) => Some(LongType)
+    case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+    case (IntegerType, DoubleType) | (DoubleType, IntegerType) =>
+      Some(DoubleType)
+    case (LongType, DoubleType) | (DoubleType, LongType) => Some(DoubleType)
+    case (IntegerType, FloatType) | (FloatType, IntegerType) =>
+      Some(DoubleType)
+    case (LongType, FloatType) | (FloatType, LongType) => Some(DoubleType)
+    case _ => None
+  }
 
   /** Reconcile two header types for the same column across file
     * generations. Identical types merge trivially; structs merge
     * recursively by field-name union (nested add-field evolution: a
     * field one generation lacks surfaces nullable and null-fills in the
     * decoder), nullability flags widen at every level, and arrays/maps
-    * merge element/value-wise. Genuinely different shapes (changed
-    * primitive, array-vs-struct) return None: the decoder cannot
-    * reinterpret a value's type, so such evolution must fail inference
-    * loudly rather than mis-read silently. */
+    * merge element/value-wise; numeric primitives widen along the
+    * Avro-spec promotion lattice (promoteNumeric). Genuinely different
+    * shapes (string-vs-int, array-vs-struct) return None: the decoder
+    * cannot reinterpret such a value's type, so that evolution must
+    * fail inference loudly rather than mis-read silently. */
   private[avro] def mergeTypes(a: DataType, b: DataType): Option[DataType] =
     (a, b) match {
       case (x, y) if x == y => Some(x)
+      // Avro-spec numeric widening across generations (int→long,
+      // int/long/float→double) — r11: previously surfaced as
+      // "incompatible schema evolution" even though avro's own reader-
+      // schema resolution defines the promotion.
+      case (x, y) if promoteNumeric(x, y).isDefined => promoteNumeric(x, y)
       case (x: StructType, y: StructType) =>
         // Union-by-name recursive merge (nested ADD-FIELD evolution):
         // x's fields keep their order, y's new fields append after. A

@@ -43,6 +43,21 @@ object AvroDatum {
       case (LONG, LongType) => identity
       case (FLOAT, FloatType) => identity
       case (DOUBLE, DoubleType) => identity
+      // Avro-spec reader-schema numeric promotions (r11): a merged
+      // schema widened by a later generation (int→long, int/long/
+      // float→double — AvroContainerSource.promoteNumeric) reads old
+      // files' narrower writer values widened, mirroring
+      // GenericDatumReader's resolution. The (INT, DateType)/TimeType/
+      // Timestamp logical-type cases above stay first — promotions
+      // apply only to plain numeric targets.
+      case (INT, LongType) =>
+        v => java.lang.Long.valueOf(v.asInstanceOf[Int].toLong)
+      case (INT, DoubleType) =>
+        v => java.lang.Double.valueOf(v.asInstanceOf[Int].toDouble)
+      case (LONG, DoubleType) =>
+        v => java.lang.Double.valueOf(v.asInstanceOf[Long].toDouble)
+      case (FLOAT, DoubleType) =>
+        v => java.lang.Double.valueOf(v.asInstanceOf[Float].toDouble)
       case (STRING, StringType) => v => UTF8String.fromString(v.toString)
       case (ENUM, StringType) =>
         v => UTF8String.fromString(v.asInstanceOf[GenericEnumSymbol[_]].toString)

@@ -539,6 +539,44 @@ class AvroSubsystemSpec extends AnyFunSuite {
     assert(firstOnly.schema.fieldNames.length == 2)
   }
 
+  test("numeric type-promotion evolution: gen-1 int/float columns scan " +
+      "as gen-2's long/double, old rows widened at read") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum}
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val dir = tmpDir("promote")
+    // gen-1 writes (int n, float x, int m); gen-2 widened to
+    // (long n, double x, double m) — the avro-spec promotions
+    (1 to 10).map(i => (i, i * 0.5f, i)).toDF("n", "x", "m")
+      .coalesce(1).write.format("graft-avro").mode("append").save(dir)
+    (11L to 20L).map(i => (i, i * 0.5d, i * 2.0d)).toDF("n", "x", "m")
+      .coalesce(1).write.format("graft-avro").mode("append").save(dir)
+    val df = spark.read.format("graft-avro").load(dir)
+    assert(df.schema("n").dataType == LongType &&
+      df.schema("x").dataType == DoubleType &&
+      df.schema("m").dataType == DoubleType,
+      s"promotion lattice not applied: ${df.schema.simpleString}")
+    val rows = df.orderBy("n").collect()
+    assert(rows.length == 20)
+    // gen-1 rows surface widened: int → long, float/int → double
+    assert(rows(0).getLong(0) == 1L && rows(0).getDouble(2) == 1.0)
+    assert(math.abs(rows(0).getDouble(1) - 0.5) < 1e-9)
+    assert(rows(19).getLong(0) == 20L && rows(19).getDouble(2) == 40.0)
+    // aggregates and filters work across the promoted column
+    assert(df.filter(col("n") > 15).count() == 5)
+    assert(df.agg(sum(col("n"))).head.getLong(0) == (1L to 20L).sum)
+    // a genuinely incompatible change (string vs numeric) still fails
+    val bad = tmpDir("promote-bad")
+    Seq((1, "a")).toDF("n", "s").coalesce(1)
+      .write.format("graft-avro").mode("append").save(bad)
+    Seq((2.0, 1)).toDF("n", "s").coalesce(1)
+      .write.format("graft-avro").mode("append").save(bad)
+    val ex = intercept[IllegalArgumentException] {
+      spark.read.format("graft-avro").load(bad).schema
+    }
+    assert(ex.getMessage.contains("incompatible schema evolution"))
+  }
+
   test("sampled inference forces nullability; exhaustive inference keeps it") {
     import spark.implicits._
     val dir = tmpDir("sampled-nullable")
