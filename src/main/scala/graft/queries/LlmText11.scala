@@ -11,12 +11,13 @@ import Tables._
   * feature-extract step over real PCM bytes, the audio sibling of
   * q_mm_phash's dHash).
   *
-  * Both SCAN the ingest-once [[MmPayloads]] binary-column table (round
-  * 9 — payload synthesis lives in the materialization step, not in any
-  * operator): read `binary` column → byte-level decode via the
-  * lib-free codecs → bounded per-row state → only (id, features) ever
-  * shuffling. Parallelism is repartition-spread, never
-  * parquet-file-layout-bound (the r8 discipline). No SQL oracle
+  * Both SCAN the ingest-once [[MmPayloads]] binary-column table —
+  * since r11 sourced from REAL on-disk `.bmp`/`.wav` artifacts through
+  * `format("binaryFile")`, so the whole path is the genuine production
+  * shape: file store → binary ingest → `binary` column → byte-level
+  * decode via the lib-free codecs → bounded per-row state → only
+  * (id, features) ever shuffling. Parallelism is repartition-spread,
+  * never parquet-file-layout-bound (the r8 discipline). No SQL oracle
   * (pixel/PCM decode is not DuckDB-expressible) → structural
   * ScalaTests pin the math. */
 object LlmText11 {

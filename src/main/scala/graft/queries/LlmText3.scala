@@ -55,10 +55,11 @@ object LlmText3 {
   }
 
   /** Perceptual-hash image near-dup — pixel-level multimodal dedup:
-    * each document synthesizes a 32×32 grayscale 24-bpp BMP (the corpus
-    * ships no media; groups of 5 consecutive doc_ids share a base
-    * pattern, variants get one-pixel edits → true near-dups), the REAL
-    * BMP pixel decoder (`ImageHeader.bmpGray` — bfOffBits, bottom-up
+    * each document's 32×32 grayscale 24-bpp BMP is SCANNED from the
+    * binaryFile-ingested payload table ([[MmPayloads]] — groups of 5
+    * consecutive doc_ids share a base pattern, variants get one-pixel
+    * edits → true near-dups), the REAL BMP pixel decoder
+    * (`ImageHeader.bmpGray` — bfOffBits, bottom-up
     * rows, 4-byte stride) recovers the raster, and a 64-bit dHash
     * (9×8 block-mean gradient sign) fingerprints it. A one-pixel edit
     * moves one block mean → ≤2 hash bits, so within-group pairs sit at
@@ -83,23 +84,15 @@ object LlmText3 {
   private def qMmPhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.functions.ImageHeader
-    // Repartition the id stream BEFORE the decode stage: parquet file
-    // count would otherwise cap the pixel-decode parallelism (idle
-    // cpu/wall ≈1.5 on 32 cores at sf0.1). Only doc_id longs shuffle —
-    // trivial next to the decode work it spreads across the cluster.
-    val hashed = t(s, d, "documents").select(col("doc_id"))
+    // Scan the ingest-once binary payload table (r11 — bytes enter via
+    // a real binaryFile ingest of on-disk .bmp artifacts, MmPayloads)
+    // and repartition BEFORE the decode stage: parquet file count would
+    // otherwise cap the pixel-decode parallelism (idle cpu/wall ≈1.5 on
+    // 32 cores at sf0.1). At 100 TB only ids + 16 hash bytes leave this
+    // stage — pixels never shuffle past the decode.
+    val hashed = MmPayloads.payloads(s, d).select(col("doc_id"), col("img"))
       .repartition(s.sessionState.conf.numShufflePartitions)
-      .as[Long].mapPartitions(_.map { id =>
-        val group = id / 5
-        val variant = (id % 5).toInt
-        val img = ImageHeader.bmpPixels(32, 32, (x, y) => {
-          val fx = (group % 97 + 1) * 0.11
-          val fy = (group % 89 + 1) * 0.07
-          (math.sin(fx * (x + 1)) * 55 + math.cos(fy * (y + 1)) * 55
-            + 128).toInt +
-            (if (variant != 0 && x == 3 + variant && y == 2 * variant) 40
-             else 0)
-        })
+      .as[(Long, Array[Byte])].mapPartitions(_.map { case (id, img) =>
         val gray = ImageHeader.bmpGray(img).getOrElse(Array(Array(0)))
         (id, ImageHeader.dhash64(gray), ImageHeader.dhash64(gray.transpose))
       }).toDF("doc_id", "ph1", "ph2")

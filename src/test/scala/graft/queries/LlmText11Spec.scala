@@ -21,6 +21,32 @@ class LlmText11Spec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("payload table sources from a real binaryFile ingest: artifacts " +
+      "exist on disk and table bytes equal the artifact file bytes") {
+    import org.apache.spark.sql.functions.col
+    val df = MmPayloads.payloads(spark, sf)
+    assert(df.count() == 500)
+    val base =
+      s"/root/repo/target/qtmp/mm_ingest_${math.abs(sf.hashCode)}/fixtures"
+    val img3 = java.nio.file.Paths.get(s"$base/img/3.bmp")
+    val wav3 = java.nio.file.Paths.get(s"$base/wav/3.wav")
+    assert(java.nio.file.Files.exists(img3) &&
+      java.nio.file.Files.exists(wav3),
+      "ingest artifacts missing from the fixture store")
+    // ingest fidelity: the binary column is byte-identical to the
+    // on-disk artifact the binaryFile scan read
+    val row = df.filter(col("doc_id") === 3L).head
+    assert(java.util.Arrays.equals(row.getAs[Array[Byte]]("img"),
+      java.nio.file.Files.readAllBytes(img3)), "img bytes != artifact")
+    assert(java.util.Arrays.equals(row.getAs[Array[Byte]]("wav"),
+      java.nio.file.Files.readAllBytes(wav3)), "wav bytes != artifact")
+    // and the artifact really is a BMP/WAV container, not raw pixels
+    val hdr = java.nio.file.Files.readAllBytes(img3).take(2)
+    assert(hdr.sameElements(Array[Byte]('B', 'M')), "not a BMP container")
+    val riff = java.nio.file.Files.readAllBytes(wav3).take(4)
+    assert(riff.sameElements("RIFF".getBytes), "not a RIFF container")
+  }
+
   test("resize: 8x8 block means match an independent decode+mean, " +
       "and the run is deterministic") {
     import graft.functions.ImageHeader
