@@ -62,6 +62,63 @@ class LlmSim4Spec extends AnyFunSuite {
     assert(f.lastModified() == t0, "inc index was rebuilt on re-query")
   }
 
+  test("cell rebalance: compaction restores the per-cell bound by " +
+      "splitting only fat cells, and parent-routed search is row-for-row " +
+      "identical pre/post") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // FRESH scratch copy of the append-only index (a stale one from a
+    // previous run would re-split already-split cells down to
+    // singletons), then force a split of the biggest cell:
+    // bound = preMax - 1 guarantees the rebalance works regardless of
+    // how skewed this corpus's cells happen to be
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf)
+      f.delete()
+    }
+    rmrf(new java.io.File(
+      s"/root/repo/target/qtmp/sim_ivf_rebspec_${math.abs(sf.hashCode)}"))
+    val p = LlmSim4.buildIncIndex(spark, sf, "sim_ivf_rebspec")
+    def cellSizes() = spark.read.parquet(s"$p/assign")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val pre = cellSizes()
+    val preMax = pre.values.max
+    val before = LlmSim4.searchIndex(spark, sf, p)
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    LlmSim4.rebalanceIndex(spark, sf, p, bound = preMax - 1)
+    val post = cellSizes()
+    // the bound is restored and the postings universe is preserved
+    assert(post.values.max <= preMax - 1,
+      s"per-cell bound not restored: pre=$pre post=$post")
+    assert(post.values.sum == pre.values.sum,
+      s"rebalance lost/duplicated postings: pre=$pre post=$post")
+    assert(post.size > pre.size, "no new sub-cell was created")
+    // cells UNDER the bound were never touched (same sizes, same ids)
+    pre.filter(_._2 <= preMax - 1).foreach { case (c, n) =>
+      assert(post.get(c).exists(_ <= n), s"untouched cell $c changed")
+    }
+    // search parity: parent routing reads every sub-cell of a probed
+    // parent, so the candidate set — and every result row — is identical
+    val after = LlmSim4.searchIndex(spark, sf, p)
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(after.nonEmpty && after.toSeq == before.toSeq,
+      s"rebalance changed search results: before=${before.take(5).toSeq} " +
+        s"after=${after.take(5).toSeq}")
+    // the production id (average-postings bound) also matches the
+    // append-only index's search row-for-row
+    val reb = SparkEntry.queries("q_sim_index_rebalance")(spark, sf)
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val inc = SparkEntry.queries("q_sim_index_delta")(spark, sf)
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(reb.nonEmpty && reb.toSeq == inc.toSeq,
+      s"rebalanced/append-only divergence: reb=${reb.take(5).toSeq} " +
+        s"inc=${inc.take(5).toSeq}")
+  }
+
   test("the index builds once: a second search reuses the artifact " +
       "(assignment table mtime unchanged)") {
     val p = LlmSim4.buildIndex(spark, sf)
