@@ -123,6 +123,17 @@ object Analytics42 {
     * is ONE (node, lbl) row per node, every shuffle keys on the node
     * id, min() combines map-side, and the round count grows with
     * log(diameter), not diameter. */
+  /** One hash-min + pointer-jump CC round: lbl(v) ← min over the
+    * closed neighborhood, then lbl(v) ← lbl(lbl(v)). Shared by the
+    * oracle-expressible 4-round unroll and the fixpoint driver. */
+  private[queries] def ccRound(sym: DataFrame, st: DataFrame): DataFrame = {
+    val m = st.union(st.join(sym, Seq("u"))
+        .select(col("v").as("u"), col("lbl")))
+      .groupBy(col("u")).agg(min(col("lbl")).as("lbl"))
+    val lk = m.select(col("u").as("lbl"), col("lbl").as("jump"))
+    m.join(lk, Seq("lbl")).select(col("u"), col("jump").as("lbl"))
+  }
+
   private def qGraphComponents(s: SparkSession, d: String): DataFrame = {
     val e = coPairCounts(s, d).filter(col("cn") >= 2)
     val sym = e.select(col("u"), col("v"))
@@ -130,14 +141,53 @@ object Analytics42 {
       .localCheckpoint(true)
     val init = sym.select(col("u")).distinct()
       .select(col("u"), col("u").as("lbl"))
-    def round(st: DataFrame): DataFrame = {
-      val m = st.union(st.join(sym, Seq("u"))
-          .select(col("v").as("u"), col("lbl")))
-        .groupBy(col("u")).agg(min(col("lbl")).as("lbl"))
-      val lk = m.select(col("u").as("lbl"), col("lbl").as("jump"))
-      m.join(lk, Seq("lbl")).select(col("u"), col("jump").as("lbl"))
-    }
+    def round(st: DataFrame): DataFrame = ccRound(sym, st)
     val fin = round(round(round(round(init))))
+    fin.groupBy(col("lbl")).agg(count(lit(1)).as("n_nodes"))
+      .select(col("lbl").as("component"), col("n_nodes"))
+      .orderBy(desc("n_nodes"), col("component"))
+  }
+
+  /** Iterate-to-convergence CC driver (r11) — the PRODUCTION loop next
+    * to q_graph_cc's fixed 4-round unroll (kept: it is what the DuckDB
+    * oracle can express): rounds repeat until the strictly-decreasing
+    * label sum stabilizes — labels only shrink, so an unchanged sum
+    * means no label moved and the fixpoint is reached. Convergence is
+    * gated by ONE 1-row aggregate per round (the q_dedup_cluster
+    * discipline), per-round eager localCheckpoints truncate lineage so
+    * Catalyst analysis stays O(1) per round, and the round count grows
+    * with log(diameter) — a 40-hop path the 4-round unroll cannot
+    * close converges here (Analytics42Spec pins it). Returns the final
+    * (u, lbl) table and the number of rounds run. */
+  private[queries] def ccFixpoint(sym0: DataFrame,
+      maxRounds: Int = 64): (DataFrame, Int) = {
+    val sym = sym0.localCheckpoint(true)
+    var st = sym.select(col("u")).distinct()
+      .select(col("u"), col("u").as("lbl")).localCheckpoint(true)
+    var prev = st.agg(sum(col("lbl"))).head.getLong(0)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      st = ccRound(sym, st).localCheckpoint(true)
+      rounds += 1
+      val cur = st.agg(sum(col("lbl"))).head.getLong(0)
+      converged = cur == prev
+      prev = cur
+    }
+    (st, rounds)
+  }
+
+  /** Component report over the fixpoint driver — identical output shape
+    * to q_graph_cc; on any graph whose diameter the unroll covers the
+    * two agree row-for-row (spec-pinned), and on deeper graphs only
+    * this one is correct. No SQL oracle (data-dependent round count;
+    * the oracle-expressible variant is q_graph_cc — SURVEY §2.C
+    * rule 4); Analytics42Spec pins parity + deep-path convergence. */
+  private def qGraphCcFixpoint(s: SparkSession, d: String): DataFrame = {
+    val e = coPairCounts(s, d).filter(col("cn") >= 2)
+    val sym = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val (fin, _) = ccFixpoint(sym)
     fin.groupBy(col("lbl")).agg(count(lit(1)).as("n_nodes"))
       .select(col("lbl").as("component"), col("n_nodes"))
       .orderBy(desc("n_nodes"), col("component"))
@@ -212,6 +262,7 @@ object Analytics42 {
   val defs: Map[String, Relational.Q] = Map(
     "q_graph_sssp" -> (qGraphSssp _),
     "q_graph_cc" -> (qGraphComponents _),
+    "q_graph_cc_fixpoint" -> (qGraphCcFixpoint _),
     "q_graph_sssp_tree" -> (qGraphSsspTree _),
     "q_graph_landmarks" -> (qGraphLandmarks _),
     "q_agg_tdigest" -> (qAggTdigest _),

@@ -85,5 +85,36 @@ class Analytics42Spec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq === Seq((101L, 10L), (201L, 3L), (301L, 2L)),
       s"components wrong: ${out.toSeq}")
+    // the fixpoint driver agrees on a graph the unroll covers
+    val fp = SparkEntry.queries("q_graph_cc_fixpoint")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fp.toSeq === out.toSeq,
+      s"fixpoint/unroll divergence on shallow graph: ${fp.toSeq}")
+  }
+
+  test("cc fixpoint: a 40-hop path the 4-round unroll cannot close " +
+      "converges to ONE component via the accumulator-gated loop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 41-node path 100-101-...-140 (40 hops), fed directly as the
+    // symmetric edge list the driver iterates over
+    val edges = (100L to 139L).map(i => (i, i + 1))
+    val sym = edges.toDF("u", "v")
+      .union(edges.map(_.swap).toDF("u", "v"))
+    // the fixed 4-round unroll leaves the path fragmented...
+    val (st4, r4) = Analytics42.ccFixpoint(sym, maxRounds = 4)
+    val labels4 = st4.select(col("lbl")).distinct().count()
+    assert(r4 == 4 && labels4 > 1,
+      s"4 rounds should NOT close a 40-hop path (got $labels4 labels)")
+    // ...the fixpoint driver converges: every node labeled min-id 100,
+    // in more than 4 but O(log diameter)-ish rounds (well under the cap)
+    val (fin, rounds) = Analytics42.ccFixpoint(sym)
+    val labels = fin.select(col("lbl")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(labels == Seq(100L),
+      s"fixpoint did not converge to one component: $labels")
+    assert(fin.count() == 41)
+    assert(rounds > 4 && rounds < 64,
+      s"unexpected round count $rounds (cap would mean no convergence)")
   }
 }
