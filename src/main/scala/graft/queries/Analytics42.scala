@@ -113,11 +113,17 @@ object Analytics42 {
     * hash-min label propagation WITH pointer jumping (each round:
     * lbl(v) ← min over closed neighborhood, then lbl(v) ← lbl(lbl(v))),
     * the O(log diameter) distributed-CC discipline (large-star/
-    * small-star family). Four rounds reach ≥ 30 hops on a worst-case
-    * path — far past any co-purchase component diameter — and the
-    * DuckDB oracle runs the SAME four rounds, so the engines agree
-    * bit-for-bit by construction. Labels only shrink and every label
-    * is a live node id, so the jump lookup join is total.
+    * small-star family), run for a FIXED four rounds because the
+    * DuckDB oracle runs the SAME four unrolled rounds — the engines
+    * agree bit-for-bit by construction. Four rounds reach ≥ 30
+    * worst-case hops; honest caveat (r11): the sf0.01 corpus's giant
+    * component turns out to be deeper than that, so this op is the
+    * bounded-round REPORT (exact per-engine parity, partially-merged
+    * labels), and [[qGraphCcFixpoint]] is the production variant that
+    * iterates to the true fixpoint (on sf0.01 it merges the unroll's
+    * partial labels into one 1860-node component). Labels only shrink
+    * and every label is a live node id, so the jump lookup join is
+    * total.
     * Output: one row per component (min-node-id label, size), the
     * "how fragmented is the product graph" report. At 100 TB: state
     * is ONE (node, lbl) row per node, every shuffle keys on the node
@@ -179,10 +185,12 @@ object Analytics42 {
 
   /** Component report over the fixpoint driver — identical output shape
     * to q_graph_cc; on any graph whose diameter the unroll covers the
-    * two agree row-for-row (spec-pinned), and on deeper graphs only
-    * this one is correct. No SQL oracle (data-dependent round count;
-    * the oracle-expressible variant is q_graph_cc — SURVEY §2.C
-    * rule 4); Analytics42Spec pins parity + deep-path convergence. */
+    * two agree row-for-row (spec-pinned on a shallow fixture), and on
+    * deeper graphs — including the real sf0.01 co-pair graph, whose
+    * giant component outruns 4 rounds — only this one reports true
+    * components. No SQL oracle (data-dependent round count; the
+    * oracle-expressible variant is q_graph_cc — SURVEY §2.C rule 4);
+    * Analytics42Spec pins parity + deep-path convergence. */
   private def qGraphCcFixpoint(s: SparkSession, d: String): DataFrame = {
     val e = coPairCounts(s, d).filter(col("cn") >= 2)
     val sym = e.select(col("u"), col("v"))
