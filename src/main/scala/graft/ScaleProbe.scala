@@ -149,7 +149,9 @@ object ScaleProbe {
           "q_embed_quantize",
           // r10: greedy k-center (k broadcast scans) and the binary
           // retrieval tier (pack map-only, rank windows probe-keyed)
-          "q_sample_coreset", "q_embed_binary")
+          "q_sample_coreset", "q_embed_binary",
+          // r11: 64-group dimension profile; pair-capped isotropy
+          "q_embed_dimstats", "q_embed_isotropy")
       else if (mode == "customer")
         // r9 late wave: the k-anonymity audit rides the same inflation
         // (classes deepen, class COUNT stays QI-bounded)
@@ -172,12 +174,20 @@ object ScaleProbe {
           // grids after one user-keyed aggregate; the folds ride the
           // calendar-bounded daily table
           "q_win_shapley", "q_win_uplift", "q_agg_permtest",
-          "q_agg_gst", "q_time_kalman", "q_time_holtwinters")
+          "q_agg_gst", "q_time_kalman", "q_time_holtwinters",
+          // r11: rank tests on bounded bucket/grid tables, day²-bounded
+          // Walsh pairs, suffix-cumsum risk sets, daily-table folds
+          "q_agg_kruskal", "q_agg_friedman", "q_agg_hodgeslehmann",
+          "q_agg_logrank", "q_time_hurst", "q_time_croston",
+          "q_quality_freshness")
       else if (mode == "lineitem")
         Seq("q_graph_sssp", "q_graph_sssp_tree", "q_agg_tdigest",
           "q_agg_tdigest_rollup",
           // r9 late wave: CC rides the densifying co-purchase graph
-          "q_graph_cc")
+          "q_graph_cc",
+          // r11: fixpoint CC (round count is data-driven), triangle-
+          // oriented clustering summary, threshold-bounded rich club
+          "q_graph_cc_fixpoint", "q_graph_clustcoef", "q_graph_richclub")
       else
         Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
           "q_dedup_ngram", "q_dedup_span", "q_dedup_url", "q_text_ngrams",
