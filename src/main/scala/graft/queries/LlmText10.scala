@@ -229,35 +229,43 @@ object LlmText10 {
     // shared-shingle ≥ 2 candidate prune: same shuffle as the plain
     // distinct, but the surviving pair set shrinks ~10× (1.13M → 112k
     // measured on this corpus), which is what the verification join
-    // pays for. The prune is gated STRUCTURALLY, not by measured
-    // corpus properties (r11, ADVICE): a true pair (Jaccard ≥ 0.5 on
-    // full sets) has |A∩B| ≥ 0.5·|A∪B| ≥ 0.5·min_full, and its shared
-    // shingles all have df ≥ 2, so the only shared shingles the df
-    // cap can hide are HOT (df > 50) ones: capped-shared ≥
-    // 0.5·min_full − max_hot. The 1-row gate keeps the prune only
-    // when 0.5·min_full − max_hot ≥ 2 — i.e. NO true pair can share
-    // fewer than 2 capped shingles — and otherwise falls back to the
-    // unpruned shared ≥ 1 pool (slower, never recall-biased). A
-    // corpus drift that invalidates the prune therefore degrades
-    // perf, not the recall denominator of the op that measures recall.
-    val docStats = sh3.select(col("doc_id"), size(col("sh")).as("nf"))
-    val hotPerDoc = ex
-      .join(dfTab.filter(col("df") > 50).select(col("g"))
-        .hint("shuffle_hash"), Seq("g"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("hot"))
-    val pruneGate = docStats
-      .join(hotPerDoc, Seq("doc_id"), "left")
-      .agg(max(coalesce(col("hot"), lit(0L))).as("max_hot"),
-        min(col("nf")).as("min_full"))
-      .select((lit(0.5) * col("min_full") - col("max_hot") >= lit(2.0))
-        .as("prune_ok"))
-    val invPairs = exf.select(col("g"), col("doc_id").as("a"))
+    // pays for. The prune is sound STRUCTURALLY, per pair (r11,
+    // ADVICE — refined from an all-or-nothing global gate whose
+    // fallback doubled the ×10-corpus probe): a true pair (Jaccard ≥
+    // 0.5 on full sets) has |A∩B| ≥ 0.5·|A∪B| ≥ 0.5·max(nfA, nfB),
+    // and its shared shingles all have df ≥ 2, so the only shared
+    // shingles the df cap can hide are that pair's own HOT (df > 50)
+    // ones: capped-shared ≥ 0.5·max(nfA, nfB) − min(hotA, hotB).
+    // A shared==1 pair can therefore only be true when
+    // 1 + min(hotA, hotB) ≥ 0.5·max(nfA, nfB) — exactly those pairs
+    // are RESCUED into the pool (two id-keyed shuffle_hash joins over
+    // the shared==1 slice carrying 3 small ints, far cheaper than the
+    // array-carrying verification join the prune protects); every
+    // other shared==1 pair is provably not ≥0.5-Jaccard. Corpus drift
+    // (hot boilerplate, tiny docs) grows the rescued slice — never
+    // the recall denominator of the op that measures recall.
+    val docCaps = sh3.select(col("doc_id"), size(col("sh")).as("nf"))
+      .join(ex.join(dfTab.filter(col("df") > 50).select(col("g"))
+          .hint("shuffle_hash"), Seq("g"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("hot")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nf"),
+        coalesce(col("hot"), lit(0L)).as("hot"))
+    val pairsAgg = exf.select(col("g"), col("doc_id").as("a"))
       .join(exf.select(col("g"), col("doc_id").as("b")), Seq("g"))
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
-      .crossJoin(broadcast(pruneGate))
-      .filter(col("n_shared") >= 2 || !col("prune_ok"))
+    val rescued = pairsAgg.filter(col("n_shared") === 1)
+      .join(docCaps.select(col("doc_id").as("a"), col("nf").as("nfa"),
+        col("hot").as("hota")).hint("shuffle_hash"), Seq("a"))
+      .join(docCaps.select(col("doc_id").as("b"), col("nf").as("nfb"),
+        col("hot").as("hotb")).hint("shuffle_hash"), Seq("b"))
+      .filter(lit(1.0) + least(col("hota"), col("hotb")) >=
+        lit(0.5) * greatest(col("nfa"), col("nfb")))
       .select(col("a"), col("b"))
+    val invPairs = pairsAgg.filter(col("n_shared") >= 2)
+      .select(col("a"), col("b"))
+      .union(rescued)
     // eager checkpoint: the LSH generator feeds the pool (→ truth, read
     // twice) AND the hit/precision side — unmaterialized, the full
     // minhash plan re-runs four times (measured 2× on the whole query
