@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Round-11 fifth wave: FULL core decomposition of the co-purchase
+  * graph — the per-node core number (the largest k such that the node
+  * survives k-core peeling), computed by the distributed h-index
+  * fixpoint (Lü et al.: init c₀ = degree; iterate c_{t+1}(v) =
+  * H-index of neighbors' c_t — provably converges to the core number,
+  * monotonically non-increasing). This generalizes q_graph_kcore's
+  * fixed-k unrolled peel to every k at once, with the same
+  * accumulator-gated loop discipline as q_graph_cc_fixpoint: one
+  * 1-row label-sum aggregate per round gates convergence, per-round
+  * eager localCheckpoints keep analysis O(1) per round.
+  *
+  * At 100 TB: state is one (node, core) row per node; each round is
+  * one node-keyed join + one aggregate whose per-node fold is bounded
+  * by the node's degree; round count is data-driven (small in
+  * practice), never hard-coded. No SQL oracle (data-driven round
+  * count; SURVEY §2.C rule 4) — Analytics67Spec pins exact core
+  * numbers on a clique+path+pair fixture and the kcore-consistency
+  * property on real data. */
+object Analytics67 {
+
+  /** H-index fixpoint over an undirected symmetric edge list; returns
+    * the converged (u, core) table and the round count. */
+  private[queries] def coreFixpoint(sym0: DataFrame,
+      maxRounds: Int = 32): (DataFrame, Int) = {
+    val sym = sym0.localCheckpoint(true)
+    // h-index of a desc-sorted value list: #{i : v_i ≥ i}
+    val hIndex = "aggregate(transform(sort_array(vals, false), " +
+      "(v, i) -> CASE WHEN v >= CAST(i + 1 AS BIGINT) THEN 1L " +
+      "ELSE 0L END), 0L, (acc, x) -> acc + x)"
+    var st = sym.groupBy(col("u")).agg(count(lit(1)).as("core"))
+      .localCheckpoint(true)
+    var prev = st.agg(sum(col("core"))).head.getLong(0)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      st = sym
+        .join(st.select(col("u").as("v"), col("core").as("cv")),
+          Seq("v"))
+        .groupBy(col("u"))
+        .agg(collect_list(col("cv")).as("vals"))
+        .select(col("u"), expr(hIndex).as("core"))
+        .localCheckpoint(true)
+      rounds += 1
+      val cur = st.agg(sum(col("core"))).head.getLong(0)
+      converged = cur == prev
+      prev = cur
+    }
+    (st, rounds)
+  }
+
+  /** Core-number histogram of the support-≥2 co-purchase graph. */
+  private def qGraphCoreDecomp(s: SparkSession, d: String): DataFrame = {
+    val e = coPairCounts(s, d).filter(col("cn") >= 2)
+    val sym = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val (fin, _) = coreFixpoint(sym)
+    fin.groupBy(col("core")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("core"))
+  }
+
+  val defs: Map[String, Relational.Q] = Map(
+    "q_graph_coredecomp" -> (qGraphCoreDecomp _),
+  )
+
+  val sql: Map[String, String] = Map()
+}
