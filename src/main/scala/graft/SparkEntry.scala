@@ -46,7 +46,7 @@ object SparkEntry {
       Analytics56.defs ++ Analytics57.defs ++ Analytics58.defs ++
       Analytics59.defs ++ Analytics60.defs ++ Analytics61.defs ++ Analytics62.defs ++
       Analytics63.defs ++ Analytics64.defs ++ Analytics65.defs ++ Analytics66.defs ++ Analytics67.defs ++
-      Analytics68.defs ++ Analytics69.defs ++
+      Analytics68.defs ++ Analytics69.defs ++ Analytics70.defs ++
       LlmText14.defs ++
       LlmText10.defs ++
       LlmText11.defs ++ LlmText12.defs ++ LlmSim2.defs ++ LlmSim3.defs ++
@@ -87,7 +87,7 @@ object SparkEntry {
       Analytics56.sql ++ Analytics57.sql ++ Analytics58.sql ++
       Analytics59.sql ++ Analytics60.sql ++ Analytics61.sql ++ Analytics62.sql ++
       Analytics63.sql ++ Analytics64.sql ++ Analytics65.sql ++ Analytics66.sql ++ Analytics67.sql ++
-      Analytics68.sql ++ Analytics69.sql ++
+      Analytics68.sql ++ Analytics69.sql ++ Analytics70.sql ++
       LlmText14.sql ++
       LlmText10.sql ++
       LlmText11.sql ++ LlmText12.sql ++ LlmSim2.sql ++ LlmSim3.sql ++
