@@ -48,7 +48,7 @@ object SparkEntry {
       Analytics63.defs ++ Analytics64.defs ++ Analytics65.defs ++ Analytics66.defs ++ Analytics67.defs ++
       Analytics68.defs ++ Analytics69.defs ++ Analytics70.defs ++
       Analytics71.defs ++
-      LlmText14.defs ++
+      LlmText14.defs ++ LlmText15.defs ++
       LlmText10.defs ++
       LlmText11.defs ++ LlmText12.defs ++ LlmSim2.defs ++ LlmSim3.defs ++
       LlmSim4.defs ++ LlmSim5.defs ++
@@ -90,7 +90,7 @@ object SparkEntry {
       Analytics63.sql ++ Analytics64.sql ++ Analytics65.sql ++ Analytics66.sql ++ Analytics67.sql ++
       Analytics68.sql ++ Analytics69.sql ++ Analytics70.sql ++
       Analytics71.sql ++
-      LlmText14.sql ++
+      LlmText14.sql ++ LlmText15.sql ++
       LlmText10.sql ++
       LlmText11.sql ++ LlmText12.sql ++ LlmSim2.sql ++ LlmSim3.sql ++
       LlmSim4.sql ++ LlmSim5.sql ++
