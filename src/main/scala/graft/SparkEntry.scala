@@ -112,6 +112,7 @@ object SparkEntry {
     (Analytics70.defs, Analytics70.sql),
     (Analytics71.defs, Analytics71.sql),
     (Analytics72.defs, Analytics72.sql),
+    (Analytics73.defs, Analytics73.sql),
     (LlmText14.defs, LlmText14.sql),
     (LlmText15.defs, LlmText15.sql),
     (LlmText10.defs, LlmText10.sql),
