@@ -87,6 +87,7 @@ object SparkEntry {
     (Analytics47.defs, Analytics47.sql),
     (LlmText13.defs, LlmText13.sql),
     (StreamingQ2.defs, StreamingQ2.sql),
+    (StreamingQ3.defs, StreamingQ3.sql),
     (Analytics48.defs, Analytics48.sql),
     (Analytics49.defs, Analytics49.sql),
     (Analytics50.defs, Analytics50.sql),

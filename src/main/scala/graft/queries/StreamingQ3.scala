@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Round-11 streaming wave: the batch/stream parity audit — Spark's
+  * unified-semantics guarantee made checkable. The SAME tumbling
+  * 10-minute aggregation (count + exact DECIMAL sum) runs twice over
+  * one crafted feed: once as a watermarked Append-mode stream across
+  * two micro-batches (out-of-order arrivals included), once as a plain
+  * batch query over the union of the feed — and the op emits the
+  * per-window side-by-side with an is_match verdict. Every closed
+  * window must agree exactly: a replayed backfill and the live
+  * pipeline produce identical tables, the property that lets a 100 TB
+  * pipeline rebuild any day from the lake with the streaming code
+  * path.
+  *
+  * The feed's tail sentinel (2 h ahead) advances the watermark past
+  * both data windows so Append mode finalizes them; the sentinel's own
+  * still-open window is excluded from the comparison on both sides by
+  * construction (batch side compares only windows the stream emitted —
+  * an inner join, with a separate emitted-window count column guarding
+  * against silent drops).
+  *
+  * No SQL oracle (MemoryStream rig; SURVEY §2.C rule 4) —
+  * StreamingQ3Spec pins exact window contents, the all-match verdict,
+  * and the closed-window count. */
+object StreamingQ3 {
+
+  private[graft] def qStreamParity(s: SparkSession, d: String)
+      : DataFrame = {
+    import StreamingQ.{ev, Ev}
+    // two 10-min windows of data (out-of-order within each), then the
+    // watermark-advancing sentinel
+    val batch1 = Seq(ev(1, 30, uid = 1, v = 2.5), ev(2, 540, uid = 2,
+      v = 1.5), ev(3, 120, uid = 1, v = 4.0))
+    val batch2 = Seq(ev(4, 660, uid = 3, v = 3.0), ev(5, 1170, uid = 1,
+      v = 0.5), ev(6, 7200, uid = 9, v = 9.9))
+    val agg: DataFrame => DataFrame = df => df
+      .withColumn("v", col("value").cast("decimal(18,4)"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .select(col("window.start").as("w_start"), col("n"), col("sv"))
+    val streamed = StreamingQ.runStream(s, batch1, batch2, agg,
+      OutputMode.Append())
+    import s.implicits._
+    val batch = (batch1 ++ batch2).toDF()
+      .withColumn("v", col("value").cast("decimal(18,4)"))
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_batch"), sum(col("v")).as("sv_batch"))
+      .select(col("window.start").as("w_start"), col("n_batch"),
+        col("sv_batch"))
+    val emitted = streamed.agg(count(lit(1)).as("n_closed_windows"))
+    streamed
+      .join(batch, Seq("w_start"))
+      .crossJoin(broadcast(emitted))
+      .select(col("w_start"), col("n").as("n_stream"), col("n_batch"),
+        col("sv").cast("double").as("sum_stream"),
+        col("sv_batch").cast("double").as("sum_batch"),
+        (col("n") === col("n_batch") &&
+          col("sv") === col("sv_batch")).as("is_match"),
+        col("n_closed_windows"))
+      .orderBy(col("w_start"))
+  }
+
+  val defs: Map[String, Relational.Q] = Map(
+    "q_stream_parity" -> (qStreamParity _),
+  )
+
+  val sql: Map[String, String] = Map()
+}

@@ -1,0 +1,37 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Gate for the r11 batch/stream parity audit: both closed windows
+  * emit, every emitted window matches the batch recomputation
+  * exactly, and the still-open sentinel window is absent. */
+class StreamingQ3Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("stream parity: two closed windows, exact count/sum agreement " +
+      "with the batch path, open sentinel window excluded") {
+    val rows = SparkEntry.queries("q_stream_parity")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 2, s"windows: ${rows.toSeq}")
+    assert(rows.forall(_.getBoolean(5)), s"mismatch: ${rows.toSeq}")
+    assert(rows.forall(_.getLong(6) == 2), s"closed count: ${rows.toSeq}")
+    // window [0,600): events 1,2,3 (2.5 + 1.5 + 4.0);
+    // window [600,1200): events 4,5 (3.0 + 0.5)
+    val w0 = rows.head
+    assert(w0.getLong(1) == 3 && w0.getDouble(3) == 8.0, s"w0: $w0")
+    val w1 = rows(1)
+    assert(w1.getLong(1) == 2 && w1.getDouble(3) == 3.5, s"w1: $w1")
+    // parity double-check outside the op: stream counts equal batch
+    assert(rows.map(_.getLong(1)).toSeq == rows.map(_.getLong(2)).toSeq)
+  }
+}
