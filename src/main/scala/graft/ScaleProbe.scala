@@ -179,7 +179,14 @@ object ScaleProbe {
           // Walsh pairs, suffix-cumsum risk sets, daily-table folds
           "q_agg_kruskal", "q_agg_friedman", "q_agg_hodgeslehmann",
           "q_agg_logrank", "q_time_hurst", "q_time_croston",
-          "q_quality_freshness")
+          "q_quality_freshness",
+          // r11 late waves: sign/rank lattices on day²-bounded pair
+          // joins, technical indicators + ACF diagnostics on the daily/
+          // hourly grids, vocab²-bounded bipartite projection
+          "q_agg_mannkendall", "q_agg_pettitt", "q_agg_cliffsdelta",
+          "q_agg_kendallw", "q_agg_cvm2", "q_agg_ad2",
+          "q_time_bollinger", "q_time_rsi", "q_time_macd",
+          "q_time_pacf", "q_time_spectral", "q_graph_bipartite")
       else if (mode == "lineitem")
         Seq("q_graph_sssp", "q_graph_sssp_tree", "q_agg_tdigest",
           "q_agg_tdigest_rollup",
@@ -187,7 +194,10 @@ object ScaleProbe {
           "q_graph_cc",
           // r11: fixpoint CC (round count is data-driven), triangle-
           // oriented clustering summary, threshold-bounded rich club
-          "q_graph_cc_fixpoint", "q_graph_clustcoef", "q_graph_richclub")
+          "q_graph_cc_fixpoint", "q_graph_clustcoef", "q_graph_richclub",
+          // r11 late waves: per-edge wedge support under densification,
+          // quantity×discount bounded-grid concordance
+          "q_graph_ktruss", "q_agg_gkgamma")
       else
         Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
           "q_dedup_ngram", "q_dedup_span", "q_dedup_url", "q_text_ngrams",
@@ -201,7 +211,10 @@ object ScaleProbe {
           "q_dedup_sweep", "q_quality_datacard",
           // r10: pooled-truth eval after the shared>=2 candidate prune,
           // nested-subsample Heaps fit, RAKE
-          "q_dedup_eval", "q_text_heaps", "q_text_rake")
+          "q_dedup_eval", "q_text_heaps", "q_text_rake",
+          // r11 late waves: map-only gibberish screen, cluster-atomic
+          // split over the densifying near-dup graph
+          "q_text_gibberish", "q_split_leakage")
     val times = ops.map { id =>
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(id)(spark, probeDir).count()

@@ -54,25 +54,51 @@ object Analytics72 {
       .orderBy(col("ta"), col("tb"))
   }
 
-  /** Per-edge triangle support: common-neighbor count over the
-    * symmetric adjacency. */
-  private def support(e: DataFrame, sym: DataFrame): DataFrame =
-    e.join(sym.select(col("u").as("su"), col("v").as("w")),
-        col("su") === col("u"))
-      .join(sym.select(col("u").as("sv"), col("v").as("w2")),
-        col("sv") === col("v") && col("w2") === col("w"))
+  /** Per-edge triangle support via DEGREE-ORIENTED triangle
+    * enumeration (the q_graph_triangles discipline): each triangle is
+    * produced exactly once at its low-degree apex — wedge fan-out is
+    * oriented-out-degree-bounded, never hub-degree-bounded — then
+    * distributed to its three canonical edges. The first naive
+    * common-neighbor formulation blew up 73× under the lineitem ×3
+    * densification probe; this one tracks triangle count. */
+  private def support(e0: DataFrame): DataFrame = {
+    val e = e0.localCheckpoint(true)
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val ed = e
+      .join(deg.select(col("u"), col("deg").as("du"))
+        .hint("shuffle_hash"), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("deg").as("dv"))
+        .hint("shuffle_hash"), Seq("v"))
+    val lowFirst = expr("du < dv OR (du = dv AND u < v)")
+    val o = ed.select(
+      when(lowFirst, col("u")).otherwise(col("v")).as("src"),
+      when(lowFirst, col("v")).otherwise(col("u")).as("dst"),
+      when(lowFirst, col("dv")).otherwise(col("du")).as("dd"))
+    val w = o.select(col("src"), col("dst").as("b"), col("dd").as("db"))
+      .join(o.select(col("src"), col("dst").as("c"), col("dd").as("dc")),
+        Seq("src"))
+      .filter(expr("db < dc OR (db = dc AND b < c)"))
+    val tri = w.join(o.select(col("src").as("b"), col("dst").as("c")),
+      Seq("b", "c"))
+      .select(col("src").as("a"), col("b"), col("c"))
+    tri.select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .union(tri.select(least(col("a"), col("c")).as("u"),
+        greatest(col("a"), col("c")).as("v")))
+      .union(tri.select(least(col("b"), col("c")).as("u"),
+        greatest(col("b"), col("c")).as("v")))
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("sup"))
+  }
 
   /** 4-truss, two unrolled peel rounds; (round, n_edges) report. */
   private def qGraphKtruss(s: SparkSession, d: String): DataFrame = {
     val e0 = coPairCounts(s, d).filter(col("cn") >= 2)
       .select(col("u"), col("v")).localCheckpoint(true)
-    def symOf(e: DataFrame) =
-      e.union(e.select(col("v").as("u"), col("u").as("v")))
-    val e1 = support(e0, symOf(e0)).filter(col("sup") >= 2)
+    val e1 = support(e0).filter(col("sup") >= 2)
       .select(col("u"), col("v")).localCheckpoint(true)
-    val e2 = support(e1, symOf(e1)).filter(col("sup") >= 2)
+    val e2 = support(e1).filter(col("sup") >= 2)
       .select(col("u"), col("v"))
     e0.agg(count(lit(1)).as("n_edges")).select(lit(0L).as("round"),
         col("n_edges"))
@@ -115,17 +141,59 @@ object Analytics72 {
         |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
         |       GROUP BY 1, 2 HAVING count(*) >= 2),
         |s0 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |d0 AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+        |       FROM s0 GROUP BY u),
+        |o0 AS (SELECT
+        |  CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END
+        |    AS src,
+        |  CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END
+        |    AS dst,
+        |  CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END
+        |    AS dd
+        |  FROM (SELECT e.u, e.v, da.deg AS du, db.deg AS dv
+        |        FROM e0 e JOIN d0 da ON e.u = da.u
+        |                  JOIN d0 db ON e.v = db.u)),
+        |t0 AS (SELECT w.src AS a, w.b, w.c
+        |       FROM (SELECT o1.src, o1.dst AS b, o2.dst AS c
+        |             FROM o0 o1 JOIN o0 o2 ON o1.src = o2.src
+        |             AND (o1.dd < o2.dd
+        |                  OR (o1.dd = o2.dd AND o1.dst < o2.dst))) w
+        |       JOIN o0 ON w.b = o0.src AND w.c = o0.dst),
         |e1 AS (
-        |  SELECT e.u, e.v
-        |  FROM e0 e JOIN s0 a ON a.u = e.u JOIN s0 b
-        |    ON b.u = e.v AND b.v = a.v
-        |  GROUP BY e.u, e.v HAVING count(*) >= 2),
+        |  SELECT u, v FROM (
+        |    SELECT least(a, b) AS u, greatest(a, b) AS v FROM t0
+        |    UNION ALL
+        |    SELECT least(a, c), greatest(a, c) FROM t0
+        |    UNION ALL
+        |    SELECT least(b, c), greatest(b, c) FROM t0)
+        |  GROUP BY u, v HAVING count(*) >= 2),
         |s1 AS (SELECT u, v FROM e1 UNION ALL SELECT v, u FROM e1),
+        |d1 AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+        |       FROM s1 GROUP BY u),
+        |o1 AS (SELECT
+        |  CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END
+        |    AS src,
+        |  CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END
+        |    AS dst,
+        |  CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END
+        |    AS dd
+        |  FROM (SELECT e.u, e.v, da.deg AS du, db.deg AS dv
+        |        FROM e1 e JOIN d1 da ON e.u = da.u
+        |                  JOIN d1 db ON e.v = db.u)),
+        |t1 AS (SELECT w.src AS a, w.b, w.c
+        |       FROM (SELECT o1.src, o1.dst AS b, o2.dst AS c
+        |             FROM o1 JOIN o1 o2 ON o1.src = o2.src
+        |             AND (o1.dd < o2.dd
+        |                  OR (o1.dd = o2.dd AND o1.dst < o2.dst))) w
+        |       JOIN o1 ON w.b = o1.src AND w.c = o1.dst),
         |e2 AS (
-        |  SELECT e.u, e.v
-        |  FROM e1 e JOIN s1 a ON a.u = e.u JOIN s1 b
-        |    ON b.u = e.v AND b.v = a.v
-        |  GROUP BY e.u, e.v HAVING count(*) >= 2)
+        |  SELECT u, v FROM (
+        |    SELECT least(a, b) AS u, greatest(a, b) AS v FROM t1
+        |    UNION ALL
+        |    SELECT least(a, c), greatest(a, c) FROM t1
+        |    UNION ALL
+        |    SELECT least(b, c), greatest(b, c) FROM t1)
+        |  GROUP BY u, v HAVING count(*) >= 2)
         |SELECT CAST(0 AS BIGINT) AS round,
         |  CAST(count(*) AS BIGINT) AS n_edges FROM e0
         |UNION ALL
