@@ -197,7 +197,9 @@ object ScaleProbe {
           "q_graph_cc_fixpoint", "q_graph_clustcoef", "q_graph_richclub",
           // r11 late waves: per-edge wedge support under densification,
           // quantity×discount bounded-grid concordance
-          "q_graph_ktruss", "q_agg_gkgamma")
+          "q_graph_ktruss", "q_agg_gkgamma",
+          // r12: h-index core decomposition on the bounded count grid
+          "q_graph_coredecomp")
       else
         Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
           "q_dedup_ngram", "q_dedup_span", "q_dedup_url", "q_text_ngrams",

@@ -26,26 +26,37 @@ import Tables._
 object Analytics67 {
 
   /** H-index fixpoint over an undirected symmetric edge list; returns
-    * the converged (u, core) table and the round count. */
+    * the converged (u, core) table and the round count.
+    *
+    * The per-round h-index is read off the bounded (u, cv, cnt) count
+    * grid — NOT a collected neighbor array: with cum(cv) = #neighbors
+    * whose core ≥ cv (a per-u cumulative count over distinct core
+    * values, descending), h-index(u) = max over present cv of
+    * min(cv, cum(cv)). Proof: for the true h*, the smallest present
+    * value v ≥ h* has cum(v) = N(≥h*) ≥ h*, so min(v, cum(v)) ≥ h*;
+    * conversely any m = min(cv, cum(cv)) has N(≥m) ≥ cum(cv) ≥ m, so
+    * m ≤ h*. A degree-10⁷ hub therefore costs O(distinct core values)
+    * grid rows instead of a 10⁷-element array sorted every round
+    * (VERDICT r11 item 4). */
   private[queries] def coreFixpoint(sym0: DataFrame,
       maxRounds: Int = 32): (DataFrame, Int) = {
+    import org.apache.spark.sql.expressions.Window
     val sym = sym0.localCheckpoint(true)
-    // h-index of a desc-sorted value list: #{i : v_i ≥ i}
-    val hIndex = "aggregate(transform(sort_array(vals, false), " +
-      "(v, i) -> CASE WHEN v >= CAST(i + 1 AS BIGINT) THEN 1L " +
-      "ELSE 0L END), 0L, (acc, x) -> acc + x)"
     var st = sym.groupBy(col("u")).agg(count(lit(1)).as("core"))
       .localCheckpoint(true)
     var prev = st.agg(sum(col("core"))).head.getLong(0)
     var rounds = 0
     var converged = false
+    val wCum = Window.partitionBy(col("u")).orderBy(col("cv").desc)
     while (!converged && rounds < maxRounds) {
       st = sym
         .join(st.select(col("u").as("v"), col("core").as("cv")),
           Seq("v"))
+        .groupBy(col("u"), col("cv"))
+        .agg(count(lit(1)).as("cnt")) // bounded grid, map-side combined
+        .withColumn("ge", sum(col("cnt")).over(wCum))
         .groupBy(col("u"))
-        .agg(collect_list(col("cv")).as("vals"))
-        .select(col("u"), expr(hIndex).as("core"))
+        .agg(max(least(col("cv"), col("ge"))).as("core"))
         .localCheckpoint(true)
       rounds += 1
       val cur = st.agg(sum(col("core"))).head.getLong(0)

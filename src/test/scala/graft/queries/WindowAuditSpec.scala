@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LogicalPlan, Window => LWindow}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Repo-wide gate for the one window-shape that cannot scale: a
+  * partition-less (global) Window over an unbounded input serializes
+  * the whole stream through one task. The repo's discipline is that a
+  * global window may only ride a BOUNDED table (an aggregate output, a
+  * grid, a sketch) — this spec makes that discipline mechanical
+  * (VERDICT r11 item 4): every declared query's optimized logical plan
+  * is swept; any global Window must (a) belong to a whitelisted id and
+  * (b) have an Aggregate somewhere beneath it (the bounded-input
+  * witness). A new op that puts a global window on a raw stream fails
+  * here before it ships.
+  *
+  * Streaming rig ids (q_stream_*) are skipped: building them executes
+  * the MemoryStream rigs (their state-boundedness is spec'd in
+  * StreamingLlmSpec / StreamingQ*Spec instead). */
+class WindowAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Ids allowed to carry a partition-less Window; each must still show
+    * an Aggregate below the window (checked), and the comment names the
+    * bounded table the window rides. */
+  private val whitelist: Set[String] = Set(
+    // ECDF / rank lattices: window rides the distinct value grid
+    "q_agg_ad2", "q_agg_cvm2", "q_agg_kruskal", "q_agg_mannwhitney",
+    "q_agg_auc", "q_agg_conformal", "q_agg_fdr", "q_agg_hill",
+    // calibration / gains / psi / mixture: decile- or bin-bounded
+    "q_agg_calibration", "q_agg_gains", "q_agg_psi", "q_agg_mixture",
+    // survival: per-day removal table (calendar-bounded)
+    "q_agg_survival", "q_agg_nelsonaalen", "q_agg_gst",
+    // entropy-rate symbol grid
+    "q_agg_entropy_rate",
+    // embeddings: 64-dim stats / capped pair sample
+    "q_embed_dimstats", "q_embed_isotropy",
+    // fusion of two top-k rank lists (≤2k rows)
+    "q_sim_fuse",
+    // vocab/shingle aggregates (corpus-vocab-bounded)
+    "q_text_coverage", "q_text_heaps", "q_text_jsd", "q_text_zipf",
+    // calendar-bounded daily series
+    "q_time_changepoint", "q_time_drawdown", "q_time_rolling_corr",
+    // per-user collapsed aggregates (user-universe-bounded)
+    "q_win_lifespan", "q_win_purchasegap", "q_win_reorder", "q_win_rfm",
+    "q_win_uplift",
+    // 16-row coalition mask grid
+    "q_win_shapley",
+    // pareto frontier over the per-key aggregate
+    "q_win_skyline",
+  )
+
+  test("every partition-less Window rides a whitelisted bounded input") {
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    val ids = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("q_stream_"))
+    ids.foreach { id =>
+      val plan: LogicalPlan =
+        try SparkEntry.queries(id)(spark, sf).queryExecution.optimizedPlan
+        catch {
+          case e: Exception =>
+            fail(s"$id: failed to build/optimize at $sf: ${e.getMessage}")
+        }
+      val globals = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      if (globals.nonEmpty) {
+        if (!whitelist.contains(id))
+          offenders += s"$id (${globals.size} global window(s), not whitelisted)"
+        else if (!globals.forall(_.child.exists {
+            case _: Aggregate => true   // grid/sketch/collapsed table
+            case _: GlobalLimit => true // top-k / capped sample
+            case _ => false
+          }))
+          offenders += s"$id (whitelisted but a global window has no " +
+            "Aggregate/Limit beneath it — unbounded input)"
+      }
+    }
+    assert(offenders.isEmpty,
+      "partition-less WindowExec on a non-whitelisted query:\n  " +
+        offenders.mkString("\n  "))
+  }
+}
