@@ -166,7 +166,7 @@ class AvroContainerSource extends TableProvider with DataSourceRegister {
 }
 
 object AvroContainerSource {
-  import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, MapType}
+  import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType, MapType}
 
   /** Avro-spec reader-schema numeric promotions (Avro 1.x spec, "Schema
     * Resolution": writer int is readable as long/float/double, long as
@@ -208,6 +208,15 @@ object AvroContainerSource {
       // "incompatible schema evolution" even though avro's own reader-
       // schema resolution defines the promotion.
       case (x, y) if promoteNumeric(x, y).isDefined => promoteNumeric(x, y)
+      // Avro-spec string↔bytes promotion (r12, the last spec-legal
+      // resolution): the spec allows a writer string to be read as
+      // bytes AND a writer bytes as string. Merge to BINARY — the
+      // string→bytes direction is exact (avro strings are UTF-8 on the
+      // wire), whereas forcing arbitrary bytes through a UTF-8 decode
+      // could corrupt; callers who know the bytes are text can cast.
+      case (org.apache.spark.sql.types.StringType, BinaryType) |
+           (BinaryType, org.apache.spark.sql.types.StringType) =>
+        Some(BinaryType)
       case (x: StructType, y: StructType) =>
         // Union-by-name recursive merge (nested ADD-FIELD evolution):
         // x's fields keep their order, y's new fields append after. A

@@ -59,6 +59,24 @@ object AvroDatum {
       case (FLOAT, DoubleType) =>
         v => java.lang.Double.valueOf(v.asInstanceOf[Float].toDouble)
       case (STRING, StringType) => v => UTF8String.fromString(v.toString)
+      // Avro-spec string↔bytes promotions (r12): a merged schema that
+      // resolved mixed string/bytes generations to BINARY
+      // (AvroContainerSource.mergeTypes) reads old string-writer files
+      // as their exact UTF-8 wire bytes; the reverse direction decodes
+      // bytes as UTF-8 text for an explicit string reader schema.
+      case (STRING, BinaryType) =>
+        v => v match {
+          case u: org.apache.avro.util.Utf8 =>
+            java.util.Arrays.copyOf(u.getBytes, u.getByteLength)
+          case other =>
+            other.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
+      case (BYTES, StringType) =>
+        v => {
+          val bb = v.asInstanceOf[ByteBuffer]
+          val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes)
+          UTF8String.fromBytes(bytes)
+        }
       case (ENUM, StringType) =>
         v => UTF8String.fromString(v.asInstanceOf[GenericEnumSymbol[_]].toString)
       case (BYTES, d: DecimalType) =>

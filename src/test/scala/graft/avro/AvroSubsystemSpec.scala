@@ -577,6 +577,42 @@ class AvroSubsystemSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("incompatible schema evolution"))
   }
 
+  test("string/bytes type-promotion evolution: mixed generations scan " +
+      "as one binary column, string rows surface as exact UTF-8 bytes") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{BinaryType, LongType}
+    val dir = tmpDir("promote-strbytes")
+    // gen-1 writes (long id, string tag); gen-2 switched tag to bytes —
+    // the avro-spec string↔bytes resolution (both directions legal;
+    // merge lands on BINARY, the lossless one)
+    (1L to 10L).map(i => (i, s"tag$i")).toDF("id", "tag")
+      .coalesce(1).write.format("graft-avro").mode("append").save(dir)
+    (11L to 20L).map(i => (i, s"raw$i".getBytes("UTF-8"))).toDF("id", "tag")
+      .coalesce(1).write.format("graft-avro").mode("append").save(dir)
+    val df = spark.read.format("graft-avro").load(dir)
+    assert(df.schema("id").dataType == LongType &&
+      df.schema("tag").dataType == BinaryType,
+      s"string↔bytes promotion not applied: ${df.schema.simpleString}")
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 20)
+    // gen-1 string rows surface as their exact UTF-8 wire bytes
+    assert(new String(rows(0).getAs[Array[Byte]](1), "UTF-8") == "tag1")
+    assert(new String(rows(9).getAs[Array[Byte]](1), "UTF-8") == "tag10")
+    assert(new String(rows(10).getAs[Array[Byte]](1), "UTF-8") == "raw11")
+    // the promoted column is queryable: cast-to-string filter works
+    assert(df.filter(org.apache.spark.sql.functions.col("tag")
+      .cast("string").startsWith("tag")).count() == 10)
+    // explicit string reader schema over a bytes writer also resolves
+    // (the reverse promotion): bytes decode as UTF-8 text
+    val asString = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", LongType),
+      org.apache.spark.sql.types.StructField("tag",
+        org.apache.spark.sql.types.StringType)))
+    val back = spark.read.format("graft-avro").schema(asString).load(dir)
+      .orderBy("id").collect()
+    assert(back(10).getString(1) == "raw11" && back(0).getString(1) == "tag1")
+  }
+
   test("sampled inference forces nullability; exhaustive inference keeps it") {
     import spark.implicits._
     val dir = tmpDir("sampled-nullable")
