@@ -134,9 +134,58 @@ object LlmText12 {
     sealed_(res, caches).orderBy(col("doc_id"))
   }
 
+  /** PRODUCTION trainer (r12): the accumulator-gated fixpoint variant
+    * of the 3-round unroll — trains until a vocab budget or until no
+    * pair repeats, the q_graph_cc_fixpoint discipline applied to BPE.
+    * Per round the only driver state is the 1-row argmax (pair, cnt)
+    * — collected like the CC driver's 1-row label sum — and the vocab
+    * rewrite is one map-only pass under that broadcast literal; round
+    * count is data-driven, never hard-coded. Markers walk 'A'..'Z'
+    * (the corpus alphabet is a-y + space), so merge i's pair may
+    * contain earlier markers and `expand` decodes the token through
+    * the marker chain. Returns one row per learned merge:
+    * (step, pair, merge_token, pair_count, total_tokens). Rule-4 (no
+    * SQL oracle: the round count is data-driven); LlmText12Spec pins
+    * step-for-step parity with q_text_bpe_train on the first three
+    * merges and known continuation beyond on a crafted corpus. */
+  private[queries] def bpeFixpoint(s: SparkSession, d: String,
+      vocabBudget: Int): DataFrame = {
+    import s.implicits._
+    var w = vocab(s, d).localCheckpoint(true)
+    val markers = ('A' to 'Z').map(_.toString)
+    val expand = scala.collection.mutable.Map[String, String]()
+    def decode(pair: String): String =
+      pair.flatMap(c => expand.getOrElse(c.toString, c.toString))
+    val steps = scala.collection.mutable.ListBuffer[
+      (Int, String, String, Long, Long)]()
+    var step = 0
+    var done = false
+    while (!done && step < vocabBudget && step < markers.size) {
+      val top = argmaxPair(w, "w").collect() // 1 bounded row, gate + merge
+      if (top.isEmpty || top(0).getLong(1) < 2L) done = true
+      else {
+        val (pair, cnt) = (top(0).getString(0), top(0).getLong(1))
+        val marker = markers(step)
+        w = w.withColumn("w", expr(s"replace(w, '$pair', '$marker')"))
+          .localCheckpoint(true)
+        val total = w.agg(sum(col("f") * length(col("w"))))
+          .head.getLong(0)
+        expand(marker) = decode(pair)
+        step += 1
+        steps += ((step, pair, expand(marker), cnt, total))
+      }
+    }
+    steps.toSeq.toDF("step", "pair", "merge_token", "pair_count",
+      "total_tokens").orderBy(col("step"))
+  }
+
+  private def qTextBpeFixpoint(s: SparkSession, d: String): DataFrame =
+    bpeFixpoint(s, d, vocabBudget = 8)
+
   val defs: Map[String, Relational.Q] = Map(
     "q_text_bpe_train" -> (qTextBpeTrain _),
     "q_text_bpe_apply" -> (qTextBpeApply _),
+    "q_text_bpe_fixpoint" -> (qTextBpeFixpoint _),
   )
 
   /** Shared oracle prefix: vocabulary + three unrolled merge rounds.

@@ -48,6 +48,46 @@ class LlmText12Spec extends AnyFunSuite {
       (3, "AA", "aaaa", 30L, 90L)), s"got ${rows.toSeq}")
   }
 
+  test("fixpoint trainer: step-for-step parity with the 3-round unroll, " +
+      "correct continuation beyond, convergence before the budget") {
+    // hand continuation: R4 merges BB (bcbc→D, cnt 20, total 70);
+    // R5 merges Aa (aaa→E, cnt 10, total 60); R6 no word has 2 symbols
+    // left → converged at 5 merges, well under the budget of 8
+    val fix = SparkEntry.queries("q_text_bpe_fixpoint")(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val unroll = SparkEntry.queries("q_text_bpe_train")(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(fix.take(3).toSeq == unroll.toSeq,
+      s"fixpoint diverged from the unroll: ${fix.toSeq} vs ${unroll.toSeq}")
+    assert(fix.toSeq.drop(3) == Seq(
+      (4, "BB", "bcbc", 20L, 70L),
+      (5, "Aa", "aaa", 10L, 60L)), s"continuation: ${fix.toSeq}")
+    assert(fix.length == 5, "must converge (no repeating pair) before " +
+      s"the 8-merge budget: ${fix.length} steps")
+    // the budget is a hard clamp: asking for 2 merges stops at 2
+    val clamped = LlmText12.bpeFixpoint(spark, dir, vocabBudget = 2)
+      .collect().map(_.getInt(0))
+    assert(clamped.toSeq == Seq(1, 2))
+  }
+
+  test("fixpoint trainer parity with the unroll on real data (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val fix = SparkEntry.queries("q_text_bpe_fixpoint")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    val unroll = SparkEntry.queries("q_text_bpe_train")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    assert(fix.take(3).toSeq == unroll.toSeq,
+      s"real-data divergence: ${fix.take(3).toSeq} vs ${unroll.toSeq}")
+    assert(fix.length > 3, "sf0.001 corpus must support merges past the " +
+      "unroll's three rounds")
+  }
+
   test("apply: greedy leftmost overlap (aaa -> Aa, 2 tokens) and " +
       "per-doc compression") {
     val rows = SparkEntry.queries("q_text_bpe_apply")(spark, dir)
