@@ -571,7 +571,9 @@ object StreamingQ {
     * its store. No SQL oracle (stateful streaming; SURVEY §2.C rule
     * 4); StreamingLlmSpec pins both null-pad directions + exactly-once. */
   private[graft] def runStreamJoinFull(s: SparkSession,
-      onPhase: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+      onPhase: (Int, DataFrame) => Unit = (_, _) => (),
+      onQueryPhase: (Int, org.apache.spark.sql.streaming.StreamingQuery)
+        => Unit = (_, _) => ()): DataFrame = {
     import s.implicits._
     val imp = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[Ev](s)
@@ -581,9 +583,20 @@ object StreamingQ {
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      val impDf = imp.toDF().select(col("event_id").as("ad_id"),
+      // observe() on BOTH input sides (the runWatermarkObserved pattern,
+      // r12): every input row enters join state, so observed-in minus
+      // rows evicted must equal the final numRowsTotal. symmetricHashJoin
+      // reports eviction only through the numRowsTotal ledger (its
+      // numRowsRemoved stays 0), so the spec derives per-batch removals
+      // as prevTotal + numRowsUpdated − numRowsTotal and asserts the
+      // ledger closes for both eviction directions.
+      val impDf = imp.toDF()
+        .observe("graft_jf_imp", count(lit(1)).as("n_rows"))
+        .select(col("event_id").as("ad_id"),
         col("ts").as("imp_ts")).withWatermark("imp_ts", "10 minutes")
-      val clkDf = clk.toDF().select(col("event_id").as("c_ad_id"),
+      val clkDf = clk.toDF()
+        .observe("graft_jf_clk", count(lit(1)).as("n_rows"))
+        .select(col("event_id").as("c_ad_id"),
         col("ts").as("clk_ts")).withWatermark("clk_ts", "10 minutes")
       val joined = impDf.join(clkDf, expr(
         "ad_id = c_ad_id AND clk_ts BETWEEN imp_ts AND imp_ts + INTERVAL 10 MINUTES"),
@@ -598,12 +611,15 @@ object StreamingQ {
         clk.addData(Seq(ev(1, 300),  // 5 min later → matches ad 1
           ev(4, 200)))               // orphan click → must null-pad later
         q.processAllAvailable(); onPhase(1, s.table(name))
+        onQueryPhase(1, q)
         imp.addData(Seq(ev(9, 4000)))
         clk.addData(Seq(ev(9, 4200))) // global wm → min(3400, 3600) s
         q.processAllAvailable(); onPhase(2, s.table(name))
+        onQueryPhase(2, q)
         imp.addData(Seq(ev(10, 4600))) // flush both sides; own windows
         clk.addData(Seq(ev(11, 4700))) // still open → must stay buffered
         q.processAllAvailable(); onPhase(3, s.table(name))
+        onQueryPhase(3, q)
       } finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.table(name)

@@ -521,6 +521,46 @@ class StreamingLlmSpec extends AnyFunSuite {
     assert(fin.distinct.size == fin.size, s"duplicate emission: $fin")
   }
 
+  test("full-outer join observability: observe() input counters and the " +
+      "state store's removed-rows metrics reconcile — both sides evict, " +
+      "and final state size equals rows-in minus rows-removed") {
+    case class Phase(impIn: Long, clkIn: Long, removed: Long, total: Long)
+    val phases = scala.collection.mutable.Map[Int, Phase]()
+    StreamingQ.runStreamJoinFull(spark, (_, _) => (), (i, q) => {
+      val ps = q.recentProgress.toSeq
+      def obs(name: String) = ps
+        .flatMap(p => Option(p.observedMetrics.get(name)))
+        .map(_.getAs[Long]("n_rows")).sum
+      val ledger = ps.filter(_.stateOperators.nonEmpty)
+        .map(p => (p.stateOperators.map(_.numRowsTotal).sum,
+          p.stateOperators.map(_.numRowsUpdated).sum))
+      // symmetricHashJoin leaves numRowsRemoved at 0 (Spark reports
+      // join-state eviction only through the numRowsTotal ledger), so
+      // per-batch removals derive as prevTotal + updated − total
+      val removed = (0L +: ledger.map(_._1)).zip(ledger)
+        .map { case (prev, (tot, upd)) => prev + upd - tot }.sum
+      phases(i) = Phase(obs("graft_jf_imp"), obs("graft_jf_clk"),
+        removed, ledger.lastOption.map(_._1).getOrElse(-1L))
+    })
+    // phase 1: 3 impressions + 2 clicks observed in, ALL buffered (the
+    // join state holds every input row), nothing watermark-evicted yet
+    assert(phases(1) == Phase(3, 2, 0, 5), s"phase 1: ${phases(1)}")
+    // phase 2: the +~67min pair drags the watermark to 3400s — the
+    // impression side evicts 1/2/3 (imp_ts + 10min < wm) AND the click
+    // side evicts 1/4 (clk_ts < wm): removed = 5 proves BOTH directions
+    // (the imp side alone only ever held 3 rows); survivors imp 9 +
+    // clk 9 = state 2
+    assert(phases(2) == Phase(4, 3, 5, 2), s"phase 2: ${phases(2)}")
+    // phase 3: flush rows buffer (wm 4000 closes neither side's window:
+    // imp 9 matches clicks to 4600, clk 9 sits at 4200) — no further
+    // eviction, and the state-size ledger closes exactly:
+    // rows_in (5 imp + 4 clk) − removed (5) = 4 rows in state
+    assert(phases(3) == Phase(5, 4, 5, 4), s"phase 3: ${phases(3)}")
+    val p = phases(3)
+    assert(p.impIn + p.clkIn - p.removed == p.total,
+      s"state ledger broken: ${p.impIn}+${p.clkIn}-${p.removed} != ${p.total}")
+  }
+
   test("watermark observability: observe() input counter and the " +
       "engine's numRowsDroppedByWatermark reconcile with the crafted " +
       "feed (7 in, exactly the 1 straggler dropped)") {
