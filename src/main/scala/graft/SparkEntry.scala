@@ -114,6 +114,8 @@ object SparkEntry {
     (Analytics71.defs, Analytics71.sql),
     (Analytics72.defs, Analytics72.sql),
     (Analytics73.defs, Analytics73.sql),
+    (Analytics74.defs, Analytics74.sql),
+    (Analytics75.defs, Analytics75.sql),
     (LlmText14.defs, LlmText14.sql),
     (LlmText15.defs, LlmText15.sql),
     (LlmText10.defs, LlmText10.sql),

@@ -53,6 +53,9 @@ class WindowAuditSpec extends AnyFunSuite {
     "q_text_coverage", "q_text_heaps", "q_text_jsd", "q_text_zipf",
     // calendar-bounded daily series
     "q_time_changepoint", "q_time_drawdown", "q_time_rolling_corr",
+    // r12: day-ordinal + residual lag over the daily aggregate;
+    // median-rank cumulative over the bounded (gap, cnt) grid
+    "q_agg_durbinwatson", "q_agg_weibull",
     // per-user collapsed aggregates (user-universe-bounded)
     "q_win_lifespan", "q_win_purchasegap", "q_win_reorder", "q_win_rfm",
     "q_win_uplift",
