@@ -116,6 +116,7 @@ object SparkEntry {
     (Analytics73.defs, Analytics73.sql),
     (Analytics74.defs, Analytics74.sql),
     (Analytics75.defs, Analytics75.sql),
+    (Analytics76.defs, Analytics76.sql),
     (LlmText14.defs, LlmText14.sql),
     (LlmText15.defs, LlmText15.sql),
     (LlmText10.defs, LlmText10.sql),

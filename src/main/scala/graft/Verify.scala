@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,8 +18,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // dev filter (comma-separated ids) — the driver never sets this
-    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+    // dev filter (comma-separated ids, env or optional 3rd arg — the
+    // arg form survives the sbt thin client, whose daemon does not see
+    // the client's environment) — the driver never sets either
+    val only = args.lift(2).orElse(sys.env.get("SPARK_GRAFT_VERIFY_ONLY"))
       .map(_.split(",").toSet)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

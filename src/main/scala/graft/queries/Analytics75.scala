@@ -215,7 +215,7 @@ object Analytics75 {
         |     / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
         |      - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)) AS k,
         |    swx, swy FROM m)
-        |SELECT sw AS n_gaps, ROUND(k, 6) AS shape,
+        |SELECT CAST(sw AS BIGINT) AS n_gaps, ROUND(k, 6) AS shape,
         |  ROUND(exp(-((CAST(swy AS DOUBLE) - k * CAST(swx AS DOUBLE))
         |    / CAST(sw AS DOUBLE)) / k), 6) AS scale_days
         |FROM k""".stripMargin,

@@ -53,12 +53,11 @@ object Analytics76 {
     val den = e.groupBy(col("et")).agg(
       sum(expr("CAST(ROUND(e6 * e6, 4) AS DECIMAL(38,4))")).as("see"))
     val lags = (1 to 8).toDF("k")
+    val shifted = e.select(col("et").as("et2"), col("tt").as("ttp"),
+      col("e6").as("ep"))
     val num = e.crossJoin(broadcast(lags))
-      .join(e.select(col("et"), (col("tt") - col("k")).as("ttp"),
-        col("e6").as("ep")).as("p"),
-        // self-join on the per-type ordinal shifted by k
-        Seq.empty[String].isEmpty match { case _ => expr(
-          "et = p.et AND tt = p.ttp") })
+      .join(shifted, col("et") === col("et2") &&
+        col("ttp") === col("tt") - col("k"))
       .groupBy(col("et"), col("k"))
       .agg(sum(expr("CAST(ROUND(e6 * ep, 4) AS DECIMAL(38,4))")).as("sk"))
     val rho = num.join(broadcast(den), Seq("et"))
