@@ -120,12 +120,15 @@ object SparkEntry {
     (LlmText14.defs, LlmText14.sql),
     (LlmText15.defs, LlmText15.sql),
     (LlmText10.defs, LlmText10.sql),
+    (LlmText16.defs, LlmText16.sql),
+    (Mm2.defs, Mm2.sql),
     (LlmText11.defs, LlmText11.sql),
     (LlmText12.defs, LlmText12.sql),
     (LlmSim2.defs, LlmSim2.sql),
     (LlmSim3.defs, LlmSim3.sql),
     (LlmSim4.defs, LlmSim4.sql),
     (LlmSim5.defs, LlmSim5.sql),
+    (LlmSim6.defs, LlmSim6.sql),
     (ScalePatterns2.defs, ScalePatterns2.sql),
     (ScalePatterns3.defs, ScalePatterns3.sql),
     (LlmSim.defs, LlmSim.sql),

@@ -81,7 +81,12 @@ object LlmText3 {
     * shuffle, never pixels). xxhash-free and deterministic; no SQL
     * oracle (pixel decode + bit blocks are not DuckDB-expressible) →
     * structural ScalaTest. */
-  private def qMmPhash(s: SparkSession, d: String): DataFrame = {
+  private def qMmPhash(s: SparkSession, d: String): DataFrame =
+    phashPairs(s, d).orderBy("a", "b")
+
+  /** The blocked near-dup pair table behind q_mm_phash — also consumed
+    * by q_mm_dedup (Mm2), which clusters these pairs into dedup groups. */
+  private[queries] def phashPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.functions.ImageHeader
     // Scan the ingest-once binary payload table (r11 — bytes enter via
@@ -120,7 +125,6 @@ object LlmText3 {
       .filter(col("hamming") <= 8)
       .dropDuplicates("a", "b")
       .select(col("a"), col("b"), col("hamming"))
-      .orderBy("a", "b")
   }
 
   /** Training-mixture materialization: per-source sampling rates (2×

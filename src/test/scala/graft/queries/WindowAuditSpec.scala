@@ -54,8 +54,9 @@ class WindowAuditSpec extends AnyFunSuite {
     // calendar-bounded daily series
     "q_time_changepoint", "q_time_drawdown", "q_time_rolling_corr",
     // r12: day-ordinal + residual lag over the daily aggregate;
-    // median-rank cumulative over the bounded (gap, cnt) grid
-    "q_agg_durbinwatson", "q_agg_weibull",
+    // median-rank cumulative over the bounded (gap, cnt) grid;
+    // P90 cumulative over the bounded (score, cnt) grid
+    "q_agg_durbinwatson", "q_agg_weibull", "q_text_ppl_filter",
     // per-user collapsed aggregates (user-universe-bounded)
     "q_win_lifespan", "q_win_purchasegap", "q_win_reorder", "q_win_rfm",
     "q_win_uplift",
