@@ -151,7 +151,9 @@ object ScaleProbe {
           // retrieval tier (pack map-only, rank windows probe-keyed)
           "q_sample_coreset", "q_embed_binary",
           // r11: 64-group dimension profile; pair-capped isotropy
-          "q_embed_dimstats", "q_embed_isotropy")
+          "q_embed_dimstats", "q_embed_isotropy",
+          // r12: cap-bounded kNN-graph / energy-distance reports
+          "q_embed_knngraph", "q_embed_energy")
       else if (mode == "customer")
         // r9 late wave: the k-anonymity audit rides the same inflation
         // (classes deepen, class COUNT stays QI-bounded)
@@ -186,7 +188,11 @@ object ScaleProbe {
           "q_agg_mannkendall", "q_agg_pettitt", "q_agg_cliffsdelta",
           "q_agg_kendallw", "q_agg_cvm2", "q_agg_ad2",
           "q_time_bollinger", "q_time_rsi", "q_time_macd",
-          "q_time_pacf", "q_time_spectral", "q_graph_bipartite")
+          "q_time_pacf", "q_time_spectral", "q_graph_bipartite",
+          // r12: diagnostics on the calendar-bounded daily collapse
+          "q_agg_durbinwatson", "q_agg_negbin", "q_agg_gumbel",
+          "q_time_ljungbox", "q_time_adf", "q_time_varratio",
+          "q_time_turningpoint", "q_time_hampel")
       else if (mode == "lineitem")
         Seq("q_graph_sssp", "q_graph_sssp_tree", "q_agg_tdigest",
           "q_agg_tdigest_rollup",
@@ -216,7 +222,10 @@ object ScaleProbe {
           "q_dedup_eval", "q_text_heaps", "q_text_rake",
           // r11 late waves: map-only gibberish screen, cluster-atomic
           // split over the densifying near-dup graph
-          "q_text_gibberish", "q_split_leakage")
+          "q_text_gibberish", "q_split_leakage",
+          // r12: perplexity filter — vocab aggregate + token-hash join,
+          // P90 off the bounded score grid
+          "q_text_ppl_filter")
     val times = ops.map { id =>
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(id)(spark, probeDir).count()

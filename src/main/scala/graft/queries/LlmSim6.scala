@@ -36,9 +36,10 @@ object LlmSim6 {
       .limit(cap)
   }
 
-  /** Exact k=3 cosine kNN graph over the capped sample, per-label
-    * summary. */
-  private def qEmbedKnngraph(s: SparkSession, d: String): DataFrame = {
+  /** The k=3 edge table before the consumer checkpoint — exposed so
+    * PlanSpec10 can assert the pair join broadcasts (the checkpoint
+    * truncates lineage, hiding this stage from the final plan). */
+  private[queries] def knnEdges(s: SparkSession, d: String): DataFrame = {
     val base = capped(s, d, 512)
       .select(col("vec_id"), col("label"), col("embedding"))
       .localCheckpoint(true)
@@ -52,9 +53,13 @@ object LlmSim6 {
       .select(col("a"), col("la"), col("b"), col("sim"))
     val w = Window.partitionBy(col("a"))
       .orderBy(desc("sim"), col("b"))
-    val knn = sims.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .localCheckpoint(true)
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+  }
+
+  /** Exact k=3 cosine kNN graph over the capped sample, per-label
+    * summary. */
+  private def qEmbedKnngraph(s: SparkSession, d: String): DataFrame = {
+    val knn = knnEdges(s, d).localCheckpoint(true)
     val rec = knn.select(col("a"), col("b"))
       .join(knn.select(col("b").as("a"), col("a").as("b"),
         lit(1L).as("has_rev")), Seq("a", "b"), "left")
