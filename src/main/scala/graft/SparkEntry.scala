@@ -117,6 +117,7 @@ object SparkEntry {
     (Analytics74.defs, Analytics74.sql),
     (Analytics75.defs, Analytics75.sql),
     (Analytics76.defs, Analytics76.sql),
+    (Analytics77.defs, Analytics77.sql),
     (LlmText14.defs, LlmText14.sql),
     (LlmText15.defs, LlmText15.sql),
     (LlmText10.defs, LlmText10.sql),

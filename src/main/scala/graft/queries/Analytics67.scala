@@ -38,8 +38,21 @@ object Analytics67 {
     * m ≤ h*. A degree-10⁷ hub therefore costs O(distinct core values)
     * grid rows instead of a 10⁷-element array sorted every round
     * (VERDICT r11 item 4). */
+  /** Round structure (measured, r12 ×3-densification probe): per-round
+    * cost is FLAT — the edge-keyed grid aggregate dominates and barely
+    * moves whether 20k or 50 nodes changed that round (a frontier
+    * variant that recomputes only neighbors-of-changed was built and
+    * measured SLOWER: on the densified graph the dense core churns for
+    * ~25 mid rounds, neighbors-of-changed covers most incident edges,
+    * and the extra semi/merge joins cost more than they prune). So the
+    * loop stays the lean recompute-all round and the cost model is
+    * rounds × one edge aggregate, with the ROUND COUNT the data-driven
+    * driver (5 on the real sf graph; 38 on the adversarial ×3 replica
+    * whose near-complete co-pair graph peels slowly). The cap is 128 —
+    * the old 32 cap silently returned UNCONVERGED cores on that ×3
+    * graph (label sum still falling at exit). */
   private[queries] def coreFixpoint(sym0: DataFrame,
-      maxRounds: Int = 32): (DataFrame, Int) = {
+      maxRounds: Int = 128): (DataFrame, Int) = {
     import org.apache.spark.sql.expressions.Window
     val sym = sym0.localCheckpoint(true)
     var st = sym.groupBy(col("u")).agg(count(lit(1)).as("core"))

@@ -57,6 +57,8 @@ class WindowAuditSpec extends AnyFunSuite {
     // median-rank cumulative over the bounded (gap, cnt) grid;
     // P90 cumulative over the bounded (score, cnt) grid
     "q_agg_durbinwatson", "q_agg_weibull", "q_text_ppl_filter",
+    // r12: KS cumulative over the bounded integer value grid
+    "q_quality_drift_matrix",
     // per-user collapsed aggregates (user-universe-bounded)
     "q_win_lifespan", "q_win_purchasegap", "q_win_reorder", "q_win_rfm",
     "q_win_uplift",
