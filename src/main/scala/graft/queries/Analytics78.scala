@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Round-12 graph wave: DIAMETER estimation by the double-sweep BFS
+  * bound — the standard "how wide is this graph" probe (exact on
+  * trees, a tight lower bound in practice): BFS from a deterministic
+  * seed to its farthest node u (eccentricity 1), then BFS from u; the
+  * second sweep's reach is the reported diameter bound, and u's
+  * partner v the witness pair.
+  *
+  * Scale: each BFS is the textbook frontier loop — state is one
+  * (node, dist) row per REACHED node, each round joins the frontier
+  * against the edge table (node-keyed, min-combined map-side) and
+  * anti-joins the visited set; the loop is gated by the 1-row frontier
+  * count (the ccFixpoint discipline) and runs eccentricity-many
+  * rounds, never a hard-coded unroll. No SQL oracle (data-driven round
+  * count; SURVEY §2.C rule 4) — Analytics78Spec pins exact sweep
+  * results on path (double sweep exact on trees) and clique fixtures
+  * plus the reach invariant on real data. */
+object Analytics78 {
+
+  /** BFS distances from `seed` over the symmetric edge list: returns
+    * the (u, d) table of reached nodes and the round count. */
+  private[queries] def bfs(s: SparkSession, sym0: DataFrame,
+      seed: Long, maxRounds: Int = 256): (DataFrame, Int) = {
+    import s.implicits._
+    val sym = sym0.localCheckpoint(true)
+    var dist = Seq((seed, 0L)).toDF("u", "d").localCheckpoint(true)
+    var frontier = dist
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val next = sym
+        .join(frontier.select(col("u"), col("d")), Seq("u"))
+        .select(col("v").as("u"), (col("d") + 1).as("d"))
+        .groupBy(col("u")).agg(min(col("d")).as("d"))
+        .join(dist.select(col("u")), Seq("u"), "left_anti")
+        .localCheckpoint(true)
+      rounds += 1
+      if (next.limit(1).count() == 0) done = true
+      else {
+        dist = dist.union(next).localCheckpoint(true)
+        frontier = next
+      }
+    }
+    (dist, rounds)
+  }
+
+  /** Farthest (d DESC, u ASC) row of a distance table — 1 row. */
+  private def farthest(dist: DataFrame): (Long, Long) = {
+    val r = dist.orderBy(desc("d"), col("u")).limit(1).head
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def qGraphDiameter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = coPairCounts(s, d).filter(col("cn") >= 2)
+    val sym = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    val seed = sym.agg(min(col("u"))).head.getLong(0)
+    val (d1, _) = bfs(s, sym, seed)
+    val (u, eccSeed) = farthest(d1)
+    val (d2, _) = bfs(s, sym, u)
+    val (v, diam) = farthest(d2)
+    val reached = d2.count()
+    Seq((seed, eccSeed, u, v, diam, reached))
+      .toDF("seed", "ecc_seed", "sweep2_root", "witness",
+        "diameter_lb", "n_reached")
+  }
+
+  val defs: Map[String, Relational.Q] = Map(
+    "q_graph_diameter" -> (qGraphDiameter _),
+  )
+
+  val sql: Map[String, String] = Map()
+}
