@@ -70,6 +70,10 @@ object ExplainDump {
     "q_agg_tdigest",       // ObjectHashAggregate partial/final digest (r9)
     "q_agg_tdigest_rollup",// stored-sketch merge, no second fact scan (r9)
     "q_sim_filtered",      // pushed predicate + pre-score semi-join (r9)
+    "q_agg_cooksd",        // broadcast 1-row moments, TakeOrdered 20 (r12)
+    "q_agg_boxcox",        // single-pass per-λ moment columns (r12)
+    "q_text_ppl_filter",   // token shuffle_hash join, grid P90 (r12)
+    "q_quality_drift_matrix", // bounded PSI/KS grids, 1-row mid (r12)
   )
 
   def main(args: Array[String]): Unit = {
