@@ -119,6 +119,7 @@ object SparkEntry {
     (Analytics76.defs, Analytics76.sql),
     (Analytics77.defs, Analytics77.sql),
     (Analytics78.defs, Analytics78.sql),
+    (Analytics79.defs, Analytics79.sql),
     (LlmText14.defs, LlmText14.sql),
     (LlmText15.defs, LlmText15.sql),
     (LlmText10.defs, LlmText10.sql),
