@@ -65,8 +65,53 @@ object StreamingQ3 {
       .orderBy(col("w_start"))
   }
 
+  /** TTL dedup (r12): `dropDuplicatesWithinWatermark` — the bounded-
+    * state dedup semantics `q_stream_dedup`'s plain dropDuplicates
+    * does NOT have: a key's dedup state is EVICTED once the watermark
+    * passes its event time + delay, so a genuine re-occurrence after
+    * the TTL emits AGAIN (at-least-once dedup with provably bounded
+    * state — the production trade for infinite streams, where exact
+    * forever-dedup would grow state without bound). The crafted feed
+    * pins all three behaviors: an in-delay duplicate is dropped, the
+    * watermark evicts the key, and the post-TTL re-occurrence of the
+    * SAME event id emits a second time. Rule 4 (MemoryStream rig);
+    * StreamingQ3Spec pins the exact emission multiset. */
+  private[graft] def qStreamDedupTtl(s: SparkSession, d: String)
+      : DataFrame = {
+    import StreamingQ.{ev, Ev}
+    import s.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Ev](s)
+    val name = s"ttl_${java.util.UUID.randomUUID().toString
+      .replace("-", "")}"
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = input.toDF()
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // b1: id 1 twice within the 10-min delay → second dropped
+        input.addData(Seq(ev(1, 10), ev(2, 20), ev(1, 15)))
+        q.processAllAvailable()
+        // b2: sentinel drags the watermark to 3000 s — past 10 s + 10
+        // min, so id 1's dedup state is evicted
+        input.addData(Seq(ev(3, 3600)))
+        q.processAllAvailable()
+        // b3: id 1 RE-OCCURS above the watermark → emits a second time
+        input.addData(Seq(ev(1, 3200)))
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(name).orderBy("us")
+  }
+
   val defs: Map[String, Relational.Q] = Map(
     "q_stream_parity" -> (qStreamParity _),
+    "q_stream_dedup_ttl" -> (qStreamDedupTtl _),
   )
 
   val sql: Map[String, String] = Map()

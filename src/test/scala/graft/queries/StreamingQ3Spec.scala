@@ -34,4 +34,21 @@ class StreamingQ3Spec extends AnyFunSuite {
     // parity double-check outside the op: stream counts equal batch
     assert(rows.map(_.getLong(1)).toSeq == rows.map(_.getLong(2)).toSeq)
   }
+
+  test("TTL dedup: in-delay duplicate dropped, watermark evicts the key, " +
+      "the post-TTL re-occurrence of the SAME id emits a second time") {
+    val usBase = StreamingQ.t0 * 1000000L
+    val rows = SparkEntry.queries("q_stream_dedup_ttl")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def abs(off: Long) = usBase + off * 1000000L
+    // emitted: 1@10 (first), 2@20, 3@3600 (sentinel), 1@3200 (post-TTL
+    // RE-emission — plain dropDuplicates would have suppressed it);
+    // 1@15 (in-delay duplicate) never emits
+    assert(rows.toSeq == Seq(
+      (1L, abs(10)), (2L, abs(20)), (1L, abs(3200)), (3L, abs(3600))),
+      s"got ${rows.toSeq}")
+    assert(rows.count(_._1 == 1L) == 2,
+      "the evicted key must re-emit after its TTL")
+  }
 }
