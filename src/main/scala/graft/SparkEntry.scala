@@ -120,6 +120,7 @@ object SparkEntry {
     (Analytics77.defs, Analytics77.sql),
     (Analytics78.defs, Analytics78.sql),
     (Analytics79.defs, Analytics79.sql),
+    (Analytics80.defs, Analytics80.sql),
     (LlmText14.defs, LlmText14.sql),
     (LlmText15.defs, LlmText15.sql),
     (LlmText10.defs, LlmText10.sql),
