@@ -121,6 +121,7 @@ object SparkEntry {
     (Analytics78.defs, Analytics78.sql),
     (Analytics79.defs, Analytics79.sql),
     (Analytics80.defs, Analytics80.sql),
+    (Analytics81.defs, Analytics81.sql),
     (LlmText14.defs, LlmText14.sql),
     (LlmText15.defs, LlmText15.sql),
     (LlmText10.defs, LlmText10.sql),

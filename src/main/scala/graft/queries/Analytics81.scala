@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Round-12 seventh wave: Wilder's TRUE recursive RSI — closing the
+  * r11 VERDICT's last "missing" item: q_time_rsi deliberately ships
+  * Cutler's SMA variant (windowable, oracle-friendly); Wilder's
+  * original is the exponentially-smoothed recursion
+  * ag_t = (13·ag_{t−1} + gain_t)/14 seeded by the first-14 average —
+  * order-dependent state no window frame can express. It rides the
+  * q_time_holt sorted-fold discipline instead: per type, the daily
+  * series collapses to one sorted array and a 4-element DOUBLE-array
+  * accumulator [prev_value, avg_gain, avg_loss, n_diffs] folds the
+  * identical expression tree in Spark (`aggregate`) and DuckDB
+  * (`list_reduce`) — exact cross-engine agreement without a window.
+  *
+  * Scale: one daily collapse, one per-type fold whose state is 4
+  * doubles; series length is calendar-bounded. */
+object Analytics81 {
+
+  private def qTimeRsiWilder(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .select(col("event_type"), expr("us div 86400000000").as("day"),
+        dec(col("value")).as("v"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("v")).cast("decimal(18,4)").as("v"))
+    // fold state [prev, ag, al, cnt]: first 13 diffs accumulate sums,
+    // the 14th converts to the seed averages, every later diff applies
+    // Wilder's (13·avg + x)/14 recursion
+    val fold =
+      """aggregate(
+        |  transform(slice(arr, 2, size(arr) - 1),
+        |    e -> CAST(e.v AS DOUBLE)),
+        |  array(CAST(element_at(arr, 1).v AS DOUBLE),
+        |        CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+        |        CAST(0.0 AS DOUBLE)),
+        |  (acc, x) -> array(
+        |    x,
+        |    CASE WHEN acc[3] + CAST(1.0 AS DOUBLE) < CAST(14.0 AS DOUBLE)
+        |      THEN acc[1] + greatest(x - acc[0], CAST(0.0 AS DOUBLE))
+        |    WHEN acc[3] + CAST(1.0 AS DOUBLE) = CAST(14.0 AS DOUBLE)
+        |      THEN (acc[1] + greatest(x - acc[0], CAST(0.0 AS DOUBLE)))
+        |        / CAST(14.0 AS DOUBLE)
+        |    ELSE (acc[1] * CAST(13.0 AS DOUBLE)
+        |        + greatest(x - acc[0], CAST(0.0 AS DOUBLE)))
+        |      / CAST(14.0 AS DOUBLE) END,
+        |    CASE WHEN acc[3] + CAST(1.0 AS DOUBLE) < CAST(14.0 AS DOUBLE)
+        |      THEN acc[2] + greatest(acc[0] - x, CAST(0.0 AS DOUBLE))
+        |    WHEN acc[3] + CAST(1.0 AS DOUBLE) = CAST(14.0 AS DOUBLE)
+        |      THEN (acc[2] + greatest(acc[0] - x, CAST(0.0 AS DOUBLE)))
+        |        / CAST(14.0 AS DOUBLE)
+        |    ELSE (acc[2] * CAST(13.0 AS DOUBLE)
+        |        + greatest(acc[0] - x, CAST(0.0 AS DOUBLE)))
+        |      / CAST(14.0 AS DOUBLE) END,
+        |    acc[3] + CAST(1.0 AS DOUBLE)))""".stripMargin
+    daily
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("v")))).as("arr"))
+      .select(col("event_type"), size(col("arr")).cast("long").as("n_days"),
+        expr(fold).as("st"))
+      .filter(expr("st[3] >= CAST(14.0 AS DOUBLE)"))
+      .select(col("event_type"), col("n_days"),
+        round(expr("st[1]"), 6).as("avg_gain"),
+        round(expr("st[2]"), 6).as("avg_loss"),
+        expr("CASE WHEN st[1] + st[2] > CAST(0.0 AS DOUBLE) THEN " +
+          "ROUND(CAST(100.0 AS DOUBLE) - CAST(100.0 AS DOUBLE) " +
+          "/ (CAST(1.0 AS DOUBLE) + st[1] / st[2]), 6) " +
+          "ELSE CAST(50.0 AS DOUBLE) END").as("rsi_wilder"))
+      .orderBy(col("event_type"))
+  }
+
+  val defs: Map[String, Relational.Q] = Map(
+    "q_time_rsi_wilder" -> (qTimeRsiWilder _),
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_time_rsi_wilder" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+        |      AS BIGINT) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type,
+        |    list_sort(list({'day': day, 'v': v})) AS arr
+        |  FROM daily GROUP BY event_type),
+        |f AS (
+        |  SELECT event_type, len(arr) AS n_days,
+        |    list_reduce(list_prepend(
+        |      [CAST(arr[1].v AS DOUBLE), CAST(0.0 AS DOUBLE),
+        |       CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+        |      list_transform(arr[2:],
+        |        e -> [CAST(e.v AS DOUBLE), CAST(0.0 AS DOUBLE),
+        |              CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)])),
+        |      (acc, x) -> [
+        |        x[1],
+        |        CASE WHEN acc[4] + CAST(1.0 AS DOUBLE)
+        |            < CAST(14.0 AS DOUBLE)
+        |          THEN acc[2] + greatest(x[1] - acc[1],
+        |            CAST(0.0 AS DOUBLE))
+        |        WHEN acc[4] + CAST(1.0 AS DOUBLE) = CAST(14.0 AS DOUBLE)
+        |          THEN (acc[2] + greatest(x[1] - acc[1],
+        |            CAST(0.0 AS DOUBLE))) / CAST(14.0 AS DOUBLE)
+        |        ELSE (acc[2] * CAST(13.0 AS DOUBLE)
+        |            + greatest(x[1] - acc[1], CAST(0.0 AS DOUBLE)))
+        |          / CAST(14.0 AS DOUBLE) END,
+        |        CASE WHEN acc[4] + CAST(1.0 AS DOUBLE)
+        |            < CAST(14.0 AS DOUBLE)
+        |          THEN acc[3] + greatest(acc[1] - x[1],
+        |            CAST(0.0 AS DOUBLE))
+        |        WHEN acc[4] + CAST(1.0 AS DOUBLE) = CAST(14.0 AS DOUBLE)
+        |          THEN (acc[3] + greatest(acc[1] - x[1],
+        |            CAST(0.0 AS DOUBLE))) / CAST(14.0 AS DOUBLE)
+        |        ELSE (acc[3] * CAST(13.0 AS DOUBLE)
+        |            + greatest(acc[1] - x[1], CAST(0.0 AS DOUBLE)))
+        |          / CAST(14.0 AS DOUBLE) END,
+        |        acc[4] + CAST(1.0 AS DOUBLE)]) AS st
+        |  FROM g)
+        |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        |  round(st[2], 6) AS avg_gain, round(st[3], 6) AS avg_loss,
+        |  CASE WHEN st[2] + st[3] > CAST(0.0 AS DOUBLE) THEN
+        |    round(CAST(100.0 AS DOUBLE) - CAST(100.0 AS DOUBLE)
+        |      / (CAST(1.0 AS DOUBLE) + st[2] / st[3]), 6)
+        |  ELSE CAST(50.0 AS DOUBLE) END AS rsi_wilder
+        |FROM f WHERE st[4] >= CAST(14.0 AS DOUBLE)
+        |ORDER BY event_type""".stripMargin,
+  )
+}
