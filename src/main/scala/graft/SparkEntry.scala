@@ -122,6 +122,7 @@ object SparkEntry {
     (Analytics79.defs, Analytics79.sql),
     (Analytics80.defs, Analytics80.sql),
     (Analytics81.defs, Analytics81.sql),
+    (Analytics82.defs, Analytics82.sql),
     (LlmText14.defs, LlmText14.sql),
     (LlmText15.defs, LlmText15.sql),
     (LlmText10.defs, LlmText10.sql),

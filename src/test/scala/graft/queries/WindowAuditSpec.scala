@@ -59,6 +59,8 @@ class WindowAuditSpec extends AnyFunSuite {
     "q_agg_durbinwatson", "q_agg_weibull", "q_text_ppl_filter",
     // r12: KS cumulative over the bounded integer value grid
     "q_quality_drift_matrix",
+    // r12: KM risk-set cumsums + step integral over the day-bounded curve
+    "q_agg_survmedian",
     // per-user collapsed aggregates (user-universe-bounded)
     "q_win_lifespan", "q_win_purchasegap", "q_win_reorder", "q_win_rfm",
     "q_win_uplift",
