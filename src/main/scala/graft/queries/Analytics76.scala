@@ -117,8 +117,7 @@ object Analytics76 {
       .withColumn("y1", lag(col("y"), 1).over(w))
       .withColumn("yq", lag(col("y"), q).over(w))
     val ends = g.groupBy(col("et")).agg(count(lit(1)).as("n"),
-      max(when(col("tt") === 1, dbl(col("v")))).as("yfirst"),
-      max(dbl(when(col("tt") === col("tt"), col("v")))).as("_ignore"))
+      max(when(col("tt") === 1, dbl(col("v")))).as("yfirst"))
     // drift μ = (y_n − y_1)/(n − 1) off the ordinal extremes
     val lastv = g.withColumn("rn", row_number().over(
         Window.partitionBy(col("et")).orderBy(desc("tt"))))

@@ -56,21 +56,47 @@ object Analytics78 {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** Certified diameter interval. Double sweep gives the lower bound
+    * (exact on trees); the upper bound is 2·ecc(w) for w the midpoint
+    * of a sweep-2 shortest path (d2(w)+d3(w) = lb with d2,d3 the BFS
+    * distance tables from the two sweep endpoints, |d2−d3| minimal) —
+    * diam ≤ 2·ecc(x) holds for ANY x in the component, and the path
+    * midpoint makes it tight (exact on trees: ecc(center) = ⌈diam/2⌉).
+    * lb is also lifted to ecc(w). Degenerate input (no support-≥2
+    * co-pair edges) returns an empty frame instead of throwing. */
   private def qGraphDiameter(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = coPairCounts(s, d).filter(col("cn") >= 2)
     val sym = e.select(col("u"), col("v"))
       .union(e.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(true)
-    val seed = sym.agg(min(col("u"))).head.getLong(0)
+    val seedRow = sym.agg(min(col("u"))).head
+    if (seedRow.isNullAt(0)) {
+      return Seq.empty[(Long, Long, Long, Long, Long, Long, Long, Long)]
+        .toDF("seed", "ecc_seed", "sweep2_root", "witness",
+          "diameter_lb", "diameter_ub", "midpoint", "n_reached")
+    }
+    val seed = seedRow.getLong(0)
     val (d1, _) = bfs(s, sym, seed)
     val (u, eccSeed) = farthest(d1)
     val (d2, _) = bfs(s, sym, u)
-    val (v, diam) = farthest(d2)
+    val (v, diamLb0) = farthest(d2)
     val reached = d2.count()
-    Seq((seed, eccSeed, u, v, diam, reached))
+    // sweep 3 from the witness; midpoint = min-id node on a u—v
+    // shortest path (du+dv = lb) with the most balanced split.
+    val (d3, _) = bfs(s, sym, v)
+    val midRow = d2.select(col("u"), col("d").as("du"))
+      .join(d3.select(col("u"), col("d").as("dv")), Seq("u"))
+      .filter(col("du") + col("dv") === lit(diamLb0))
+      .orderBy(abs(col("du") - col("dv")), col("u")).limit(1).head
+    val w = midRow.getLong(0)
+    val (d4, _) = bfs(s, sym, w)
+    val eccMid = farthest(d4)._2
+    val diamLb = math.max(diamLb0, eccMid)
+    val diamUb = 2L * eccMid
+    Seq((seed, eccSeed, u, v, diamLb, diamUb, w, reached))
       .toDF("seed", "ecc_seed", "sweep2_root", "witness",
-        "diameter_lb", "n_reached")
+        "diameter_lb", "diameter_ub", "midpoint", "n_reached")
   }
 
   val defs: Map[String, Relational.Q] = Map(

@@ -65,10 +65,16 @@ object Analytics81 {
       .select(col("event_type"), col("n_days"),
         round(expr("st[1]"), 6).as("avg_gain"),
         round(expr("st[2]"), 6).as("avg_loss"),
-        expr("CASE WHEN st[1] + st[2] > CAST(0.0 AS DOUBLE) THEN " +
-          "ROUND(CAST(100.0 AS DOUBLE) - CAST(100.0 AS DOUBLE) " +
-          "/ (CAST(1.0 AS DOUBLE) + st[1] / st[2]), 6) " +
-          "ELSE CAST(50.0 AS DOUBLE) END").as("rsi_wilder"))
+        expr("CASE WHEN st[1] + st[2] <= CAST(0.0 AS DOUBLE) " +
+          "THEN CAST(50.0 AS DOUBLE) " +
+          // zero-loss => RSI=100, zero-gain => RSI=0 by convention;
+          // guarding explicitly keeps Spark (NULL on /0) and DuckDB
+          // (IEEE inf on /0) on the same branch.
+          "WHEN st[2] = CAST(0.0 AS DOUBLE) THEN CAST(100.0 AS DOUBLE) " +
+          "WHEN st[1] = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE) " +
+          "ELSE ROUND(CAST(100.0 AS DOUBLE) - CAST(100.0 AS DOUBLE) " +
+          "/ (CAST(1.0 AS DOUBLE) + st[1] / st[2]), 6) END")
+          .as("rsi_wilder"))
       .orderBy(col("event_type"))
   }
 
@@ -122,10 +128,13 @@ object Analytics81 {
         |  FROM g)
         |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
         |  round(st[2], 6) AS avg_gain, round(st[3], 6) AS avg_loss,
-        |  CASE WHEN st[2] + st[3] > CAST(0.0 AS DOUBLE) THEN
-        |    round(CAST(100.0 AS DOUBLE) - CAST(100.0 AS DOUBLE)
+        |  CASE WHEN st[2] + st[3] <= CAST(0.0 AS DOUBLE)
+        |    THEN CAST(50.0 AS DOUBLE)
+        |  WHEN st[3] = CAST(0.0 AS DOUBLE) THEN CAST(100.0 AS DOUBLE)
+        |  WHEN st[2] = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
+        |  ELSE round(CAST(100.0 AS DOUBLE) - CAST(100.0 AS DOUBLE)
         |      / (CAST(1.0 AS DOUBLE) + st[2] / st[3]), 6)
-        |  ELSE CAST(50.0 AS DOUBLE) END AS rsi_wilder
+        |  END AS rsi_wilder
         |FROM f WHERE st[4] >= CAST(14.0 AS DOUBLE)
         |ORDER BY event_type""".stripMargin,
   )

@@ -166,7 +166,10 @@ object LlmText12 {
       else {
         val (pair, cnt) = (top(0).getString(0), top(0).getLong(1))
         val marker = markers(step)
-        w = w.withColumn("w", expr(s"replace(w, '$pair', '$marker')"))
+        // lit() keeps corpus-derived pairs (quotes, backslashes) out
+        // of the SQL parser; the rewrite stays a map-only literal scan.
+        w = w.withColumn("w",
+            replace(col("w"), lit(pair), lit(marker)))
           .localCheckpoint(true)
         val total = w.agg(sum(col("f") * length(col("w"))))
           .head.getLong(0)

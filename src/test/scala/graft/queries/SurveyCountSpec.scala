@@ -37,4 +37,29 @@ class SurveyCountSpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracleSql ids with no queries entry: $orphans")
   }
+
+  /** The r12 drift moved from the (guarded) marker into the unguarded
+    * prose. Counts may now appear ONLY in the marker: any count-shaped
+    * literal ("N declared ...", "M DuckDB-oracled", "M with DuckDB",
+    * "declared=N"/"oracled=M" outside the marker line) in SURVEY.md or
+    * README.md prose is a red build — point prose at the marker
+    * instead of repeating numbers. */
+  test("no count-shaped literals in SURVEY.md / README.md prose") {
+    val proseCount =
+      """(?i)\b\d+\s+(declared|DuckDB[- ]oracled|with\s+DuckDB)\b""".r
+    val kvCount = """\b(declared|oracled)=\d+""".r
+    for (f <- Seq("SURVEY.md", "README.md")) {
+      val lines = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)),
+        java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
+      val bad = lines.zipWithIndex.filter { case (l, _) =>
+        !CountsRe.pattern.matcher(l.trim).matches() &&
+          (proseCount.findFirstIn(l).isDefined ||
+            kvCount.findFirstIn(l).isDefined)
+      }
+      assert(bad.isEmpty, s"$f repeats counts in prose (only the COUNTS " +
+        s"marker may carry them): " +
+        bad.map { case (l, i) => s"line ${i + 1}: $l" }.mkString("; "))
+    }
+  }
 }
