@@ -56,6 +56,55 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // mode=truss: the r13 accept/reject probe — inflate lineitem (same
+    // order-replication as mode=lineitem), then time the two k-truss
+    // convergence drivers (full recount vs decremental maintenance)
+    // and the PageRank L1 fixpoint on the densified co-pair graph,
+    // reporting rounds + seconds so SCALE.md can record the measured
+    // winner and the rejected loser's numbers.
+    if (mode == "truss") {
+      // probe dir is keyed on the SOURCE sf too: coPairCounts caches on
+      // the consuming dir's path hash, so two sfDirs sharing a probe
+      // dir name would silently reuse each other's pair graph
+      val sfTag = sfDir.replaceAll("[^0-9a-zA-Z]", "")
+      val probeDir = graft.queries.Tables.freshDir(
+        s"scaleprobe_truss_${factor}_$sfTag")
+      val coCache = s"/root/repo/target/qtmp/co_pairs_" +
+        math.abs(probeDir.hashCode)
+      val (cfs, cpath) = graft.queries.Tables.hfs(coCache)
+      if (cfs.exists(cpath)) cfs.delete(cpath, true)
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      (0 until factor).map { i =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$probeDir/lineitem.parquet")
+      val e0 = graft.queries.Tables.coPairCounts(spark, probeDir)
+        .filter(col("cn") >= 2).select(col("u"), col("v"))
+        .localCheckpoint(true)
+      val nEdges = e0.count()
+      def time[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime()
+        val a = f
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      val ((eR, rR), sR) =
+        time(graft.queries.Analytics83.ktrussRecount(e0))
+      val nR = eR.count()
+      val ((eD, rD), sD) =
+        time(graft.queries.Analytics83.ktrussDecremental(e0))
+      val nD = eD.count()
+      val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      val ((pr, rP), sP) =
+        time(graft.queries.Analytics83.pagerankFixpoint(sym))
+      val nP = pr.count()
+      def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      println(s"""{"probe":"truss","factor":$factor,"n_edges":$nEdges,""" +
+        s""""recount":{"sec":${f(sR)},"rounds":$rR,"edges":$nR},""" +
+        s""""decremental":{"sec":${f(sD)},"rounds":$rD,"edges":$nD},""" +
+        s""""pagerank_fixpoint":{"sec":${f(sP)},"rounds":$rP,"nodes":$nP}}""")
+      spark.stop()
+      return
+    }
     val probeDir = graft.queries.Tables.freshDir(s"scaleprobe_${mode}_$factor")
     if (mode == "embeddings") {
       // embeddings inflate with small deterministic perturbations, so

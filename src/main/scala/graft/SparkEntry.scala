@@ -123,6 +123,8 @@ object SparkEntry {
     (Analytics80.defs, Analytics80.sql),
     (Analytics81.defs, Analytics81.sql),
     (Analytics82.defs, Analytics82.sql),
+    (Analytics83.defs, Analytics83.sql),
+    (Analytics84.defs, Analytics84.sql),
     (LlmText14.defs, LlmText14.sql),
     (LlmText15.defs, LlmText15.sql),
     (LlmText10.defs, LlmText10.sql),

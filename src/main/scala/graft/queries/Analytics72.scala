@@ -61,7 +61,7 @@ object Analytics72 {
     * distributed to its three canonical edges. The first naive
     * common-neighbor formulation blew up 73× under the lineitem ×3
     * densification probe; this one tracks triangle count. */
-  private def support(e0: DataFrame): DataFrame = {
+  private[queries] def support(e0: DataFrame): DataFrame = {
     val e = e0.localCheckpoint(true)
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))

@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Round-13 first wave: iterate-to-convergence variants for the last
+  * two bounded-round graph operators —
+  *
+  *  - q_graph_pagerank_fixpoint: L1-delta-gated PageRank next to
+  *    q_graph_pagerank's oracled 3-round unroll (the Analytics42
+  *    ccFixpoint discipline: one 1-row aggregate gates each round,
+  *    eager localCheckpoints truncate lineage). The unroll stays the
+  *    DuckDB-checkable report; this is what production runs.
+  *  - q_graph_ktruss_fixpoint: 4-truss peeled to convergence next to
+  *    q_graph_ktruss's oracled 2-round unroll. Two drivers exist and
+  *    were BOTH measured on the lineitem ×3 densification probe
+  *    (SCALE.md r13 row): the full-recount peel (re-run the oriented
+  *    triangle count on the surviving edges each round) and the
+  *    decremental peel (only triangles adjacent to removed edges
+  *    recount, everything else keeps its support). The shipped query
+  *    uses the measured winner; the loser's numbers are recorded, the
+  *    same accept/reject protocol as the r12 coredecomp frontier
+  *    experiment.
+  *
+  * Scale notes:
+  *  - PageRank state is ONE (node, rank, prev, deg) row per node; the
+  *    edge cache is hash-partitioned and persisted once, so each round
+  *    shuffles only the node-sized rank table. The L1 gate reads the
+  *    already-checkpointed state — no extra pass over edges. Round
+  *    count is data-driven (spectral gap), capped at 128.
+  *  - Truss state is ONE (u, v, sup) row per surviving edge. The
+  *    decremental round's wedge join fans out from the REMOVED edges
+  *    only (cost ∝ Σ_{e∈removed} deg(e)), while the recount round
+  *    pays the full oriented wedge volume every time; which wins
+  *    depends on how front-loaded the peel is — hence measured, not
+  *    asserted. Convergence is an empty removal set, gated by the
+  *    same 1-row count aggregate.
+  */
+object Analytics83 {
+
+  // ---------------------------------------------------------------- //
+  // PageRank to convergence
+  // ---------------------------------------------------------------- //
+
+  /** L1-delta-gated PageRank driver. `sym` is the symmetric edge list
+    * (u, v); damping 0.85, uniform teleport. Uses the SAME fixed-point
+    * contribution lattice as q_graph_pagerank's unroll
+    * (floor(r·1e15/deg) BIGINT messages) so a tol=0, maxRounds=3 run
+    * reproduces the unroll bit-for-bit (spec-pinned). Returns the
+    * final (u, r) table and the number of rounds run. */
+  private[graft] def pagerankFixpoint(sym0: DataFrame,
+      tol: Double = 1e-6, maxRounds: Int = 128): (DataFrame, Int) = {
+    val e = sym0.repartition(col("u")).persist()
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val nn = deg.agg(count(lit(1)).as("nn"))
+    var r = deg.crossJoin(broadcast(nn))
+      .select(col("u"),
+        expr("CAST(1 AS DOUBLE) / CAST(nn AS DOUBLE)").as("r"),
+        lit(Double.MaxValue).as("pr"), col("deg"), col("nn"))
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val contrib = e.join(r, "u")
+        .select(col("v").as("u"),
+          expr("CAST(floor(r * 1000000000000000.0 / CAST(deg AS DOUBLE))" +
+            " AS BIGINT)").as("c"))
+      val sums = contrib.groupBy(col("u")).agg(sum(col("c")).as("s"))
+      r = sums.join(r.select(col("u"), col("r").as("pr"), col("deg"),
+          col("nn")), "u")
+        .select(col("u"), expr(
+          """CAST(0.15 AS DOUBLE) / CAST(nn AS DOUBLE)
+            |+ CAST(0.85 AS DOUBLE)
+            |  * (CAST(s AS DOUBLE) / 1000000000000000.0)""".stripMargin)
+          .as("r"), col("pr"), col("deg"), col("nn"))
+        .localCheckpoint(true)
+      rounds += 1
+      // ONE 1-row aggregate over the node-sized checkpointed state
+      val l1 = r.agg(sum(abs(col("r") - col("pr"))).as("d"))
+        .head.getDouble(0)
+      converged = l1 < tol
+    }
+    e.unpersist()
+    (r.select(col("u"), col("r")), rounds)
+  }
+
+  /** PageRank of the bipartite customer×part purchase graph, iterated
+    * to the L1 < 1e-6 fixpoint (the conventional stopping rule; the
+    * probe measured 1e-9 at 90 rounds vs 11 on the denser ×3 graph —
+    * tolerance, not round count, is the knob) — same graph, lattice,
+    * and output shape
+    * as q_graph_pagerank (top-100 by rank), but the ranks are the
+    * stationary distribution, not a 3-round partial. No SQL oracle
+    * (data-driven round count — SURVEY §2.C rule 4); Analytics83Spec
+    * pins the stationary distribution on crafted star/cycle graphs and
+    * 3-round parity with the oracled unroll. */
+  private def qGraphPagerankFixpoint(s: SparkSession, d: String): DataFrame = {
+    val e0 = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("u"),
+        (col("l_partkey") * 2 + 1).as("v"))
+      .distinct()
+    val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    val (r, _) = pagerankFixpoint(sym)
+    r.select(col("u").as("node"), round(col("r"), 12).as("rank"))
+      .orderBy(desc("rank"), col("node")).limit(100)
+  }
+
+  // ---------------------------------------------------------------- //
+  // k-truss to convergence
+  // ---------------------------------------------------------------- //
+
+  /** Full-recount peel: each round recomputes per-edge triangle
+    * support on the surviving edges (Analytics72.support — oriented
+    * enumeration, each triangle once at its low-degree apex) and drops
+    * every edge with support < supMin. Edges in zero triangles have no
+    * support row and drop implicitly. Converges when the strictly
+    * decreasing edge count stabilizes. */
+  private[graft] def ktrussRecount(e0: DataFrame, supMin: Long = 2,
+      maxRounds: Int = 64): (DataFrame, Int) = {
+    var e = e0.select(col("u"), col("v")).localCheckpoint(true)
+    var n = e.agg(count(lit(1))).head.getLong(0)
+    var rounds = 0
+    var converged = n == 0L
+    while (!converged && rounds < maxRounds) {
+      e = Analytics72.support(e).filter(col("sup") >= supMin)
+        .select(col("u"), col("v")).localCheckpoint(true)
+      rounds += 1
+      val m = e.agg(count(lit(1))).head.getLong(0)
+      converged = m == n
+      n = m
+    }
+    (e, rounds)
+  }
+
+  /** Decremental peel: support is computed ONCE, then each round
+    * removes the under-supported edges and decrements the support of
+    * surviving edges only for triangles that contained a removed edge.
+    * A triangle is counted once regardless of how many of its edges
+    * were removed this round (canonical-triple distinct), so a
+    * surviving edge loses exactly the number of triangles it lost —
+    * the standard truss-maintenance invariant. Wedge work per round is
+    * proportional to the removed edges' degree sum, not the whole
+    * graph's. */
+  private[graft] def ktrussDecremental(e0: DataFrame, supMin: Long = 2,
+      maxRounds: Int = 64): (DataFrame, Int) = {
+    var ds = e0.select(col("u"), col("v"))
+      .join(Analytics72.support(e0), Seq("u", "v"), "left")
+      .select(col("u"), col("v"), coalesce(col("sup"), lit(0L)).as("sup"))
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val removed = ds.filter(col("sup") < supMin).select(col("u"), col("v"))
+      // 1-row gate: an empty removal set is the fixpoint
+      if (removed.agg(count(lit(1))).head.getLong(0) == 0L) {
+        converged = true
+      } else {
+        val kept = ds.filter(col("sup") >= supMin)
+          .select(col("u"), col("v"), col("sup"))
+        val prev = ds.select(col("u"), col("v"))
+        val symPrev = prev.union(
+          prev.select(col("v").as("u"), col("u").as("v")))
+        // triangles (in the PRE-removal graph) containing >=1 removed
+        // edge: removed (u,v) x neighbors w of u, closed by (v,w)
+        val tri = removed
+          .join(symPrev.select(col("u"), col("v").as("w")), Seq("u"))
+          .filter(col("w") =!= col("v"))
+          .join(prev.select(col("u").as("cu"), col("v").as("cv")),
+            least(col("v"), col("w")) === col("cu") &&
+              greatest(col("v"), col("w")) === col("cv"))
+          .select(array_sort(array(col("u"), col("v"), col("w"))).as("t"))
+          .select(col("t")(0).as("a"), col("t")(1).as("b"),
+            col("t")(2).as("c"))
+          .distinct()
+        val dec = tri.select(col("a").as("u"), col("b").as("v"))
+          .union(tri.select(col("a").as("u"), col("c").as("v")))
+          .union(tri.select(col("b").as("u"), col("c").as("v")))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("dec"))
+        ds = kept.join(dec, Seq("u", "v"), "left")
+          .select(col("u"), col("v"),
+            (col("sup") - coalesce(col("dec"), lit(0L))).as("sup"))
+          .localCheckpoint(true)
+        rounds += 1
+      }
+    }
+    (ds.filter(col("sup") >= supMin).select(col("u"), col("v")), rounds)
+  }
+
+  /** Converged 4-truss of the support-≥2 co-purchase graph — the edge
+    * set where every edge closes ≥2 triangles within the set itself
+    * (q_graph_ktruss's 2-round unroll stops early by construction;
+    * this peels until stable). Driver choice is the MEASURED winner of
+    * the recount-vs-decremental probe (`ScaleProbe … truss`, SCALE.md
+    * r13 row): the DECREMENTAL peel wins at every measured point —
+    * sf0.01 3.9 s vs 11.3 s recount; sf0.01 ×3 densification 5.5 s vs
+    * 15.6 s; sf0.1 ×3 (the 1.196M-edge graph from the r12 ktruss
+    * probe) 54.6 s vs 290.0 s over 7-8 peel rounds, identical
+    * 1,109,228-edge trusses — because the peel is
+    * NOT front-loaded on these graphs: only a sliver of edges drops
+    * per round, so recount re-pays the full oriented wedge volume to
+    * rediscover support that barely changed, while the decremental
+    * round's wedge join fans out from the few removed edges only.
+    * (The opposite of the r12 coredecomp frontier result — which is
+    * why both get measured.) Returns the surviving edges. Rule-4
+    * (data-driven round count); Analytics83Spec pins exact trusses on
+    * crafted fixtures including a 2-round cascade, with recount and
+    * decremental agreeing edge-for-edge. */
+  private def qGraphKtrussFixpoint(s: SparkSession, d: String): DataFrame = {
+    val e0 = coPairCounts(s, d).filter(col("cn") >= 2)
+      .select(col("u"), col("v"))
+    val (fin, _) = ktrussDecremental(e0)
+    fin.orderBy(col("u"), col("v"))
+  }
+
+  val defs: Map[String, Relational.Q] = Map(
+    "q_graph_pagerank_fixpoint" -> (qGraphPagerankFixpoint _),
+    "q_graph_ktruss_fixpoint" -> (qGraphKtrussFixpoint _),
+  )
+
+  val sql: Map[String, String] = Map()
+}

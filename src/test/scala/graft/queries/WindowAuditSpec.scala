@@ -59,6 +59,8 @@ class WindowAuditSpec extends AnyFunSuite {
     "q_agg_durbinwatson", "q_agg_weibull", "q_text_ppl_filter",
     // r12: KS cumulative over the bounded integer value grid
     "q_quality_drift_matrix",
+    // r13: cumulative TP/FP over the q_agg_auc decimal bucket grid
+    "q_agg_prauc", "q_agg_youden",
     // r12: KM risk-set cumsums + step integral over the day-bounded curve
     "q_agg_survmedian",
     // per-user collapsed aggregates (user-universe-bounded)
