@@ -125,6 +125,8 @@ object SparkEntry {
     (Analytics82.defs, Analytics82.sql),
     (Analytics83.defs, Analytics83.sql),
     (Analytics84.defs, Analytics84.sql),
+    (Analytics85.defs, Analytics85.sql),
+    (Analytics86.defs, Analytics86.sql),
     (LlmText14.defs, LlmText14.sql),
     (LlmText15.defs, LlmText15.sql),
     (LlmText10.defs, LlmText10.sql),

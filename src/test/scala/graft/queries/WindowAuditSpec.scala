@@ -61,6 +61,11 @@ class WindowAuditSpec extends AnyFunSuite {
     "q_quality_drift_matrix",
     // r13: cumulative TP/FP over the q_agg_auc decimal bucket grid
     "q_agg_prauc", "q_agg_youden",
+    // r13: log-factorial cumulative over the margin-bounded 0..n grid
+    // (replicated under each broadcast join alias)
+    "q_agg_fisherexact",
+    // r13: cumulative counts over the bounded decimal bucket grid
+    "q_agg_moodmedian",
     // r12: KM risk-set cumsums + step integral over the day-bounded curve
     "q_agg_survmedian",
     // per-user collapsed aggregates (user-universe-bounded)
