@@ -127,6 +127,8 @@ object SparkEntry {
     (Analytics84.defs, Analytics84.sql),
     (Analytics85.defs, Analytics85.sql),
     (Analytics86.defs, Analytics86.sql),
+    (Analytics87.defs, Analytics87.sql),
+    (Analytics88.defs, Analytics88.sql),
     (LlmText14.defs, LlmText14.sql),
     (LlmText15.defs, LlmText15.sql),
     (LlmText10.defs, LlmText10.sql),

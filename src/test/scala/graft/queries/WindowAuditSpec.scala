@@ -66,6 +66,10 @@ class WindowAuditSpec extends AnyFunSuite {
     "q_agg_fisherexact",
     // r13: cumulative counts over the bounded decimal bucket grid
     "q_agg_moodmedian",
+    // r13: lag/rolling windows over the day-aligned daily-count table
+    "q_time_coint", "q_time_rollbeta",
+    // r13: global max(n) over the 256-cell covariance pair grid
+    "q_embed_cka",
     // r12: KM risk-set cumsums + step integral over the day-bounded curve
     "q_agg_survmedian",
     // per-user collapsed aggregates (user-universe-bounded)
