@@ -353,7 +353,11 @@ object StreamingQ {
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
+      // observe() on the input side (the r12 full-outer ledger pattern):
+      // the spec closes sessions-created − numRowsRemoved = numRowsTotal
+      // against the observed input count per batch.
       val q = input.toDF()
+        .observe("graft_sess_in", count(lit(1)).as("n_rows"))
         .withWatermark("ts", "10 minutes")
         .as[Ev].groupByKey(_.user_id)
         .flatMapGroupsWithState[Sess, (Long, Long, Long, Long, Boolean)](

@@ -77,7 +77,15 @@ object StreamingQ3 {
     * SAME event id emits a second time. Rule 4 (MemoryStream rig);
     * StreamingQ3Spec pins the exact emission multiset. */
   private[graft] def qStreamDedupTtl(s: SparkSession, d: String)
-      : DataFrame = {
+      : DataFrame = runStreamDedupTtl(s)
+
+  /** [[qStreamDedupTtl]]'s rig with a per-phase query hook: the spec
+    * reads observed-in + the state-store ledger after each batch and
+    * closes keys-admitted − keys-evicted = state-size (the r12
+    * full-outer observe() discipline extended to the dedup store). */
+  private[graft] def runStreamDedupTtl(s: SparkSession,
+      onQueryPhase: (Int, org.apache.spark.sql.streaming.StreamingQuery)
+        => Unit = (_, _) => ()): DataFrame = {
     import StreamingQ.{ev, Ev}
     import s.implicits._
     val input = org.apache.spark.sql.execution.streaming.runtime
@@ -88,6 +96,7 @@ object StreamingQ3 {
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = input.toDF()
+        .observe("graft_ttl_in", count(lit(1)).as("n_rows"))
         .withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark("event_id")
         .select(col("event_id"), unix_micros(col("ts")).as("us"))
@@ -96,14 +105,14 @@ object StreamingQ3 {
       try {
         // b1: id 1 twice within the 10-min delay → second dropped
         input.addData(Seq(ev(1, 10), ev(2, 20), ev(1, 15)))
-        q.processAllAvailable()
+        q.processAllAvailable(); onQueryPhase(1, q)
         // b2: sentinel drags the watermark to 3000 s — past 10 s + 10
         // min, so id 1's dedup state is evicted
         input.addData(Seq(ev(3, 3600)))
-        q.processAllAvailable()
+        q.processAllAvailable(); onQueryPhase(2, q)
         // b3: id 1 RE-OCCURS above the watermark → emits a second time
         input.addData(Seq(ev(1, 3200)))
-        q.processAllAvailable()
+        q.processAllAvailable(); onQueryPhase(3, q)
       } finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.table(name).orderBy("us")

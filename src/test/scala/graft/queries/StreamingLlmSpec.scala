@@ -110,6 +110,8 @@ class StreamingLlmSpec extends AnyFunSuite {
   test("update-mode session agg: sessions merge and re-emit, the " +
       "watermark evicts closed state, late events cannot resurrect it") {
     val metrics = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    case class Phase(in: Long, removed: Long, total: Long)
+    val phases = scala.collection.mutable.ArrayBuffer[Phase]()
     val log = StreamingQ.runSessionAgg(spark, q => {
       val p = Option(q.lastProgress)
       p.foreach { pr =>
@@ -117,6 +119,17 @@ class StreamingLlmSpec extends AnyFunSuite {
         if (so.nonEmpty)
           metrics += ((so(0).numRowsTotal, so(0).numRowsRemoved))
       }
+      // r13: the observe() ledger — cumulative observed-in + evictions
+      // against the live state size after each batch
+      val ps = q.recentProgress.toSeq
+      val in = ps
+        .flatMap(p2 => Option(p2.observedMetrics.get("graft_sess_in")))
+        .map(_.getAs[Long]("n_rows")).sum
+      val led = ps.filter(_.stateOperators.nonEmpty)
+        .map(p2 => (p2.stateOperators.map(_.numRowsRemoved).sum,
+          p2.stateOperators.map(_.numRowsTotal).sum))
+      phases += Phase(in, led.map(_._1).sum,
+        led.lastOption.map(_._2).getOrElse(-1L))
     }).orderBy("user_id", "s_end", "finalized").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getBoolean(4)))
@@ -140,6 +153,19 @@ class StreamingLlmSpec extends AnyFunSuite {
       s"expected 1 surviving state row, got $metrics")
     assert(metrics.map(_._2).sum >= 2L,
       s"expected >= 2 evicted state rows, got $metrics")
+    // r13: the state-size equation closes per batch — (in, evicted,
+    // live state): b1 opens u1/u2; b2 merges u1, opens u3, AND evicts
+    // u1/u2 — the +110min watermark advance triggers the timeout pass
+    // in b2's trailing no-data micro-batch (included in b2's progress),
+    // not in b3; b3's straggler adds NO state. Sessions ever created
+    // (3 distinct users in the update log) − evicted (2) = final
+    // state (1).
+    assert(phases.toSeq == Seq(Phase(3, 0, 2), Phase(5, 2, 1),
+      Phase(7, 2, 1)), s"session ledger: $phases")
+    val created = log.map(_._1).distinct.length
+    assert(created - phases.last.removed == phases.last.total,
+      s"created $created - removed ${phases.last.removed} != " +
+        s"total ${phases.last.total}")
   }
 
   /** Crafted near-dup corpus: doc 1 = base, 2 = one word changed,

@@ -51,4 +51,32 @@ class StreamingQ3Spec extends AnyFunSuite {
     assert(rows.count(_._1 == 1L) == 2,
       "the evicted key must re-emit after its TTL")
   }
+
+  test("TTL dedup state ledger: keys admitted - keys evicted = state " +
+      "size per batch, against the observed input count") {
+    case class Phase(in: Long, updated: Long, removed: Long, total: Long)
+    val phases = scala.collection.mutable.Map[Int, Phase]()
+    StreamingQ3.runStreamDedupTtl(spark, (i, q) => {
+      val ps = q.recentProgress.toSeq
+      val in = ps.flatMap(p => Option(p.observedMetrics.get("graft_ttl_in")))
+        .map(_.getAs[Long]("n_rows")).sum
+      val led = ps.filter(_.stateOperators.nonEmpty)
+        .map(p => (p.stateOperators.map(_.numRowsUpdated).sum,
+          p.stateOperators.map(_.numRowsRemoved).sum,
+          p.stateOperators.map(_.numRowsTotal).sum))
+      phases(i) = Phase(in, led.map(_._1).sum, led.map(_._2).sum,
+        led.lastOption.map(_._3).getOrElse(-1L))
+    })
+    // b1: 3 rows observed in, keys {1,2} admitted (the in-delay dup of
+    // key 1 adds no state), nothing evicted → state 2
+    assert(phases(1) == Phase(3, 2, 0, 2), s"phase 1: ${phases(1)}")
+    // b2: the sentinel (key 3) admits 1 more; its watermark (3000 s)
+    // evicts keys 1 and 2 within the same commit → state 1 = {3}
+    assert(phases(2) == Phase(4, 3, 2, 1), s"phase 2: ${phases(2)}")
+    // b3: key 1 re-admitted above the watermark → state 2 = {1', 3};
+    // the cumulative ledger closes: admitted 4 − evicted 2 = 2
+    assert(phases(3) == Phase(5, 4, 2, 2), s"phase 3: ${phases(3)}")
+    phases.values.foreach(p => assert(p.updated - p.removed == p.total,
+      s"state-size equation broken: $p"))
+  }
 }
