@@ -105,6 +105,70 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // mode=sf1: the r13 full-scale rehearsal — materialize an sf1-shaped
+    // corpus (sf0.1 ×10: lineitem/orders replicated with DISJOINT key
+    // spaces so graph density stays constant while volume grows 10×;
+    // documents replicated with the near-dup perturbation so candidate
+    // graphs DENSIFY — the adversarial direction), then time the bench's
+    // heaviest data-driven ids at sf0.1 AND sf1 in the same cold JVM and
+    // report the ×10 growth factor per id. Streaming/multimodal rig ids
+    // are excluded by design: their cost is the fixed MemoryStream /
+    // binaryFile-ingest rig, not a data-scaled plan.
+    if (mode == "sf1") {
+      val sf1Dir = graft.queries.Tables.freshDir("sf1")
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      (0 until 10).map { i =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
+          .withColumn("l_partkey", col("l_partkey") + lit(i * 10000000L))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(i * 1000000L))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$sf1Dir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      (0 until 10).map { i =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$sf1Dir/orders.parquet")
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      (0 until 10).map { i =>
+        docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          concat(col("text"), lit(s" v$i")).as("text"),
+          col("lang"), col("source"),
+          (col("n_chars") + (i % 3)).as("n_chars"))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$sf1Dir/documents.parquet")
+      Seq("region", "nation", "customer", "supplier", "part", "events",
+        "embeddings").foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$sf1Dir/$t.parquet")
+      }
+      for (d <- Seq(sfDir, sf1Dir)) {
+        val cc = s"/root/repo/target/qtmp/co_pairs_${math.abs(d.hashCode)}"
+        val (cfs, cpath) = graft.queries.Tables.hfs(cc)
+        if (cfs.exists(cpath)) cfs.delete(cpath, true)
+      }
+      val ids = Seq("q_graph_cc", "q_graph_cc_fixpoint", "q_graph_pagerank",
+        "q_graph_pagerank_fixpoint", "q_graph_kcore", "q_graph_coredecomp",
+        "q_graph_hits", "q_agg_ntile", "q_dedup_eval", "q_text_bpe_train",
+        "q_text_langid_ngram", "q_dedup_substring")
+      def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      val rows = ids.map { id =>
+        def run(d: String): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val n = SparkEntry.queries(id)(spark, d).count()
+          spark.catalog.clearCache()
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        val (s01, _) = run(sfDir)
+        val (s1, n1) = run(sf1Dir)
+        s""""$id":{"sf01_sec":${f(s01)},"sf1_sec":${f(s1)},""" +
+          s""""rows":$n1,"x10_factor":${f(s1 / s01)}}"""
+      }
+      println(s"""{"probe":"sf1","base":"$sfDir",""" +
+        s""""ops":${rows.mkString("{", ",", "}")}}""")
+      spark.stop()
+      return
+    }
     val probeDir = graft.queries.Tables.freshDir(s"scaleprobe_${mode}_$factor")
     if (mode == "embeddings") {
       // embeddings inflate with small deterministic perturbations, so

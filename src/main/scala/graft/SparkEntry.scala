@@ -129,6 +129,7 @@ object SparkEntry {
     (Analytics86.defs, Analytics86.sql),
     (Analytics87.defs, Analytics87.sql),
     (Analytics88.defs, Analytics88.sql),
+    (Analytics89.defs, Analytics89.sql),
     (LlmText14.defs, LlmText14.sql),
     (LlmText15.defs, LlmText15.sql),
     (LlmText10.defs, LlmText10.sql),

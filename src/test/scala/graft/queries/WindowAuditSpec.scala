@@ -70,6 +70,8 @@ class WindowAuditSpec extends AnyFunSuite {
     "q_time_coint", "q_time_rollbeta",
     // r13: global max(n) over the 256-cell covariance pair grid
     "q_embed_cka",
+    // r13: Lorenz rank/cumsum over the per-customer spend aggregate
+    "q_agg_lorenz",
     // r12: KM risk-set cumsums + step integral over the day-bounded curve
     "q_agg_survmedian",
     // per-user collapsed aggregates (user-universe-bounded)
