@@ -34,7 +34,7 @@ class Analytics83Spec extends AnyFunSuite {
     val (r, rounds) = Analytics83.pagerankFixpoint(sym(cyc))
     val got = r.collect().map(x => (x.getLong(0), x.getDouble(1))).toMap
     assert(got.size === 6)
-    got.values.foreach(v => assert(math.abs(v - 1.0 / 6) < 1e-5,
+    got.values.foreach(v => assert(math.abs(v - 1.0 / 6) < 1e-4,
       s"cycle rank $v != 1/6"))
     assert(rounds >= 1 && rounds < 128, s"rounds=$rounds")
   }
@@ -48,10 +48,10 @@ class Analytics83Spec extends AnyFunSuite {
     // r_c = 0.132/0.2775, r_l = (1 - r_c)/4
     val rc = 0.132 / 0.2775
     val rl = (1.0 - rc) / 4
-    assert(math.abs(got(0L) - rc) < 1e-5, s"center ${got(0L)} != $rc")
-    (1L to 4L).foreach(l => assert(math.abs(got(l) - rl) < 1e-5,
+    assert(math.abs(got(0L) - rc) < 1e-4, s"center ${got(0L)} != $rc")
+    (1L to 4L).foreach(l => assert(math.abs(got(l) - rl) < 1e-4,
       s"leaf ${got(l)} != $rl"))
-    assert(math.abs(got.values.sum - 1.0) < 1e-5)
+    assert(math.abs(got.values.sum - 1.0) < 1e-4)
   }
 
   test("pagerank fixpoint capped at 3 rounds reproduces the oracled " +
