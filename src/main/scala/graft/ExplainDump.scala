@@ -74,6 +74,11 @@ object ExplainDump {
     "q_agg_boxcox",        // single-pass per-λ moment columns (r12)
     "q_text_ppl_filter",   // token shuffle_hash join, grid P90 (r12)
     "q_quality_drift_matrix", // bounded PSI/KS grids, 1-row mid (r12)
+    "q_agg_ndcg",          // query-key window, 12dp DECIMAL terms (r13)
+    "q_agg_prauc",         // bucket-grid cumulative, no score sort (r13)
+    "q_graph_katz",        // exact BIGINT walk-count messages (r13)
+    "q_agg_fisherexact",   // broadcast ln-lattice joins, margin grid (r13)
+    "q_embed_cka",         // 16-dim explode → 256-cell moment grid (r13)
   )
 
   def main(args: Array[String]): Unit = {

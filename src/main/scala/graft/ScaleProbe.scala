@@ -266,7 +266,9 @@ object ScaleProbe {
           // r11: 64-group dimension profile; pair-capped isotropy
           "q_embed_dimstats", "q_embed_isotropy",
           // r12: cap-bounded kNN-graph / energy-distance reports
-          "q_embed_knngraph", "q_embed_energy")
+          "q_embed_knngraph", "q_embed_energy",
+          // r13: 16-dim moment-grid representation similarity
+          "q_embed_cka")
       else if (mode == "customer")
         // r9 late wave: the k-anonymity audit rides the same inflation
         // (classes deepen, class COUNT stays QI-bounded)
@@ -305,7 +307,11 @@ object ScaleProbe {
           // r12: diagnostics on the calendar-bounded daily collapse
           "q_agg_durbinwatson", "q_agg_negbin", "q_agg_gumbel",
           "q_time_ljungbox", "q_time_adf", "q_time_varratio",
-          "q_time_turningpoint", "q_time_hampel")
+          "q_time_turningpoint", "q_time_hampel",
+          // r13: seasonal-naive forecast metrics, day-aligned pair
+          // regressions, bucket-grid threshold metrics
+          "q_time_mase", "q_time_coint", "q_time_rollbeta",
+          "q_agg_moodmedian", "q_agg_prauc", "q_agg_youden")
       else if (mode == "lineitem")
         Seq("q_graph_sssp", "q_graph_sssp_tree", "q_agg_tdigest",
           "q_agg_tdigest_rollup",
@@ -318,7 +324,10 @@ object ScaleProbe {
           // quantity×discount bounded-grid concordance
           "q_graph_ktruss", "q_agg_gkgamma",
           // r12: h-index core decomposition on the bounded count grid
-          "q_graph_coredecomp")
+          "q_graph_coredecomp",
+          // r13: BIGINT-lattice centralities + one-scan moment tests
+          "q_graph_katz", "q_graph_eigen", "q_graph_ppr",
+          "q_graph_powerlaw", "q_agg_jarquebera")
       else
         Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
           "q_dedup_ngram", "q_dedup_span", "q_dedup_url", "q_text_ngrams",
@@ -338,7 +347,9 @@ object ScaleProbe {
           "q_text_gibberish", "q_split_leakage",
           // r12: perplexity filter — vocab aggregate + token-hash join,
           // P90 off the bounded score grid
-          "q_text_ppl_filter")
+          "q_text_ppl_filter",
+          // r13: map-only char-class screen; 1/cluster-size reweighting
+          "q_text_scriptmix", "q_dedup_softweight")
     val times = ops.map { id =>
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(id)(spark, probeDir).count()

@@ -72,6 +72,8 @@ class WindowAuditSpec extends AnyFunSuite {
     "q_embed_cka",
     // r13: Lorenz rank/cumsum over the per-customer spend aggregate
     "q_agg_lorenz",
+    // r13: SPRT cumulative LLR over the calendar-bounded daily grid
+    "q_agg_sprt",
     // r12: KM risk-set cumsums + step integral over the day-bounded curve
     "q_agg_survmedian",
     // per-user collapsed aggregates (user-universe-bounded)
