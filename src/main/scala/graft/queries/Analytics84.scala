@@ -182,7 +182,7 @@ object Analytics84 {
           " / CAST(tn AS DOUBLE), 12) AS DECIMAL(18,12)) END").as("fpr"))
       .agg(max(struct(col("j"), col("sc"), col("tpr"), col("fpr")))
         .as("best"))
-      .select(col("best.sc").as("threshold"),
+      .select(dbl(col("best.sc")).as("threshold"),
         round(dbl(col("best.j")), 6).as("youden_j"),
         round(dbl(col("best.tpr")), 6).as("sensitivity"),
         round(lit(1.0) - dbl(col("best.fpr")), 6).as("specificity"))
@@ -324,7 +324,8 @@ object Analytics84 {
         |      CAST(ROUND(CAST(cfp AS DOUBLE) / CAST(tn AS DOUBLE), 12)
         |        AS DECIMAL(18,12)) END AS fpr
         |  FROM c)
-        |SELECT sc AS threshold, ROUND(CAST(j AS DOUBLE), 6) AS youden_j,
+        |SELECT CAST(sc AS DOUBLE) AS threshold,
+        |  ROUND(CAST(j AS DOUBLE), 6) AS youden_j,
         |  ROUND(CAST(tpr AS DOUBLE), 6) AS sensitivity,
         |  ROUND(1.0 - CAST(fpr AS DOUBLE), 6) AS specificity
         |FROM j ORDER BY j DESC, sc DESC LIMIT 1""".stripMargin,

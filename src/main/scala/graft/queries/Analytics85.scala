@@ -162,7 +162,7 @@ object Analytics85 {
       count(lit(1)).as("k"))
     cells.crossJoin(broadcast(tot)).crossJoin(broadcast(med))
       .select(col("g"), col("above"), col("ble"), col("k"), col("med"),
-        expr("""CAST(ROUND(
+        expr("""CASE WHEN ta > 0 AND tb > 0 THEN CAST(ROUND(
                |  pow(CAST(above AS DOUBLE) - CAST((above + ble) AS DOUBLE)
                |      * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE), 2)
                |    / (CAST((above + ble) AS DOUBLE) * CAST(ta AS DOUBLE)
@@ -171,11 +171,11 @@ object Analytics85 {
                |      * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE), 2)
                |    / (CAST((above + ble) AS DOUBLE) * CAST(tb AS DOUBLE)
                |       / CAST(ta + tb AS DOUBLE)), 9)
-               | AS DECIMAL(30,9))""".stripMargin).as("cell"))
-      .agg(max(col("med")).as("grand_median"),
+               | AS DECIMAL(30,9)) END""".stripMargin).as("cell"))
+      .agg(max(col("med")).as("gm"),
         max(col("k") - 1).as("df"),
         sum(col("cell")).as("chi2d"))
-      .select(col("grand_median"), col("df"),
+      .select(dbl(col("gm")).as("grand_median"), col("df"),
         round(dbl(col("chi2d")), 6).as("chi2"))
   }
 
@@ -351,9 +351,9 @@ object Analytics85 {
         |    CAST(sum(ble) AS BIGINT) AS tb,
         |    CAST(count(*) AS BIGINT) AS k
         |  FROM cells)
-        |SELECT max((SELECT med FROM med)) AS grand_median,
+        |SELECT CAST(max((SELECT med FROM med)) AS DOUBLE) AS grand_median,
         |  CAST(max(k - 1) AS BIGINT) AS df,
-        |  ROUND(CAST(sum(CAST(ROUND(
+        |  ROUND(CAST(sum(CASE WHEN ta > 0 AND tb > 0 THEN CAST(ROUND(
         |    pow(CAST(above AS DOUBLE) - CAST((above + ble) AS DOUBLE)
         |        * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE), 2)
         |      / (CAST((above + ble) AS DOUBLE) * CAST(ta AS DOUBLE)
@@ -361,8 +361,8 @@ object Analytics85 {
         |    + pow(CAST(ble AS DOUBLE) - CAST((above + ble) AS DOUBLE)
         |        * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE), 2)
         |      / (CAST((above + ble) AS DOUBLE) * CAST(tb AS DOUBLE)
-        |         / CAST(ta + tb AS DOUBLE)), 9) AS DECIMAL(30,9)))
-        |    AS DOUBLE), 6) AS chi2
+        |         / CAST(ta + tb AS DOUBLE)), 9) AS DECIMAL(30,9))
+        |    END) AS DOUBLE), 6) AS chi2
         |FROM cells, tot""".stripMargin,
     "q_agg_icc" ->
       """WITH o AS (SELECT o_custkey,

@@ -82,14 +82,16 @@ object Analytics87 {
       sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
       sum(col("x") * col("x")).as("sxx"))
     val ab = m.select(col("n"), col("sx"), col("sy"),
-      expr("""(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      expr("""CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+             |(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
              |  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
              |/ (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-             |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"""
+             |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END"""
         .stripMargin).as("b"))
       .select(col("n"), col("b"),
-        expr("(CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))" +
-          " / CAST(n AS DOUBLE)").as("a"))
+        expr("CASE WHEN n > 0 THEN (CAST(sy AS DOUBLE)" +
+          " - b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END").as("a"))
     // residuals on the stage-1 line, then the no-constant ADF
     val wd = Window.orderBy(col("day"))
     val e = p.crossJoin(broadcast(ab))
@@ -214,15 +216,18 @@ object Analytics87 {
         |  FROM p),
         |ab AS (
         |  SELECT n,
+        |    CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
         |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS b,
         |    sx, sy
         |  FROM m),
         |ab2 AS (
-        |  SELECT n, b, (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
-        |    / CAST(n AS DOUBLE) AS a FROM ab),
+        |  SELECT n, b, CASE WHEN n > 0 THEN
+        |    (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) END AS a FROM ab),
         |e AS (
         |  SELECT n, b, ee, lag(ee, 1) OVER (ORDER BY day) AS ep
         |  FROM (SELECT p.day, ab2.n, ab2.b,

@@ -55,7 +55,9 @@ object Analytics89 {
         max(col("n")).as("n"), max(col("tv")).as("tv"))
       .select(col("decile"),
         round(dbl(col("mrn")) / dbl(col("n")), 6).as("pop_share"),
-        round(dbl(col("mcv")) / dbl(col("tv")), 6).as("cum_value_share"))
+        when(dbl(col("tv")) =!= 0.0,
+          round(dbl(col("mcv")) / dbl(col("tv")), 6))
+          .as("cum_value_share"))
       .orderBy(col("decile"))
   }
 
@@ -139,8 +141,9 @@ object Analytics89 {
         |SELECT ((rn - 1) * 10) // n + 1 AS decile,
         |  ROUND(CAST(max(rn) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6)
         |    AS pop_share,
-        |  ROUND(CAST(max(cv) AS DOUBLE) / CAST(max(tv) AS DOUBLE), 6)
-        |    AS cum_value_share
+        |  CASE WHEN CAST(max(tv) AS DOUBLE) <> 0 THEN
+        |    ROUND(CAST(max(cv) AS DOUBLE) / CAST(max(tv) AS DOUBLE), 6)
+        |    END AS cum_value_share
         |FROM r GROUP BY 1 ORDER BY decile""".stripMargin),
     "q_agg_hoover" -> (spendSql +
       """tot AS (

@@ -70,7 +70,10 @@ object Analytics90 {
       ("price", "tax", "spt", "sp", "st", "spp", "stt"),
       ("discount", "tax", "sdt", "sd", "st", "sdd", "stt"))
     val cols = pairs.map { case (a, b, sxy, sx, sy, sxx, syy) =>
-      s"'$a', '$b', ROUND(${corrT(sxy, sx, sy, sxx, syy)}, 6)"
+      s"""'$a', '$b', CASE WHEN ${covT(sxx, sx, sx)} > 0
+         | AND ${covT(syy, sy, sy)} > 0
+         | THEN ROUND(${corrT(sxy, sx, sy, sxx, syy)}, 6) END"""
+        .stripMargin
     }.mkString(", ")
     moments(s, d)
       .selectExpr("n", s"stack(6, $cols) AS (var_x, var_y, pearson_r)")
@@ -86,11 +89,20 @@ object Analytics90 {
     val det = s"""(1.0 + 2.0 * $r12 * $r13 * $r23
                  | - $r12 * $r12 - $r13 * $r13 - $r23 * $r23)"""
       .stripMargin
+    val vguard = s"""(${covT("sqq", "sq", "sq")} > 0
+                    | AND ${covT("sdd", "sd", "sd")} > 0
+                    | AND ${covT("stt", "st", "st")} > 0)""".stripMargin
     moments(s, d)
       .selectExpr("n", s"""stack(3,
-        |'quantity', ROUND((1.0 - $r23 * $r23) / $det, 6),
-        |'discount', ROUND((1.0 - $r13 * $r13) / $det, 6),
-        |'tax', ROUND((1.0 - $r12 * $r12) / $det, 6))
+        |'quantity', CASE WHEN $vguard THEN
+        |  CASE WHEN abs($det) > 0 THEN
+        |    ROUND((1.0 - $r23 * $r23) / $det, 6) END END,
+        |'discount', CASE WHEN $vguard THEN
+        |  CASE WHEN abs($det) > 0 THEN
+        |    ROUND((1.0 - $r13 * $r13) / $det, 6) END END,
+        |'tax', CASE WHEN $vguard THEN
+        |  CASE WHEN abs($det) > 0 THEN
+        |    ROUND((1.0 - $r12 * $r12) / $det, 6) END END)
         | AS (variable, vif)""".stripMargin)
       .select(col("variable"), col("vif"), col("n"))
       .orderBy(col("variable"))
@@ -106,7 +118,11 @@ object Analytics90 {
         col("l_extendedprice").cast("double").as("p"))
     li.crossJoin(broadcast(m))
       .selectExpr("l_orderkey", "l_linenumber", "q", "p",
-        s"""ROUND(
+        s"""CASE WHEN ${covT("sqq", "sq", "sq")} > 0
+           | AND ${covT("spp", "sp", "sp")} > 0 THEN
+           | CASE WHEN abs(1.0 - ${corrT("sqp", "sq", "sp", "sqq", "spp")}
+           |   * ${corrT("sqp", "sq", "sp", "sqq", "spp")}) > 0 THEN
+           | ROUND(
            |  ((q - CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
            |     / sqrt(${covT("sqq", "sq", "sq")})
            |   * ((q - CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
@@ -122,7 +138,7 @@ object Analytics90 {
            |     / sqrt(${covT("spp", "sp", "sp")})))
            | / (1.0 - ${corrT("sqp", "sq", "sp", "sqq", "spp")}
            |   * ${corrT("sqp", "sq", "sp", "sqq", "spp")}), 6)
-           | AS d2""".stripMargin)
+           | END END AS d2""".stripMargin)
       .select(col("l_orderkey"), col("l_linenumber"), col("q"), col("p"),
         col("d2"))
       .orderBy(desc("d2"), col("l_orderkey"), col("l_linenumber"))
@@ -213,23 +229,38 @@ object Analytics90 {
           ("discount", "tax", "sdt", "sd", "st", "sdd", "stt"))
           .map { case (a, b, sxy, sx, sy, sxx, syy) =>
             s"""SELECT '$a' AS var_x, '$b' AS var_y,
-               |  ROUND(${cor(sxy, sx, sy, sxx, syy)}, 6) AS pearson_r,
+               |  CASE WHEN ${cov(sxx, sx, sx)} > 0
+               |    AND ${cov(syy, sy, sy)} > 0 THEN
+               |    ROUND(${cor(sxy, sx, sy, sxx, syy)}, 6) END
+               |    AS pearson_r,
                |  n FROM m""".stripMargin
           }.mkString("\n", "\nUNION ALL\n", "\nORDER BY var_x, var_y")),
-      "q_agg_vif" -> (momentsSql +
+      "q_agg_vif" -> {
+        val vg = s"""(${cov("sqq", "sq", "sq")} > 0
+                    | AND ${cov("sdd", "sd", "sd")} > 0
+                    | AND ${cov("stt", "st", "st")} > 0)""".stripMargin
+        momentsSql +
         s"""SELECT 'quantity' AS variable,
-           |  ROUND((1.0 - $r23 * $r23) / $det, 6) AS vif, n FROM m
+           |  CASE WHEN $vg THEN CASE WHEN abs($det) > 0 THEN
+           |    ROUND((1.0 - $r23 * $r23) / $det, 6) END END AS vif,
+           |  n FROM m
            |UNION ALL
            |SELECT 'discount',
-           |  ROUND((1.0 - $r13 * $r13) / $det, 6), n FROM m
+           |  CASE WHEN $vg THEN CASE WHEN abs($det) > 0 THEN
+           |    ROUND((1.0 - $r13 * $r13) / $det, 6) END END, n FROM m
            |UNION ALL
            |SELECT 'tax',
-           |  ROUND((1.0 - $r12 * $r12) / $det, 6), n FROM m
-           |ORDER BY variable""".stripMargin),
+           |  CASE WHEN $vg THEN CASE WHEN abs($det) > 0 THEN
+           |    ROUND((1.0 - $r12 * $r12) / $det, 6) END END, n FROM m
+           |ORDER BY variable""".stripMargin
+      },
       "q_agg_mahalanobis" -> (momentsSql +
         s"""SELECT l_orderkey, l_linenumber, q, p,
+           |  CASE WHEN ${cov("sqq", "sq", "sq")} > 0
+           |    AND ${cov("spp", "sp", "sp")} > 0 THEN
+           |  CASE WHEN abs(1.0 - $rho * $rho) > 0 THEN
            |  ROUND(($zq * $zq + $zp * $zp - 2.0 * $rho * $zq * $zp)
-           |    / (1.0 - $rho * $rho), 6) AS d2
+           |    / (1.0 - $rho * $rho), 6) END END AS d2
            |FROM (SELECT l_orderkey, l_linenumber,
            |        CAST(l_quantity AS DOUBLE) AS q,
            |        CAST(l_extendedprice AS DOUBLE) AS p

@@ -77,7 +77,8 @@ object Analytics91 {
       .agg(count(lit(1)).as("n"), sum(col("y")).as("np"),
         sum(col("t")).as("st"))
       .selectExpr("n", "np",
-        "ROUND(CAST(st AS DOUBLE) / CAST(n AS DOUBLE), 6) AS logloss",
+        "CASE WHEN n > 0 THEN ROUND(CAST(st AS DOUBLE)" +
+          " / CAST(n AS DOUBLE), 6) END AS logloss",
         """CASE WHEN np > 0 AND np < n THEN ROUND(
           |  -(CAST(np AS DOUBLE) / CAST(n AS DOUBLE)
           |      * ln(CAST(np AS DOUBLE) / CAST(n AS DOUBLE))
@@ -198,7 +199,8 @@ object Analytics91 {
         |      ELSE -ln(1.0 - p) END, 9) AS DECIMAL(28,9))) AS st
         |  FROM b)
         |SELECT n, np,
-        |  ROUND(CAST(st AS DOUBLE) / CAST(n AS DOUBLE), 6) AS logloss,
+        |  CASE WHEN n > 0 THEN ROUND(CAST(st AS DOUBLE)
+        |    / CAST(n AS DOUBLE), 6) END AS logloss,
         |  CASE WHEN np > 0 AND np < n THEN ROUND(
         |    -(CAST(np AS DOUBLE) / CAST(n AS DOUBLE)
         |        * ln(CAST(np AS DOUBLE) / CAST(n AS DOUBLE))
