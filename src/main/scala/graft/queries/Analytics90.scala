@@ -108,37 +108,38 @@ object Analytics90 {
       .orderBy(col("variable"))
   }
 
-  /** Top-20 bivariate Mahalanobis outliers of (quantity, price). */
+  /** Top-20 bivariate Mahalanobis outliers of (quantity, price).
+    * The five scalars (means, variances, ρ) are FINISHED inside the
+    * broadcast 1-row table — the per-row expression then references
+    * them as plain columns instead of re-expanding the moment algebra
+    * ~10×, which bloated codegen and cost 3.7 s in the r13 bench. */
   private def qAggMahalanobis(s: SparkSession, d: String): DataFrame = {
     val m = moments(s, d).select(col("n"), col("sq"), col("sp"),
       col("sqq"), col("spp"), col("sqp"))
+      .selectExpr(
+        "CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mq",
+        "CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS mp",
+        s"${covT("sqq", "sq", "sq")} AS vq",
+        s"${covT("spp", "sp", "sp")} AS vp",
+        s"""CASE WHEN ${covT("sqq", "sq", "sq")} > 0
+           | AND ${covT("spp", "sp", "sp")} > 0 THEN
+           | ${corrT("sqp", "sq", "sp", "sqq", "spp")} END"""
+          .stripMargin + " AS rho")
     val li = t(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast("double").as("q"),
         col("l_extendedprice").cast("double").as("p"))
     li.crossJoin(broadcast(m))
       .selectExpr("l_orderkey", "l_linenumber", "q", "p",
-        s"""CASE WHEN ${covT("sqq", "sq", "sq")} > 0
-           | AND ${covT("spp", "sp", "sp")} > 0 THEN
-           | CASE WHEN abs(1.0 - ${corrT("sqp", "sq", "sp", "sqq", "spp")}
-           |   * ${corrT("sqp", "sq", "sp", "sqq", "spp")}) > 0 THEN
-           | ROUND(
-           |  ((q - CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
-           |     / sqrt(${covT("sqq", "sq", "sq")})
-           |   * ((q - CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
-           |     / sqrt(${covT("sqq", "sq", "sq")}))
-           | + ((p - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
-           |     / sqrt(${covT("spp", "sp", "sp")})
-           |   * ((p - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
-           |     / sqrt(${covT("spp", "sp", "sp")})))
-           | - 2.0 * ${corrT("sqp", "sq", "sp", "sqq", "spp")}
-           |   * ((q - CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
-           |     / sqrt(${covT("sqq", "sq", "sq")}))
-           |   * ((p - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
-           |     / sqrt(${covT("spp", "sp", "sp")})))
-           | / (1.0 - ${corrT("sqp", "sq", "sp", "sqq", "spp")}
-           |   * ${corrT("sqp", "sq", "sp", "sqq", "spp")}), 6)
-           | END END AS d2""".stripMargin)
+        """CASE WHEN vq > 0 AND vp > 0 AND rho IS NOT NULL THEN
+          | CASE WHEN abs(1.0 - rho * rho) > 0 THEN
+          | ROUND(
+          |  ((q - mq) / sqrt(vq) * ((q - mq) / sqrt(vq))
+          | + (p - mp) / sqrt(vp) * ((p - mp) / sqrt(vp))
+          | - 2.0 * rho * ((q - mq) / sqrt(vq))
+          |   * ((p - mp) / sqrt(vp)))
+          | / (1.0 - rho * rho), 6)
+          | END END AS d2""".stripMargin)
       .select(col("l_orderkey"), col("l_linenumber"), col("q"), col("p"),
         col("d2"))
       .orderBy(desc("d2"), col("l_orderkey"), col("l_linenumber"))
