@@ -74,6 +74,10 @@ class WindowAuditSpec extends AnyFunSuite {
     "q_agg_lorenz",
     // r13: SPRT cumulative LLR over the calendar-bounded daily grid
     "q_agg_sprt",
+    // r13: midrank cumulative over the bounded value-bucket grid
+    "q_agg_dunn",
+    // r13: P90 threshold cumulative over the bounded degree grid
+    "q_graph_conductance",
     // r12: KM risk-set cumsums + step integral over the day-bounded curve
     "q_agg_survmedian",
     // per-user collapsed aggregates (user-universe-bounded)
