@@ -275,7 +275,10 @@ object ScaleProbe {
         Seq("q_join_fuzzy", "q_quality_kanon",
           // r10: the statistical gates ride the same inflation (test
           // tables stay nation/segment-bounded as rows deepen)
-          "q_agg_fdr", "q_agg_conformal", "q_agg_ebayes")
+          "q_agg_fdr", "q_agg_conformal", "q_agg_ebayes",
+          // r13 late waves: stratified 2x2 + allocation design off
+          // the bounded per-nation tables
+          "q_agg_cmh", "q_sample_neyman")
       else if (mode == "events")
         Seq("q_join_nearest", "q_win_attribution", "q_win_churn",
           "q_win_cohort", "q_win_session", "q_win_concurrency",
@@ -311,7 +314,12 @@ object ScaleProbe {
           // r13: seasonal-naive forecast metrics, day-aligned pair
           // regressions, bucket-grid threshold metrics
           "q_time_mase", "q_time_coint", "q_time_rollbeta",
-          "q_agg_moodmedian", "q_agg_prauc", "q_agg_youden")
+          "q_agg_moodmedian", "q_agg_prauc", "q_agg_youden",
+          // r13 late waves: bucket-lattice post-hoc, fixed-bin
+          // calibration, one-scan fits/tests, horizon-decay
+          "q_agg_dunn", "q_agg_hosmer", "q_agg_gammafit",
+          "q_agg_ratetest", "q_agg_confusion", "q_agg_logloss",
+          "q_agg_sprt", "q_agg_decay")
       else if (mode == "lineitem")
         Seq("q_graph_sssp", "q_graph_sssp_tree", "q_agg_tdigest",
           "q_agg_tdigest_rollup",
@@ -327,7 +335,11 @@ object ScaleProbe {
           "q_graph_coredecomp",
           // r13: BIGINT-lattice centralities + one-scan moment tests
           "q_graph_katz", "q_graph_eigen", "q_graph_ppr",
-          "q_graph_powerlaw", "q_agg_jarquebera")
+          "q_graph_powerlaw", "q_agg_jarquebera",
+          // r13 late waves: one-scan cross-moment diagnostics,
+          // degree-grid hub-cut quality
+          "q_agg_corrmatrix", "q_agg_vif", "q_agg_mahalanobis",
+          "q_graph_conductance")
       else
         Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
           "q_dedup_ngram", "q_dedup_span", "q_dedup_url", "q_text_ngrams",
@@ -349,7 +361,9 @@ object ScaleProbe {
           // P90 off the bounded score grid
           "q_text_ppl_filter",
           // r13: map-only char-class screen; 1/cluster-size reweighting
-          "q_text_scriptmix", "q_dedup_softweight")
+          "q_text_scriptmix", "q_dedup_softweight",
+          // r13 late wave: source-bounded importance-weight ESS
+          "q_sample_ess")
     val times = ops.map { id =>
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(id)(spark, probeDir).count()
