@@ -79,6 +79,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // suppress the per-query WindowExec single-partition warning — every
+    // instance is a WindowAuditSpec-whitelisted bounded-aggregate window
+    // (see Verify.scala for the full rationale)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // Warm the JVM/codegen/parquet-reader paths so the first timed query
     // doesn't absorb one-time startup cost. Touch every table once: the
     // first scan of a parquet file pays footer/filesystem/reader init

@@ -137,8 +137,28 @@ object ScaleProbe {
           (col("n_chars") + (i % 3)).as("n_chars"))
       }.reduce(_ union _)
         .write.mode("overwrite").parquet(s"$sf1Dir/documents.parquet")
-      Seq("region", "nation", "customer", "supplier", "part", "events",
-        "embeddings").foreach { t =>
+      // dimension tables follow the fact tables into the SAME shifted
+      // key spaces (ADVICE r13: verbatim copies left 90% of sf1
+      // lineitems dangling against part/supplier/customer, so any
+      // measured id joining a dimension would time a mostly-empty
+      // join). Graph density still stays constant: co-pair keys are
+      // disjoint per replica either way.
+      val parts = spark.read.parquet(s"$sfDir/part.parquet")
+      (0 until 10).map { i =>
+        parts.withColumn("p_partkey", col("p_partkey") + lit(i * 10000000L))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$sf1Dir/part.parquet")
+      val supp = spark.read.parquet(s"$sfDir/supplier.parquet")
+      (0 until 10).map { i =>
+        supp.withColumn("s_suppkey", col("s_suppkey") + lit(i * 1000000L))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$sf1Dir/supplier.parquet")
+      val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      (0 until 10).map { i =>
+        cust.withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$sf1Dir/customer.parquet")
+      Seq("region", "nation", "events", "embeddings").foreach { t =>
         spark.read.parquet(s"$sfDir/$t.parquet")
           .write.mode("overwrite").parquet(s"$sf1Dir/$t.parquet")
       }
@@ -159,6 +179,11 @@ object ScaleProbe {
           spark.catalog.clearCache()
           ((System.nanoTime() - t0) / 1e9, n)
         }
+        // untimed per-id warm-up at sf0.1 (ADVICE r13: with sf0.1
+        // timed first in a cold JVM, the sf1 leg alone benefited from
+        // JIT/FS warm-up, biasing ×10 growth factors low — warm both
+        // timed legs instead)
+        run(sfDir)
         val (s01, _) = run(sfDir)
         val (s1, n1) = run(sf1Dir)
         s""""$id":{"sf01_sec":${f(s01)},"sf1_sec":${f(s1)},""" +

@@ -134,6 +134,7 @@ object SparkEntry {
     (Analytics91.defs, Analytics91.sql),
     (Analytics92.defs, Analytics92.sql),
     (Analytics93.defs, Analytics93.sql),
+    (Analytics94.defs, Analytics94.sql),
     (LlmText14.defs, LlmText14.sql),
     (LlmText15.defs, LlmText15.sql),
     (LlmText10.defs, LlmText10.sql),

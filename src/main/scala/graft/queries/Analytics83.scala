@@ -119,14 +119,29 @@ object Analytics83 {
   // k-truss to convergence
   // ---------------------------------------------------------------- //
 
+  /** Both truss drivers require canonical u<v distinct edges — the
+    * support() wedge join emits least/greatest keys and the decremental
+    * closure joins against canonical prev, so a reversed or symmetric
+    * input would read sup=0 everywhere and peel the graph to empty
+    * (ADVICE r13). Normalize defensively at entry: one edge-list
+    * shuffle, negligible against the peel's wedge volume, and a
+    * no-op partition-local dedup for already-canonical callers under
+    * AQE. */
+  private def canonicalEdges(e0: DataFrame): DataFrame =
+    e0.select(least(col("u"), col("v")).as("u"),
+      greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+
   /** Full-recount peel: each round recomputes per-edge triangle
     * support on the surviving edges (Analytics72.support — oriented
     * enumeration, each triangle once at its low-degree apex) and drops
     * every edge with support < supMin. Edges in zero triangles have no
     * support row and drop implicitly. Converges when the strictly
     * decreasing edge count stabilizes. */
-  private[graft] def ktrussRecount(e0: DataFrame, supMin: Long = 2,
+  private[graft] def ktrussRecount(e0raw: DataFrame, supMin: Long = 2,
       maxRounds: Int = 64): (DataFrame, Int) = {
+    val e0 = canonicalEdges(e0raw)
     var e = e0.select(col("u"), col("v")).localCheckpoint(true)
     var n = e.agg(count(lit(1))).head.getLong(0)
     var rounds = 0
@@ -151,8 +166,9 @@ object Analytics83 {
     * the standard truss-maintenance invariant. Wedge work per round is
     * proportional to the removed edges' degree sum, not the whole
     * graph's. */
-  private[graft] def ktrussDecremental(e0: DataFrame, supMin: Long = 2,
+  private[graft] def ktrussDecremental(e0raw: DataFrame, supMin: Long = 2,
       maxRounds: Int = 64): (DataFrame, Int) = {
+    val e0 = canonicalEdges(e0raw)
     var ds = e0.select(col("u"), col("v"))
       .join(Analytics72.support(e0), Seq("u", "v"), "left")
       .select(col("u"), col("v"), coalesce(col("sup"), lit(0L)).as("sup"))

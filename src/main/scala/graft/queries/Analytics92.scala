@@ -48,7 +48,12 @@ object Analytics92 {
     val byV = b.groupBy(col("sc")).agg(sum(col("cnt")).as("c"))
     val wOrd = Window.orderBy(col("sc"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // midrank·2 is an exact integer: 2·before + c + 1
+    // midrank·2 is an exact integer: 2·before + c + 1.
+    // Overflow bound (ADVICE r13): the tie cube c³−c is computed in
+    // BIGINT, exact up to c ≈ 2.1M rows per 0.1-value bucket (c³ <
+    // 2⁶³); past that Spark wraps silently while DuckDB throws. Same
+    // bound as the kruskal tie-sum idiom (Analytics59) — at 100 TB
+    // move the cube after a DECIMAL(38,0) cast on both engines.
     val mid = byV
       .withColumn("before", coalesce(sum(col("c")).over(wOrd), lit(0L)))
       .select(col("sc"), col("c"),
@@ -94,9 +99,17 @@ object Analytics92 {
         expr("""CAST(ROUND(CAST(nn AS DOUBLE) / CAST(k AS DOUBLE)
                |  / CAST(ns AS DOUBLE), 12) AS DECIMAL(28,12))"""
           .stripMargin).as("w"))
+      // per-stratum products rounded to an explicit 9dp DECIMAL lattice
+      // BEFORE the sum (ADVICE r13): BIGINT·DECIMAL(28,12) exceeds
+      // precision 38 in Spark, whose allowPrecisionLoss silently rounds
+      // to scale 6 while DuckDB keeps exact DECIMAL(38,24) — the 9dp
+      // round-then-DECIMAL-sum idiom (neyman/cmh/hosmer) pins both.
       .agg(max(col("nn")).as("n_docs"), max(col("k")).as("n_sources"),
-        sum(col("ns") * col("w")).as("sw"),
-        sum((col("ns") * col("w")) * col("w")).as("sw2"),
+        sum(expr("""CAST(ROUND(CAST(ns AS DOUBLE) * CAST(w AS DOUBLE),
+               | 9) AS DECIMAL(38,9))""".stripMargin)).as("sw"),
+        sum(expr("""CAST(ROUND(CAST(ns AS DOUBLE) * CAST(w AS DOUBLE)
+               | * CAST(w AS DOUBLE), 9) AS DECIMAL(38,9))"""
+          .stripMargin)).as("sw2"),
         max(col("w")).as("wmax"))
       .select(col("n_docs"), col("n_sources"),
         when(dbl(col("sw2")) > 0, round(dbl(col("sw")) * dbl(col("sw"))
@@ -234,7 +247,10 @@ object Analytics92 {
         |a AS (
         |  SELECT CAST(max(nn) AS BIGINT) AS n_docs,
         |    CAST(max(k) AS BIGINT) AS n_sources,
-        |    sum(ns * w) AS sw, sum((ns * w) * w) AS sw2,
+        |    sum(CAST(ROUND(CAST(ns AS DOUBLE) * CAST(w AS DOUBLE),
+        |      9) AS DECIMAL(38,9))) AS sw,
+        |    sum(CAST(ROUND(CAST(ns AS DOUBLE) * CAST(w AS DOUBLE)
+        |      * CAST(w AS DOUBLE), 9) AS DECIMAL(38,9))) AS sw2,
         |    max(w) AS wmax
         |  FROM w)
         |SELECT n_docs, n_sources,

@@ -36,7 +36,20 @@ object LlmText6 {
     * k-gram hashes keep the minimum (position breaks hash ties), then
     * report the distinct selected hashes per document — the guarantee is
     * any shared substring of ≥ k+w−1 = 8 chars shares a fingerprint.
-    * Expected density of the selected set is 2/(w+1). */
+    * Expected density of the selected set is 2/(w+1).
+    *
+    * The windowed min is 4 shifted copies of `enc` zipped with `least`,
+    * NOT `transform(…, i -> array_min(slice(enc, i, 4)))`. The lambda
+    * form references `enc` exactly once, so CollapseProject inlines the
+    * O(L)-md5 `enc` expression INTO the lambda body — re-evaluating it
+    * per window, O(L²) interpreted md5s per document (caught by the r14
+    * sf0.1 materializing oracle run: 25 min single-task; invisible to
+    * `.count()`-driven timing, which prunes the projection). The
+    * 4-reference form is blocked from collapsing (non-cheap expr
+    * referenced >1×), so `enc` evaluates once per row and the whole
+    * fingerprint is O(L) again. zip_with pads the shorter shifted
+    * copies with NULL and Spark's `least` ignores NULLs, so the final
+    * slice(1, L−7) keeps exactly the full 4-wide windows. */
   private def qTextWinnowing(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .filter(length(col("text")) >= 8)
@@ -46,8 +59,14 @@ object LlmText6 {
           |       AS BIGINT) * 10000000 + i)""".stripMargin))
       .withColumn("fps", expr(
         """array_distinct(transform(
-          |  transform(sequence(1, length(text) - 7), i ->
-          |    array_min(slice(enc, i, 4))),
+          |  slice(
+          |    zip_with(
+          |      zip_with(enc, slice(enc, 2, length(text)),
+          |        (a, b) -> least(a, b)),
+          |      zip_with(slice(enc, 3, length(text)),
+          |        slice(enc, 4, length(text)), (a, b) -> least(a, b)),
+          |      (a, b) -> least(a, b)),
+          |    1, length(text) - 7),
           |  x -> x div 10000000))""".stripMargin))
       .select(col("doc_id"), size(col("fps")).as("n_fp"),
         expr("aggregate(fps, 0L, (a, x) -> a + x)").as("fp_checksum"),
