@@ -135,6 +135,7 @@ object SparkEntry {
     (Analytics92.defs, Analytics92.sql),
     (Analytics93.defs, Analytics93.sql),
     (Analytics94.defs, Analytics94.sql),
+    (Analytics95.defs, Analytics95.sql),
     (LlmText14.defs, LlmText14.sql),
     (LlmText15.defs, LlmText15.sql),
     (LlmText10.defs, LlmText10.sql),
