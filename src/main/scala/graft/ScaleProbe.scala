@@ -97,11 +97,34 @@ object ScaleProbe {
       val ((pr, rP), sP) =
         time(graft.queries.Analytics83.pagerankFixpoint(sym))
       val nP = pr.count()
+      // r14 centrality fixpoints on the same densified graph: shifted
+      // eigen power iteration, exact-integer adaptive Katz, and HITS
+      // on the probe's (partkey, suppkey) bipartite pairs
+      val ((ei, rE), sE) =
+        time(graft.queries.Analytics94.eigenFixpoint(sym))
+      val nE = ei.count()
+      val ((kz, kd, rK), sK) =
+        time(graft.queries.Analytics94.katzAdaptive(sym)) match {
+          case ((x, dm, r), t0) => ((x, dm, r), t0)
+        }
+      val nK = kz.count()
+      val bip = spark.read.parquet(s"$probeDir/lineitem.parquet")
+        .select(col("l_partkey").as("c"), col("l_suppkey").as("p"))
+        .distinct().localCheckpoint(true)
+      val ((ah, rH), sH) =
+        time(graft.queries.Analytics94.hitsFixpoint(bip)) match {
+          case ((a, _, r), t0) => ((a, r), t0)
+        }
+      val nH = ah.count()
       def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
       println(s"""{"probe":"truss","factor":$factor,"n_edges":$nEdges,""" +
         s""""recount":{"sec":${f(sR)},"rounds":$rR,"edges":$nR},""" +
         s""""decremental":{"sec":${f(sD)},"rounds":$rD,"edges":$nD},""" +
-        s""""pagerank_fixpoint":{"sec":${f(sP)},"rounds":$rP,"nodes":$nP}}""")
+        s""""pagerank_fixpoint":{"sec":${f(sP)},"rounds":$rP,"nodes":$nP},""" +
+        s""""eigen_fixpoint":{"sec":${f(sE)},"rounds":$rE,"nodes":$nE},""" +
+        s""""katz_adaptive":{"sec":${f(sK)},"rounds":$rK,"dmax":$kd,""" +
+        s""""nodes":$nK},""" +
+        s""""hits_fixpoint":{"sec":${f(sH)},"rounds":$rH,"auths":$nH}}""")
       spark.stop()
       return
     }

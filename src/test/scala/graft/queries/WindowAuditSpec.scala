@@ -87,6 +87,9 @@ class WindowAuditSpec extends AnyFunSuite {
     "q_win_shapley",
     // pareto frontier over the per-key aggregate
     "q_win_skyline",
+    // r14: cumulative-revenue line over the per-customer aggregate
+    // (customer-universe-bounded, the Lorenz shape)
+    "q_sample_systematic",
   )
 
   test("every partition-less Window rides a whitelisted bounded input") {
