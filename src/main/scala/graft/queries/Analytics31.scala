@@ -67,11 +67,26 @@ object Analytics31 {
       .select(col("event_type"),
         expr("CAST(ROUND(value, 1) AS DECIMAL(18,1))").as("x"))
     val q = v.groupBy(col("event_type"))
-      .agg(expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY x)").as("q1"),
-        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY x)").as("q3"),
+      // Spark's percentile_disc returns DOUBLE even over DECIMAL input
+      // (DuckDB's quantile_disc keeps DECIMAL(18,1)); a disc percentile
+      // is by definition an element of the input lattice, so the cast
+      // back to DECIMAL(18,1) is value-exact — without it the hi fence
+      // computes as 149.59999999999997 in double and the 5 lattice
+      // values sitting exactly ON the fence flip sides between engines
+      // (caught by the r14 sf0.1 exact-value pass: 965 vs 960
+      // outliers; sf0.01 never had a value on the fence)
+      .agg(expr("""CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY x)
+             | AS DECIMAL(18,1))""".stripMargin).as("q1"),
+        expr("""CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY x)
+             | AS DECIMAL(18,1))""".stripMargin).as("q3"),
         count(lit(1)).as("n"))
-      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
-      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+      // fences in EXACT decimal: `* 1.5` with a Scala Double literal
+      // would be a DOUBLE multiply in Spark but a DECIMAL(2,1)
+      // multiply in DuckDB's mirror
+      .withColumn("lo", col("q1")
+        - (col("q3") - col("q1")) * expr("CAST(1.5 AS DECIMAL(2,1))"))
+      .withColumn("hi", col("q3")
+        + (col("q3") - col("q1")) * expr("CAST(1.5 AS DECIMAL(2,1))"))
     v.join(broadcast(q), Seq("event_type"))
       .groupBy(col("event_type"))
       .agg(max(col("n")).as("n"), max(col("q1")).as("q1"),
