@@ -281,37 +281,37 @@ object Analytics42 {
     // Same four hash-min + pointer-jump rounds as unrolled CTEs: the
     // jump is a self-join of the round's min table on its own labels.
     "q_graph_cc" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem),
-        |e AS (SELECT a.pk AS u, b.pk AS v, count(*) AS cn
+        |e AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v, count(*) AS cn
         |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
         |      GROUP BY 1, 2 HAVING count(*) >= 2),
-        |sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
-        |l0 AS (SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM sym)),
-        |m1 AS (SELECT u, min(lbl) AS lbl FROM (
+        |sym AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |l0 AS MATERIALIZED (SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM sym)),
+        |m1 AS MATERIALIZED (SELECT u, min(lbl) AS lbl FROM (
         |         SELECT u, lbl FROM l0
         |         UNION ALL
         |         SELECT s.v AS u, p.lbl FROM l0 p JOIN sym s ON s.u = p.u)
         |       GROUP BY u),
-        |l1 AS (SELECT a.u, b.lbl FROM m1 a JOIN m1 b ON a.lbl = b.u),
-        |m2 AS (SELECT u, min(lbl) AS lbl FROM (
+        |l1 AS MATERIALIZED (SELECT a.u, b.lbl FROM m1 a JOIN m1 b ON a.lbl = b.u),
+        |m2 AS MATERIALIZED (SELECT u, min(lbl) AS lbl FROM (
         |         SELECT u, lbl FROM l1
         |         UNION ALL
         |         SELECT s.v AS u, p.lbl FROM l1 p JOIN sym s ON s.u = p.u)
         |       GROUP BY u),
-        |l2 AS (SELECT a.u, b.lbl FROM m2 a JOIN m2 b ON a.lbl = b.u),
-        |m3 AS (SELECT u, min(lbl) AS lbl FROM (
+        |l2 AS MATERIALIZED (SELECT a.u, b.lbl FROM m2 a JOIN m2 b ON a.lbl = b.u),
+        |m3 AS MATERIALIZED (SELECT u, min(lbl) AS lbl FROM (
         |         SELECT u, lbl FROM l2
         |         UNION ALL
         |         SELECT s.v AS u, p.lbl FROM l2 p JOIN sym s ON s.u = p.u)
         |       GROUP BY u),
-        |l3 AS (SELECT a.u, b.lbl FROM m3 a JOIN m3 b ON a.lbl = b.u),
-        |m4 AS (SELECT u, min(lbl) AS lbl FROM (
+        |l3 AS MATERIALIZED (SELECT a.u, b.lbl FROM m3 a JOIN m3 b ON a.lbl = b.u),
+        |m4 AS MATERIALIZED (SELECT u, min(lbl) AS lbl FROM (
         |         SELECT u, lbl FROM l3
         |         UNION ALL
         |         SELECT s.v AS u, p.lbl FROM l3 p JOIN sym s ON s.u = p.u)
         |       GROUP BY u),
-        |l4 AS (SELECT a.u, b.lbl FROM m4 a JOIN m4 b ON a.lbl = b.u)
+        |l4 AS MATERIALIZED (SELECT a.u, b.lbl FROM m4 a JOIN m4 b ON a.lbl = b.u)
         |SELECT lbl AS component, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM l4 GROUP BY lbl ORDER BY n_nodes DESC, component""".stripMargin,
     // One relaxation run, 3 sources: state rows carry the landmark.

@@ -135,15 +135,15 @@ object Analytics72 {
         |       JOIN deg db ON p.tb = db.event_type
         |ORDER BY ta, tb""".stripMargin,
     "q_graph_ktruss" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem),
-        |e0 AS (SELECT a.pk AS u, b.pk AS v
+        |e0 AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v
         |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
         |       GROUP BY 1, 2 HAVING count(*) >= 2),
-        |s0 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
-        |d0 AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+        |s0 AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |d0 AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS deg
         |       FROM s0 GROUP BY u),
-        |o0 AS (SELECT
+        |o0 AS MATERIALIZED (SELECT
         |  CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END
         |    AS src,
         |  CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END
@@ -153,7 +153,7 @@ object Analytics72 {
         |  FROM (SELECT e.u, e.v, da.deg AS du, db.deg AS dv
         |        FROM e0 e JOIN d0 da ON e.u = da.u
         |                  JOIN d0 db ON e.v = db.u)),
-        |t0 AS (SELECT w.src AS a, w.b, w.c
+        |t0 AS MATERIALIZED (SELECT w.src AS a, w.b, w.c
         |       FROM (SELECT o1.src, o1.dst AS b, o2.dst AS c
         |             FROM o0 o1 JOIN o0 o2 ON o1.src = o2.src
         |             AND (o1.dd < o2.dd
@@ -167,10 +167,10 @@ object Analytics72 {
         |    UNION ALL
         |    SELECT least(b, c), greatest(b, c) FROM t0)
         |  GROUP BY u, v HAVING count(*) >= 2),
-        |s1 AS (SELECT u, v FROM e1 UNION ALL SELECT v, u FROM e1),
-        |d1 AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+        |s1 AS MATERIALIZED (SELECT u, v FROM e1 UNION ALL SELECT v, u FROM e1),
+        |d1 AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS deg
         |       FROM s1 GROUP BY u),
-        |o1 AS (SELECT
+        |o1 AS MATERIALIZED (SELECT
         |  CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END
         |    AS src,
         |  CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END
@@ -180,7 +180,7 @@ object Analytics72 {
         |  FROM (SELECT e.u, e.v, da.deg AS du, db.deg AS dv
         |        FROM e1 e JOIN d1 da ON e.u = da.u
         |                  JOIN d1 db ON e.v = db.u)),
-        |t1 AS (SELECT w.src AS a, w.b, w.c
+        |t1 AS MATERIALIZED (SELECT w.src AS a, w.b, w.c
         |       FROM (SELECT o1.src, o1.dst AS b, o2.dst AS c
         |             FROM o1 JOIN o1 o2 ON o1.src = o2.src
         |             AND (o1.dd < o2.dd

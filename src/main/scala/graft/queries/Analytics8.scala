@@ -176,24 +176,24 @@ object Analytics8 {
         |               * CAST(sy_l24 AS DOUBLE))), 6) AS r_lag24
         |FROM m ORDER BY event_type""".stripMargin,
     "q_graph_kcore" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem),
-        |e0 AS (SELECT a.pk AS u, b.pk AS v
+        |e0 AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v
         |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
         |       GROUP BY 1, 2 HAVING count(*) >= 2),
-        |s0 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
-        |k0 AS (SELECT u FROM s0 GROUP BY u HAVING count(*) >= 3),
-        |e1 AS (SELECT e0.u, e0.v FROM e0
+        |s0 AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |k0 AS MATERIALIZED (SELECT u FROM s0 GROUP BY u HAVING count(*) >= 3),
+        |e1 AS MATERIALIZED (SELECT e0.u, e0.v FROM e0
         |       WHERE e0.u IN (SELECT u FROM k0)
         |         AND e0.v IN (SELECT u FROM k0)),
-        |s1 AS (SELECT u, v FROM e1 UNION ALL SELECT v, u FROM e1),
-        |k1 AS (SELECT u FROM s1 GROUP BY u HAVING count(*) >= 3),
-        |e2 AS (SELECT e1.u, e1.v FROM e1
+        |s1 AS MATERIALIZED (SELECT u, v FROM e1 UNION ALL SELECT v, u FROM e1),
+        |k1 AS MATERIALIZED (SELECT u FROM s1 GROUP BY u HAVING count(*) >= 3),
+        |e2 AS MATERIALIZED (SELECT e1.u, e1.v FROM e1
         |       WHERE e1.u IN (SELECT u FROM k1)
         |         AND e1.v IN (SELECT u FROM k1)),
-        |s2 AS (SELECT u, v FROM e2 UNION ALL SELECT v, u FROM e2),
-        |k2 AS (SELECT u FROM s2 GROUP BY u HAVING count(*) >= 3),
-        |e3 AS (SELECT e2.u, e2.v FROM e2
+        |s2 AS MATERIALIZED (SELECT u, v FROM e2 UNION ALL SELECT v, u FROM e2),
+        |k2 AS MATERIALIZED (SELECT u FROM s2 GROUP BY u HAVING count(*) >= 3),
+        |e3 AS MATERIALIZED (SELECT e2.u, e2.v FROM e2
         |       WHERE e2.u IN (SELECT u FROM k2)
         |         AND e2.v IN (SELECT u FROM k2))
         |SELECT 0 AS round,

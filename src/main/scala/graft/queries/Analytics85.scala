@@ -15,7 +15,7 @@ import Tables._
   *  - q_agg_fisherexact: Fisher's exact test on the 2×2 region ×
   *    account-balance supplier table — the hypergeometric two-sided
   *    p-value computed WITHOUT lgamma (neither engine's libm is
-  *    trusted): a log-factorial table built as a 12dp-rounded DECIMAL
+  *    trusted): a log-factorial table built as a 9dp-rounded DECIMAL
   *    cumulative sum over the bounded 0..n integer grid, so both
   *    engines sum identical lattice values;
   *  - q_agg_moodmedian: Mood's median test across event types — the
@@ -78,7 +78,8 @@ object Analytics85 {
   /** Fisher's exact test (two-sided, "sum of probabilities ≤ observed"
     * convention with the R-style 1e-7 tolerance) on ASIA-supplier ×
     * high-balance. The log-factorial lattice: lf(j) = Σ_{i≤j}
-    * round(ln i, 12) summed in DECIMAL — identical in both engines. */
+    * round(ln i, 9) summed in DECIMAL — identical in both engines
+    * (9dp, not 12 — see the lattice comment below). */
   private def qAggFisherexact(s: SparkSession, d: String): DataFrame = {
     val sup = t(s, d, "supplier")
       .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
@@ -94,11 +95,25 @@ object Analytics85 {
         (col("a") + col("b")).as("r1"), (col("c") + col("dd")).as("r2"),
         (col("a") + col("c")).as("c1"), (col("b") + col("dd")).as("c2"),
         (col("a") + col("b") + col("c") + col("dd")).as("n"))
-    // 12dp ln lattice, cumulative over the bounded 0..n grid
+    // 9dp ln lattice, cumulative over the bounded 0..n grid. 9dp, not
+    // 12dp (r14 sf0.1 finding): round(ln i, L) is a cross-engine
+    // LOTTERY when JVM Math.log and libm log disagree by an ulp near a
+    // 10^-L boundary — at 12dp the per-entry hit probability is ~1e-3
+    // and the ~4,700 lattice draws at sf0.1 virtually guarantee a
+    // divergent entry (observed: p_observed flipped a 6dp boundary);
+    // at 9dp the boundary is 1000x wider and the whole-run odds drop
+    // to ~1e-2 percent.
+    // DECIMAL(20,9), not (30,9): the window sum promotes to (30,9)
+    // and the 9-term lp chain then grows one precision digit per
+    // addition, topping out at EXACTLY (38,9) — a (30,9) ladder summed
+    // to (38,9) would push the chain to precision 39, where Spark's
+    // allowPrecisionLoss silently trims lp to scale 6 while DuckDB
+    // keeps scale 9 (r14 sf0.1 finding: every term's lp differed at
+    // the 7th decimal). 20 digits hold lf up to ~1e10-row margins.
     val lf = cts.select(explode(expr("sequence(0L, n)")).as("j"))
       .withColumn("lnj", when(col("j") > 0,
-        expr("CAST(ROUND(ln(CAST(j AS DOUBLE)), 12) AS DECIMAL(30,12))"))
-        .otherwise(lit(0).cast("decimal(30,12)")))
+        expr("CAST(ROUND(ln(CAST(j AS DOUBLE)), 9) AS DECIMAL(20,9))"))
+        .otherwise(lit(0).cast("decimal(20,9)")))
       .withColumn("lf", sum(col("lnj")).over(Window.orderBy(col("j"))
         .rowsBetween(Window.unboundedPreceding, 0)))
       .select(col("j"), col("lf"))
@@ -128,14 +143,19 @@ object Analytics85 {
       .select(col("a"), col("k"), col("lp"), col("lp_obs"))
       .agg(
         max(when(col("k") === col("a"),
-          expr("CAST(ROUND(exp(CAST(lp AS DOUBLE)), 12)" +
-            " AS DECIMAL(18,12))"))).as("p_obs"),
+          expr("CAST(ROUND(exp(CAST(lp AS DOUBLE)), 9)" +
+            " AS DECIMAL(18,9))"))).as("p_obs"),
         sum(when(col("lp") <= col("lp_obs")
-            + lit("0.0000001").cast("decimal(30,12)"),
-          expr("CAST(ROUND(exp(CAST(lp AS DOUBLE)), 12)" +
-            " AS DECIMAL(18,12))"))).as("p2"))
-      .select(round(dbl(col("p_obs")), 6).as("p_observed_table"),
-        round(dbl(least(col("p2"), lit(1.0))), 6).as("p_two_sided"))
+            + lit("0.0000001").cast("decimal(30,9)"),
+          expr("CAST(ROUND(exp(CAST(lp AS DOUBLE)), 9)" +
+            " AS DECIMAL(18,9))"))).as("p2"))
+      // final 6dp round in DECIMAL, then cast out: the sf0.1 two-sided
+      // sum lands EXACTLY on a 6dp midpoint (…7500000), where
+      // round-via-double splits engines (Spark shortest-repr HALF_UP
+      // vs DuckDB multiply-rint); decimal ROUND is half-up on both
+      .select(dbl(round(col("p_obs"), 6)).as("p_observed_table"),
+        dbl(round(least(col("p2"), lit(1.0).cast("decimal(18,9)")), 6))
+          .as("p_two_sided"))
   }
 
   /** Mood's median test: do event types share a common median value?
@@ -280,6 +300,10 @@ object Analytics85 {
          |FROM b ORDER BY l_returnflag""".stripMargin
     },
     "q_agg_fisherexact" ->
+      // the ladder is MATERIALIZED and joined via precomputed index
+      // columns: DuckDB 1.0 planned the original 9-way lf self-join as
+      // nested loops (50+ min at sf0.1, uninterruptible); this shape
+      // hash-joins in ~1 s with identical semantics
       """WITH s2 AS (
         |  SELECT CASE WHEN r_name = 'ASIA' THEN 1 ELSE 0 END AS e,
         |    CASE WHEN s_acctbal > 5000.0 THEN 1 ELSE 0 END AS o
@@ -293,38 +317,48 @@ object Analytics85 {
         |          CAST(sum((1 - e) * o) AS BIGINT) AS c,
         |          CAST(sum((1 - e) * (1 - o)) AS BIGINT) AS dd
         |        FROM s2)),
-        |lf AS (
+        |lf AS MATERIALIZED (
         |  SELECT j, sum(CASE WHEN j > 0 THEN
-        |      CAST(ROUND(ln(CAST(j AS DOUBLE)), 12) AS DECIMAL(30,12))
-        |      ELSE CAST(0 AS DECIMAL(30,12)) END)
+        |      CAST(ROUND(ln(CAST(j AS DOUBLE)), 9) AS DECIMAL(20,9))
+        |      ELSE CAST(0 AS DECIMAL(20,9)) END)
         |    OVER (ORDER BY j ROWS UNBOUNDED PRECEDING) AS lf
         |  FROM (SELECT unnest(generate_series(0, (SELECT n FROM cts)))
         |          AS j)),
-        |cand AS (
-        |  SELECT cts.a, k.k,
-        |    lfr1.lf + lfr2.lf + lfc1.lf + lfc2.lf - lfn.lf
-        |      - lk.lf - lr1k.lf - lc1k.lf - lrest.lf AS lp
-        |  FROM cts,
+        |konst AS MATERIALIZED (
+        |  SELECT cts.a,
+        |    (SELECT lf FROM lf WHERE j = cts.r1)
+        |    + (SELECT lf FROM lf WHERE j = cts.r2)
+        |    + (SELECT lf FROM lf WHERE j = cts.c1)
+        |    + (SELECT lf FROM lf WHERE j = cts.c2)
+        |    - (SELECT lf FROM lf WHERE j = cts.n) AS base,
+        |    cts.r1, cts.c1, cts.n
+        |  FROM cts),
+        |ks AS MATERIALIZED (
+        |  SELECT k.k, konst.a, konst.base,
+        |    konst.r1 - k.k AS j1, konst.c1 - k.k AS j2,
+        |    konst.n - konst.r1 - konst.c1 + k.k AS j3
+        |  FROM konst,
         |    (SELECT unnest(generate_series(
         |       greatest(0, (SELECT r1 + c1 - n FROM cts)),
         |       least((SELECT r1 FROM cts), (SELECT c1 FROM cts)))) AS k)
-        |      AS k,
-        |    lf lk, lf lr1k, lf lc1k, lf lrest,
-        |    lf lfr1, lf lfr2, lf lfc1, lf lfc2, lf lfn
-        |  WHERE lk.j = k.k AND lr1k.j = cts.r1 - k.k
-        |    AND lc1k.j = cts.c1 - k.k
-        |    AND lrest.j = cts.n - cts.r1 - cts.c1 + k.k
-        |    AND lfr1.j = cts.r1 AND lfr2.j = cts.r2
-        |    AND lfc1.j = cts.c1 AND lfc2.j = cts.c2 AND lfn.j = cts.n),
+        |      AS k),
+        |cand AS (
+        |  SELECT ks.a, ks.k,
+        |    ks.base - lk.lf - l1.lf - l2.lf - l3.lf AS lp
+        |  FROM ks
+        |  JOIN lf lk ON lk.j = ks.k
+        |  JOIN lf l1 ON l1.j = ks.j1
+        |  JOIN lf l2 ON l2.j = ks.j2
+        |  JOIN lf l3 ON l3.j = ks.j3),
         |obs AS (SELECT lp AS lp_obs FROM cand WHERE k = a)
         |SELECT
-        |  ROUND(CAST(max(CASE WHEN k = a THEN
-        |    CAST(ROUND(exp(CAST(lp AS DOUBLE)), 12) AS DECIMAL(18,12))
-        |    END) AS DOUBLE), 6) AS p_observed_table,
-        |  ROUND(CAST(least(sum(CASE WHEN lp <= lp_obs
-        |      + CAST('0.0000001' AS DECIMAL(30,12)) THEN
-        |    CAST(ROUND(exp(CAST(lp AS DOUBLE)), 12) AS DECIMAL(18,12))
-        |    END), CAST(1.0 AS DECIMAL(18,12))) AS DOUBLE), 6)
+        |  CAST(ROUND(max(CASE WHEN k = a THEN
+        |    CAST(ROUND(exp(CAST(lp AS DOUBLE)), 9) AS DECIMAL(18,9))
+        |    END), 6) AS DOUBLE) AS p_observed_table,
+        |  CAST(ROUND(least(sum(CASE WHEN lp <= lp_obs
+        |      + CAST('0.0000001' AS DECIMAL(30,9)) THEN
+        |    CAST(ROUND(exp(CAST(lp AS DOUBLE)), 9) AS DECIMAL(18,9))
+        |    END), CAST(1.0 AS DECIMAL(18,9))), 6) AS DOUBLE)
         |    AS p_two_sided
         |FROM cand, obs""".stripMargin,
     "q_agg_moodmedian" ->
