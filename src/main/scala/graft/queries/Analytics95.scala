@@ -160,9 +160,15 @@ object Analytics95 {
       .select(col("n"), col("n0"), (col("n") - col("n0")).as("n1"),
         expr(ssr("n", "psx", "psy", "psxy", "psxx", "psyy")).as("ssrp"),
         col("ssr0"), col("ssr1"))
+      // SSRs reported in BILLIONS of dollars-squared: the raw sums sit
+      // at ~5e14 where the two engines' (exact-)decimal->double
+      // conversions legitimately differ by a few ulps (Spark's
+      // BigDecimal conversion is correctly rounded, DuckDB's
+      // int128 path is not) — the /1e9 gives a ~4.5e-10 relative
+      // margin at the 6dp report lattice; F, a ratio, is insensitive
       .select(col("n"), col("n0"), col("n1"),
-        round(col("ssrp"), 4).as("ssr_pooled"),
-        round(col("ssr0") + col("ssr1"), 4).as("ssr_split"),
+        round(col("ssrp") / 1.0e9, 6).as("ssr_pooled_bn"),
+        round((col("ssr0") + col("ssr1")) / 1.0e9, 6).as("ssr_split_bn"),
         when(col("ssr0") + col("ssr1") > 0 && col("n") > 4,
           round(((col("ssrp") - col("ssr0") - col("ssr1")) / lit(2.0))
             / ((col("ssr0") + col("ssr1"))
@@ -375,8 +381,9 @@ object Analytics95 {
         |     / 10000.0 END) AS ssrp,
         |    ssr0, ssr1
         |  FROM agg)
-        |SELECT n, n0, n1, ROUND(ssrp, 4) AS ssr_pooled,
-        |  ROUND(ssr0 + ssr1, 4) AS ssr_split,
+        |SELECT n, n0, n1,
+        |  ROUND(ssrp / 1.0e9, 6) AS ssr_pooled_bn,
+        |  ROUND((ssr0 + ssr1) / 1.0e9, 6) AS ssr_split_bn,
         |  CASE WHEN ssr0 + ssr1 > 0 AND n > 4 THEN
         |    ROUND(((ssrp - ssr0 - ssr1) / 2.0)
         |      / ((ssr0 + ssr1) / (CAST(n AS DOUBLE) - 4.0)), 6) END
