@@ -136,6 +136,9 @@ object SparkEntry {
     (Analytics93.defs, Analytics93.sql),
     (Analytics94.defs, Analytics94.sql),
     (Analytics95.defs, Analytics95.sql),
+    (Analytics96.defs, Analytics96.sql),
+    (Analytics97.defs, Analytics97.sql),
+    (Analytics98.defs, Analytics98.sql),
     (LlmText14.defs, LlmText14.sql),
     (LlmText15.defs, LlmText15.sql),
     (LlmText10.defs, LlmText10.sql),

@@ -90,6 +90,15 @@ class WindowAuditSpec extends AnyFunSuite {
     // r14: cumulative-revenue line over the per-customer aggregate
     // (customer-universe-bounded, the Lorenz shape)
     "q_sample_systematic",
+    // r14: prefix sums over the ≤50-point quantity grid (minimax
+    // isotonic closed form)
+    "q_agg_isotonic",
+    // r14: forward window stats + row_number over the calendar-bounded
+    // daily click grid (motif / Yule-Walker)
+    "q_time_motif", "q_time_yulewalker",
+    // r14: nearest-control scan over the user-universe-bounded
+    // propensity score line
+    "q_agg_psmatch",
   )
 
   test("every partition-less Window rides a whitelisted bounded input") {
