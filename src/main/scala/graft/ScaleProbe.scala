@@ -212,7 +212,10 @@ object ScaleProbe {
       val ids = Seq("q_graph_cc", "q_graph_cc_fixpoint", "q_graph_pagerank",
         "q_graph_pagerank_fixpoint", "q_graph_kcore", "q_graph_coredecomp",
         "q_graph_hits", "q_agg_ntile", "q_dedup_eval", "q_text_bpe_train",
-        "q_text_langid_ngram", "q_dedup_substring")
+        "q_text_langid_ngram", "q_dedup_substring",
+        // r14: broadcast-grid KDE and hash-inclusion HT ride the ×10
+        // orders replication (both are one customer/order-keyed scan)
+        "q_agg_kde", "q_sample_ht")
       def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
       val rows = ids.map { id =>
         def run(d: String): (Double, Long) = {
@@ -427,7 +430,12 @@ object ScaleProbe {
           // calibration, one-scan fits/tests, horizon-decay
           "q_agg_dunn", "q_agg_hosmer", "q_agg_gammafit",
           "q_agg_ratetest", "q_agg_confusion", "q_agg_logloss",
-          "q_agg_sprt", "q_agg_decay")
+          "q_agg_sprt", "q_agg_decay",
+          // r14: user-keyed causal estimators (strata stay bounded,
+          // the score line grows with users), one-broadcast robust
+          // location, day-grid series mining
+          "q_agg_ipw", "q_agg_psmatch", "q_agg_huber",
+          "q_time_motif", "q_time_yulewalker")
       else if (mode == "lineitem")
         Seq("q_graph_sssp", "q_graph_sssp_tree", "q_agg_tdigest",
           "q_agg_tdigest_rollup",
@@ -447,7 +455,11 @@ object ScaleProbe {
           // r13 late waves: one-scan cross-moment diagnostics,
           // degree-grid hub-cut quality
           "q_agg_corrmatrix", "q_agg_vif", "q_agg_mahalanobis",
-          "q_graph_conductance")
+          "q_graph_conductance",
+          // r14: one-scan regression family (moments only) + the
+          // quantity-grid minimax isotonic fit
+          "q_agg_isotonic", "q_agg_logistic", "q_agg_ridge",
+          "q_agg_sobel", "q_agg_ancova", "q_agg_wls")
       else
         Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
           "q_dedup_ngram", "q_dedup_span", "q_dedup_url", "q_text_ngrams",
@@ -471,7 +483,9 @@ object ScaleProbe {
           // r13: map-only char-class screen; 1/cluster-size reweighting
           "q_text_scriptmix", "q_dedup_softweight",
           // r13 late wave: source-bounded importance-weight ESS
-          "q_sample_ess")
+          "q_sample_ess",
+          // r14: sources×30-grid stylometry over one token-count scan
+          "q_text_burrows")
     val times = ops.map { id =>
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(id)(spark, probeDir).count()

@@ -139,6 +139,7 @@ object SparkEntry {
     (Analytics96.defs, Analytics96.sql),
     (Analytics97.defs, Analytics97.sql),
     (Analytics98.defs, Analytics98.sql),
+    (Analytics99.defs, Analytics99.sql),
     (LlmText14.defs, LlmText14.sql),
     (LlmText15.defs, LlmText15.sql),
     (LlmText10.defs, LlmText10.sql),

@@ -99,6 +99,8 @@ class WindowAuditSpec extends AnyFunSuite {
     // r14: nearest-control scan over the user-universe-bounded
     // propensity score line
     "q_agg_psmatch",
+    // r14: CDF cumsums over the value-lattice-bounded support grid
+    "q_agg_wasserstein",
   )
 
   test("every partition-less Window rides a whitelisted bounded input") {
