@@ -79,6 +79,11 @@ object ExplainDump {
     "q_graph_katz",        // exact BIGINT walk-count messages (r13)
     "q_agg_fisherexact",   // broadcast ln-lattice joins, margin grid (r13)
     "q_embed_cka",         // 16-dim explode → 256-cell moment grid (r13)
+    "q_agg_psmatch",       // O(n) running score-line windows, no pairs (r14)
+    "q_agg_isotonic",      // ≤50-point grid cover join, scale-invariant (r14)
+    "q_agg_wasserstein",   // value-lattice CDF cumsums, 12dp segments (r14)
+    "q_agg_assocrules",    // materialized pairs + broadcast marginals (r14)
+    "q_agg_kde",           // broadcast 21-row grid, map-only kernel (r14)
   )
 
   def main(args: Array[String]): Unit = {
