@@ -116,6 +116,17 @@ object ScaleProbe {
           case ((a, _, r), t0) => ((a, r), t0)
         }
       val nH = ah.count()
+      // r14 late wave: sync-LPA with the cycle detector on the same
+      // densified weighted graph (cn weights from the probe pairs)
+      val wsym = graft.queries.Tables.coPairCounts(spark, probeDir)
+        .filter(col("cn") >= 2)
+      val wsymBoth = wsym.select(col("u"), col("v"), col("cn"))
+        .union(wsym.select(col("v").as("u"), col("u").as("v"), col("cn")))
+      val ((lpl, rL, cycL), sL) =
+        time(graft.queries.Analytics100.labelpropFixpoint(wsymBoth)) match {
+          case ((l, r, c), t0) => ((l, r, c), t0)
+        }
+      val nL = lpl.select(col("lbl")).distinct().count()
       def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
       println(s"""{"probe":"truss","factor":$factor,"n_edges":$nEdges,""" +
         s""""recount":{"sec":${f(sR)},"rounds":$rR,"edges":$nR},""" +
@@ -124,7 +135,9 @@ object ScaleProbe {
         s""""eigen_fixpoint":{"sec":${f(sE)},"rounds":$rE,"nodes":$nE},""" +
         s""""katz_adaptive":{"sec":${f(sK)},"rounds":$rK,"dmax":$kd,""" +
         s""""nodes":$nK},""" +
-        s""""hits_fixpoint":{"sec":${f(sH)},"rounds":$rH,"auths":$nH}}""")
+        s""""hits_fixpoint":{"sec":${f(sH)},"rounds":$rH,"auths":$nH},""" +
+        s""""labelprop_fixpoint":{"sec":${f(sL)},"rounds":$rL,""" +
+        s""""cycled":$cycL,"communities":$nL}}""")
       spark.stop()
       return
     }

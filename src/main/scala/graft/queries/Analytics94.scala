@@ -85,16 +85,24 @@ object Analytics94 {
       val nbr = e.join(r.select(col("u"), col("r")), "u")
         .groupBy(col("v")).agg(sum(col("r")).as("ns"))
         .select(col("v").as("u"), col("ns"))
+      // checkpoint the message table FIRST, then broadcast the 1-row
+      // max OFF THE CHECKPOINT — the original form broadcast an
+      // aggregate of the un-materialized plan, re-running the whole
+      // join+agg a second time per round (the r14 bench caught it at
+      // 18.5 s). NOT a driver-literal division: a per-round literal
+      // changes the generated code's source every round and forces a
+      // janino recompile per stage (measured SLOWER than the double
+      // compute); the crossJoin keeps one stable codegen shape
       val m = r.select(col("u"), col("r").as("pr"))
         .join(nbr, Seq("u"), "left")
         .select(col("u"), col("pr"),
           (coalesce(col("ns"), lit(0L)) +
             (if (shift) col("pr") else lit(0L))).as("s"))
+        .localCheckpoint(true)
       val mx = m.agg(max(col("s")).as("mx"))
       r = m.crossJoin(broadcast(mx))
         .select(col("u"), expr("(s * 1000000L) div mx").as("r"),
           col("pr"))
-        .localCheckpoint(true)
       rounds += 1
       // ONE 1-row aggregate over node-sized checkpointed state:
       // mean normalized movement < tol (n-scaled stopping rule)
@@ -133,19 +141,22 @@ object Analytics94 {
     var rounds = 0
     var converged = nAuth == 0L
     while (!converged && rounds < maxRounds) {
+      // same pattern as eigenFixpoint: checkpoint each half-round's
+      // message table ONCE, broadcast its max OFF THE CHECKPOINT
+      // (stable codegen shape — see the eigen comment)
       val as = e.join(h, "c").groupBy(col("p")).agg(sum(col("h")).as("s"))
+        .join(a.select(col("p"), col("a").as("pa")), "p")
+        .localCheckpoint(true)
       val amx = as.agg(max(col("s")).as("mx"))
       val aNew = as.crossJoin(broadcast(amx))
-        .select(col("p"), expr("(s * 1000000L) div mx").as("a"))
-        .join(a.select(col("p"), col("a").as("pa")), "p")
-        .select(col("p"), col("a"), col("pa"))
-        .localCheckpoint(true)
+        .select(col("p"), expr("(s * 1000000L) div mx").as("a"),
+          col("pa"))
       val hs = e.join(aNew.select(col("p"), col("a")), "p")
         .groupBy(col("c")).agg(sum(col("a")).as("s"))
+        .localCheckpoint(true)
       val hmx = hs.agg(max(col("s")).as("mx"))
       h = hs.crossJoin(broadcast(hmx))
         .select(col("c"), expr("(s * 1000000L) div mx").as("h"))
-        .localCheckpoint(true)
       rounds += 1
       val l1 = aNew.agg(sum(abs(col("a") - col("pa"))).as("d"))
         .head.getLong(0)
