@@ -143,8 +143,11 @@ object Analytics96 {
   private def qAggIsotonic(s: SparkSession, d: String): DataFrame = {
     val g = t(s, d, "lineitem")
       .select(expr("CAST(l_quantity AS BIGINT)").as("q"),
-        expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100" +
-          " AS BIGINT)").as("cents"))
+        // cents ride DECIMAL so the per-grid-point sum can't hit the
+        // BIGINT wrap at extreme volume (Spark ANSI throws where
+        // DuckDB HUGEINTs — the kruskal-bound class, widened away)
+        expr("CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100" +
+          " AS BIGINT) AS DECIMAL(19,0))").as("cents"))
       .groupBy(col("q"))
       .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sy"))
     g.join(isotonicFit(g), col("q") === col("i"))

@@ -77,7 +77,13 @@ object Analytics97 {
     val st = ser
       .withColumn("cw", count(lit(1)).over(wFwd))
       .withColumn("sv", sum(col("v")).over(wFwd))
-      .withColumn("sv2", sum(col("v") * col("v")).over(wFwd))
+      // v² rides DECIMAL(19,0)² → (38,0): daily counts at corpus scale
+      // can pass 2³¹·5 where BIGINT v·v wraps silently (DuckDB's
+      // HUGEINT sum is already exact, so this also keeps the engines
+      // aligned at volume)
+      .withColumn("sv2", sum(expr(
+        "CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))"))
+        .over(wFwd))
       .filter(col("cw") === W)
       .select(col("t").as("a"), col("sv"), col("sv2"),
         (col("sv").cast("double") / lit(W.toDouble)).as("mu"),
@@ -90,7 +96,10 @@ object Analytics97 {
       .join(ser.select(col("t").as("t2"), col("v").as("v2")),
         col("t2") > col("t"))
       .select(col("t"), (col("t2") - col("t")).as("lag"),
-        (col("v") * col("v2")).as("p"))
+        // same DECIMAL width as sv2 — cross products hit the same
+        // BIGINT wrap bound
+        expr("CAST(v AS DECIMAL(19,0)) * CAST(v2 AS DECIMAL(19,0))")
+          .as("p"))
     val wLag = Window.partitionBy(col("lag")).orderBy(col("t"))
       .rowsBetween(Window.currentRow, W - 1)
     val cross = prod
