@@ -101,6 +101,10 @@ class WindowAuditSpec extends AnyFunSuite {
     "q_agg_psmatch",
     // r14: CDF cumsums over the value-lattice-bounded support grid
     "q_agg_wasserstein",
+    // r14: criterion ranks over the supplier-universe-bounded
+    // aggregate (the rfm precedent); copeland consumes the
+    // checkpointed 20-row slate
+    "q_win_borda", "q_win_copeland",
   )
 
   test("every partition-less Window rides a whitelisted bounded input") {
