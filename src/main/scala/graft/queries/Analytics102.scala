@@ -49,7 +49,14 @@ object Analytics102 {
       .agg(sum(col("cents")).as("rev"), count(lit(1)).as("vol"),
         countDistinct(col("l_partkey")).as("brd"))
 
-  /** Criterion table + the three deterministic rank columns. */
+  /** Criterion table + the three deterministic rank columns.
+    *
+    * The three partition-less windows below are single-partition sorts,
+    * but over the SUPPLIER UNIVERSE (a dimension table: the lineitem
+    * fact stream has already collapsed to one row per supplier in
+    * `criteria`), not the fact data — the same bounded-input contract
+    * kruskal/dunn document for their lattices. At 100× fact volume the
+    * sorted set does not grow. */
   private def ranked(s: SparkSession, d: String): DataFrame = {
     val c = criteria(s, d)
     c.withColumn("r_rev", row_number().over(

@@ -78,9 +78,10 @@ object Analytics97 {
       .withColumn("cw", count(lit(1)).over(wFwd))
       .withColumn("sv", sum(col("v")).over(wFwd))
       // v² rides DECIMAL(19,0)² → (38,0): daily counts at corpus scale
-      // can pass 2³¹·5 where BIGINT v·v wraps silently (DuckDB's
-      // HUGEINT sum is already exact, so this also keeps the engines
-      // aligned at volume)
+      // can pass 2³¹·5 where BIGINT v·v wraps silently; the oracle SQL
+      // casts its products to HUGEINT for the same headroom (a plain
+      // BIGINT product there ERRORS at that magnitude in DuckDB rather
+      // than wrapping — ADVICE r14)
       .withColumn("sv2", sum(expr(
         "CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))"))
         .over(wFwd))
@@ -301,7 +302,7 @@ object Analytics97 {
         |  SELECT t AS a,
         |    count(*) OVER w AS cw,
         |    sum(v) OVER w AS sv,
-        |    sum(v * v) OVER w AS sv2
+        |    sum(CAST(v AS HUGEINT) * v) OVER w AS sv2
         |  FROM ser
         |  WINDOW w AS (ORDER BY t
         |    ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)),
@@ -312,7 +313,7 @@ object Analytics97 {
         |      AS sd
         |  FROM st WHERE cw = 7),
         |prod AS (
-        |  SELECT s1.t AS t, s2.t - s1.t AS lag, s1.v * s2.v AS p
+        |  SELECT s1.t AS t, s2.t - s1.t AS lag, CAST(s1.v AS HUGEINT) * s2.v AS p
         |  FROM ser s1 JOIN ser s2 ON s2.t > s1.t),
         |cr AS (
         |  SELECT t AS a, lag,

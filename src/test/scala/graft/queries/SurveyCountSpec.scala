@@ -33,6 +33,35 @@ class SurveyCountSpec extends AnyFunSuite {
         s"${SparkEntry.oracleSql.size} ids — update the COUNTS marker")
   }
 
+  /** ADVICE r14: the q_embed_drift SURVEY row was accidentally renamed to
+    * q_embed_drift_label, leaving a duplicate row and an undocumented live
+    * id — and the counts-only check passed. This test makes the SURVEY §2
+    * table's id SET (first table cell, grouped rows split on '/') equal
+    * `SparkEntry.queries.keySet`: no duplicates, no orphans, no
+    * undocumented ids. */
+  test("SURVEY.md table ids match SparkEntry.queries exactly") {
+    val rowId = """^\|\s*(q_[a-z0-9_/ ]+?)\s*\|""".r
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
+    val tableIds = lines.flatMap { l =>
+      rowId.findFirstMatchIn(l).toSeq.flatMap(
+        _.group(1).split('/').map(_.trim).filter(_.nonEmpty))
+    }
+    val dupes = tableIds.groupBy(identity).collect {
+      case (id, hits) if hits.size > 1 => s"$id×${hits.size}"
+    }
+    assert(dupes.isEmpty,
+      s"SURVEY.md documents these ids more than once: ${dupes.mkString(", ")}")
+    val documented = tableIds.toSet
+    val undocumented = SparkEntry.queries.keySet -- documented
+    val orphaned = documented -- SparkEntry.queries.keySet
+    assert(undocumented.isEmpty,
+      s"live query ids with no SURVEY §2 row: ${undocumented.toSeq.sorted}")
+    assert(orphaned.isEmpty,
+      s"SURVEY §2 rows naming ids that no longer exist: ${orphaned.toSeq.sorted}")
+  }
+
   test("every oracle id is a declared query id") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracleSql ids with no queries entry: $orphans")
