@@ -104,10 +104,57 @@ class AvroContainerSource extends TableProvider with DataSourceRegister {
     // explicit user opt-out of evolution awareness and keeps its
     // declared nullability.
     val sampled = mergeMode != "first" && structs.length < ps.length
+    // Rename evolution (Avro-spec `aliases`): a later generation that
+    // declares `{"name": "new", "aliases": ["old"]}` means earlier
+    // files' `old` IS this column — merge them under the new name
+    // instead of surfacing two half-null columns. Alias declarations
+    // ride StructField metadata (SchemaConverter.AliasesKey). Chained
+    // renames (a→b in gen-2, b→c in gen-3) resolve transitively.
+    val aliasTo = scala.collection.mutable.Map.empty[String, String]
+    structs.foreach(_.fields.foreach { f =>
+      SchemaConverter.aliasesOf(f).foreach { a =>
+        aliasTo.get(a) match {
+          case Some(c) if c != f.name => throw new IllegalArgumentException(
+            s"ambiguous avro alias '$a': declared by both '$c' and " +
+              s"'${f.name}' — rename evolution cannot pick a target")
+          case _ => aliasTo(a) = f.name
+        }
+      }
+    })
+    def canon(n: String): String = {
+      var cur = n; var hops = 0
+      while (aliasTo.contains(cur) && aliasTo(cur) != cur && hops < 32) {
+        cur = aliasTo(cur); hops += 1
+      }
+      if (hops >= 32) throw new IllegalArgumentException(
+        s"avro alias chain from '$n' does not terminate (cycle?)")
+      cur
+    }
+    val canonStructs =
+      if (aliasTo.isEmpty) structs
+      else structs.map { st =>
+        val live = st.fieldNames.toSet
+        StructType(st.fields.map { f =>
+          val c = canon(f.name)
+          if (c == f.name) f
+          else if (live.contains(c)) throw new IllegalArgumentException(
+            s"avro alias resolution is ambiguous: generation carries BOTH " +
+              s"'${f.name}' and its rename target '$c' as live fields")
+          else f.copy(name = c)
+        })
+      }
+    // every name that resolves INTO a canonical field (including chain
+    // intermediates) must survive on the merged field's metadata — the
+    // per-file decoder resolves writer fields through exactly this list
+    val aliasesByCanon: Map[String, Seq[String]] =
+      aliasTo.keys.toSeq.groupBy(canon).map { case (c, as) =>
+        c -> (as ++ aliasTo.values.filter(v => v != c && canon(v) == c))
+          .distinct.sorted
+      }
     val record = {
       val order = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
       val seenIn = scala.collection.mutable.Map.empty[String, Int]
-      structs.foreach(_.fields.foreach { f =>
+      canonStructs.foreach(_.fields.foreach { f =>
         seenIn(f.name) = seenIn.getOrElse(f.name, 0) + 1
         order.get(f.name) match {
           case None => order(f.name) = f
@@ -134,10 +181,20 @@ class AvroContainerSource extends TableProvider with DataSourceRegister {
       // (null-fills there), or sampling skipped headers entirely and an
       // UNSAMPLED generation may lack it (the same null-fill, invisible
       // to this merge).
-      StructType(order.values.toSeq.map(f =>
+      StructType(order.values.toSeq.map { f0 =>
+        // the decoder resolves every generation through the merged
+        // field's alias list — re-attach the full (transitive) set even
+        // when the first-seen copy was an alias-renamed field with no
+        // metadata of its own
+        val f = aliasesByCanon.get(f0.name) match {
+          case Some(as) => f0.copy(metadata =
+            SchemaConverter.aliasMetadata(as))
+          case None => f0
+        }
         if (sampled) AvroContainerSource.deepNullable(f)
-        else if (seenIn(f.name) < structs.length) f.copy(nullable = true)
-        else f))
+        else if (seenIn(f.name) < canonStructs.length) f.copy(nullable = true)
+        else f
+      })
     }
     // hivepartitions=true: surface k=v path segments as string columns
     // (the reference's production layout is date-partitioned avro,
@@ -708,14 +765,22 @@ class AvroPartitionReader(part: AvroFilePartition, required: StructType,
   // precedence per required field: decoded record field if the writer
   // schema has it (a record field shadowing a path key wins — matches
   // inferSchema's dedup), else hive path constant, else evolution null
+  // Field lookup is name-then-alias (SchemaConverter.resolveField):
+  // rename evolution means a required field can live in this file's
+  // writer schema under a FORMER name carried by the field's
+  // `avro.aliases` metadata.
+  private def writerField(f: StructField): Schema.Field =
+    SchemaConverter.resolveField(reader.getSchema, f)
   private val availableStruct = StructType(required.fields
-    .filter(f => reader.getSchema.getField(f.name) != null))
-  // Reader-schema projection = column pruning inside the decoder.
+    .filter(f => writerField(f) != null))
+  // Reader-schema projection = column pruning inside the decoder —
+  // pruned by the WRITER-side names (an alias-resolved field keeps its
+  // old name inside this file).
   private val projected: Schema =
     if (availableStruct.fieldNames.length == reader.getSchema.getFields.size())
       reader.getSchema
     else SchemaConverter.prune(reader.getSchema,
-      availableStruct.fieldNames.toSeq)
+      availableStruct.fields.map(f => writerField(f).name).toSeq)
   datumReader.setExpected(projected)
   private val convert = AvroDatum.rowReader(projected, availableStruct)
   // required index → availableStruct index (-1 = constant: partition
@@ -723,7 +788,7 @@ class AvroPartitionReader(part: AvroFilePartition, required: StructType,
   private val recIdx: Array[Int] = {
     var j = 0
     required.fields.map { f =>
-      if (reader.getSchema.getField(f.name) == null) -1
+      if (writerField(f) == null) -1
       else { val i = j; j += 1; i }
     }
   }

@@ -136,9 +136,11 @@ object AvroDatum {
         // pos -1 = nested evolution null-fill: the requested (merged)
         // struct carries a field this file's writer schema lacks — the
         // same add-column semantics the top-level assemble() applies,
-        // recursed into nested records.
+        // recursed into nested records. Lookup is name-then-alias
+        // (SchemaConverter.resolveField): a field RENAMED by a later
+        // generation decodes old files' values under its new name.
         val fieldConvs: Array[(Int, Conv)] = st.fields.map { f =>
-          val af = s.getField(f.name)
+          val af = SchemaConverter.resolveField(s, f)
           if (af == null) (-1, null: Conv)
           else (af.pos(), reader(af.schema(), f.dataType))
         }

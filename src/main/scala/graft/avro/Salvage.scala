@@ -202,6 +202,110 @@ object Salvage {
           s"${e.getClass.getSimpleName}: ${e.getMessage}")
     } finally in.close()
   }
+  /** Header-corruption salvage (opt-in via the pipeline's `borrowSchema`):
+    * when THIS file's header is unreadable (the taxonomy's `bad_header` /
+    * `bad_schema` classes — terminal for avro-tools and the reference
+    * alike, `repair-avro.ts:63-64`), reconstruct a header from a sibling
+    * container's schema+codec and re-run the normal block-salvage loop.
+    *
+    * Two structural facts make this sound without guesswork:
+    *  - a container's random 16-byte sync marker is repeated after EVERY
+    *    block and is the last 16 bytes of any cleanly-closed file — so a
+    *    corrupt-header/intact-tail file still reveals its own marker;
+    *  - blocks begin immediately after a marker occurrence, so decode can
+    *    resume at the FIRST marker found in the file (the header's own
+    *    sync when it survived, else the first block boundary). A chance
+    *    payload collision just fails decode and resyncs forward, exactly
+    *    as in [[salvage]].
+    *
+    * The donor schema is an assumption, not knowledge: a wrong donor
+    * (different generation/codec) makes block decode fail everywhere and
+    * the result degrades to 0-recovered `unrepairable` — never silently
+    * wrong output UNLESS the donor schema is decode-compatible but
+    * semantically different, which same-directory donor selection (the
+    * pipeline picks siblings of the same partition) makes unlikely; the
+    * report row carries the donor path for audit. */
+  def salvageBorrowed(fs: FileSystem, path: Path, donorSchema: Schema,
+      donorCodec: String, out: Option[Path],
+      mode: String = "all"): SalvageResult = {
+    val len = try fs.getFileStatus(path).getLen catch {
+      case e: Exception => return SalvageResult("unrepairable", 0L, 0L,
+        s"stat: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+    // magic(4) + shortest metadata + sync(16) already exceeds this; a
+    // shorter file cannot carry the header sync AND a block boundary
+    if (len < 48) return SalvageResult("unrepairable", 0L, 0L,
+      "borrow: too short to carry a recoverable block")
+    val marker = new Array[Byte](16)
+    val tailIn = fs.open(path)
+    try tailIn.readFully(len - 16, marker) finally tailIn.close()
+    val firstSync = findFirstMarker(fs, path, len, marker)
+    if (firstSync < 0L || firstSync + 16 >= len)
+      return SalvageResult("unrepairable", 0L, 0L,
+        "borrow: no block boundary before the trailing marker " +
+          "(tail truncated too, or single corrupt region spans the file)")
+    val synth = new Path(path.getParent,
+      s".borrow-${path.getName}-${java.util.UUID.randomUUID()}")
+    try {
+      // donor header with THIS file's sync marker, then the original's
+      // block region verbatim — the result is a container the standard
+      // decode-or-resync loop already knows how to chew through
+      val hdr = new java.io.ByteArrayOutputStream()
+      val hw = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](donorSchema))
+      hw.setCodec(AvroWrite.codecFactory(donorCodec))
+      hw.create(donorSchema, hdr, marker)
+      hw.close()
+      val os = fs.create(synth, true)
+      try {
+        os.write(hdr.toByteArray)
+        val in = fs.open(path)
+        try {
+          in.seek(firstSync + 16)
+          val buf = new Array[Byte](1 << 20)
+          var read = in.read(buf)
+          while (read > 0) { os.write(buf, 0, read); read = in.read(buf) }
+        } finally in.close()
+      } finally os.close()
+      val inner = salvage(fs, synth, out, Some(donorCodec), mode)
+      if (inner.status == "unrepairable" || inner.recordsRecovered == 0L)
+        SalvageResult("unrepairable", 0L, inner.resyncs,
+          s"borrow: no block decoded under donor schema" +
+            Option(inner.error).map(e => s" ($e)").getOrElse(""))
+      // the header itself was the (first) corruption — always 'repaired'
+      else SalvageResult("repaired_borrowed", inner.recordsRecovered,
+        inner.resyncs, null)
+    } catch {
+      case e: Exception => SalvageResult("unrepairable", 0L, 0L,
+        s"borrow: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    } finally fs.delete(synth, false)
+  }
+
+  /** First byte offset of `marker` in the file (streamed 1 MiB windows
+    * with a 15-byte carry so boundary-straddling matches are seen);
+    * always ≤ len−16 since the trailing marker matches itself. */
+  private def findFirstMarker(fs: FileSystem, path: Path, len: Long,
+      marker: Array[Byte]): Long = {
+    val chunk = 1 << 20
+    val in = fs.open(path)
+    try {
+      val buf = new Array[Byte](chunk + 15)
+      var base = 0L
+      while (base <= len - 16) {
+        val toRead = math.min((chunk + 15).toLong, len - base).toInt
+        in.readFully(base, buf, 0, toRead)
+        var i = 0
+        while (i <= toRead - 16) {
+          var j = 0
+          while (j < 16 && buf(i + j) == marker(j)) j += 1
+          if (j == 16) return base + i
+          i += 1
+        }
+        base += chunk
+      }
+      -1L
+    } finally in.close()
+  }
 }
 
 /** Hadoop FSDataInputStream as an avro SeekableInput — keeps every path

@@ -59,7 +59,8 @@ object SchemaConverter {
     case MAP => MapType(StringType, toSpark(schema.getValueType))
     case RECORD =>
       StructType(schema.getFields.asScala.toSeq.map { f =>
-        StructField(f.name, toSpark(f.schema()), nullable = isNullable(f.schema()))
+        StructField(f.name, toSpark(f.schema()), nullable = isNullable(f.schema()),
+          metadata = aliasMetadata(f.aliases().asScala.toSeq))
       })
     case UNION =>
       nonNullBranch(schema) match {
@@ -76,6 +77,35 @@ object SchemaConverter {
 
   def toSparkStruct(schema: Schema): StructType =
     toSpark(schema).asInstanceOf[StructType]
+
+  /** StructField-metadata key carrying an Avro field's `aliases` (Avro
+    * 1.x spec, "Aliases"): the field's FORMER names. A reader resolving
+    * a writer schema that lacks the field by name falls back to these —
+    * rename evolution (old files' values surface under the new name)
+    * instead of the add+drop null-fill a pure name match degrades to. */
+  val AliasesKey = "avro.aliases"
+
+  def aliasMetadata(aliases: Seq[String]): Metadata =
+    if (aliases.isEmpty) Metadata.empty
+    else new MetadataBuilder()
+      .putStringArray(AliasesKey, aliases.sorted.toArray).build()
+
+  def aliasesOf(f: StructField): Seq[String] =
+    if (f.metadata.contains(AliasesKey))
+      f.metadata.getStringArray(AliasesKey).toSeq
+    else Nil
+
+  /** Avro-spec field resolution order: the writer field with the
+    * reader's NAME if present, else the first declared alias the writer
+    * schema has. Null when neither matches (add-column evolution —
+    * callers null-fill). */
+  def resolveField(writer: Schema, f: StructField): Schema.Field = {
+    val direct = writer.getField(f.name)
+    if (direct != null) direct
+    else aliasesOf(f).iterator.map(writer.getField).collectFirst {
+      case g if g != null => g
+    }.orNull
+  }
 
   /** Spark 4.1 ships TIME as a preview type behind
     * `spark.sql.timeType.enabled`; schema inference runs on the driver
@@ -148,8 +178,14 @@ object SchemaConverter {
   def toAvroRecord(st: StructType, name: String): Schema = {
     val rec = Schema.createRecord(name, null, "graft", false)
     rec.setFields(st.fields.map { f =>
-      new Schema.Field(f.name, toAvro(f.dataType, s"${name}_${f.name}", f.nullable),
-        null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+      val fld =
+        new Schema.Field(f.name, toAvro(f.dataType, s"${name}_${f.name}", f.nullable),
+          null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+      // rename-evolution fidelity on rewrite: a compaction of an evolved
+      // directory re-embeds the aliases, so files written elsewhere under
+      // the old name stay resolvable against the compacted generation
+      aliasesOf(f).foreach(fld.addAlias)
+      fld
     }.toList.asJava)
     rec
   }

@@ -47,6 +47,7 @@ object RepairPipeline {
     * run the counts equal the report's group-by (asserted in tests). */
   final class Progress(spark: SparkSession) extends Serializable {
     val statuses: Seq[String] = Seq("valid", "repaired", "repaired_replaced",
+      "repaired_borrowed", "repaired_borrowed_replaced",
       "unrepairable", "error")
     private val acc = statuses.map(st =>
       st -> spark.sparkContext.longAccumulator(s"graft.repair.$st")).toMap
@@ -63,6 +64,7 @@ object RepairPipeline {
       samplerate: Double = 0.01,
       seed: Long = 42L,
       recoverMode: String = "all",
+      borrowSchema: Boolean = false,
       progress: Option[Progress] = None): Dataset[FileRepairReport] = {
     import spark.implicits._
 
@@ -78,7 +80,7 @@ object RepairPipeline {
         it.map { case (pathStr, len) =>
           val r = processOne(conf, pathStr, len, replace, quarantineDir,
             limit, samplerate, seed, rootDir = dir,
-            recoverMode = recoverMode)
+            recoverMode = recoverMode, borrowSchema = borrowSchema)
           progress.foreach(_.record(r.status))
           r
         }
@@ -96,7 +98,8 @@ object RepairPipeline {
       pathStr: String, len: Long, replace: Boolean,
       quarantineDir: Option[String], limit: Long, samplerate: Double,
       seed: Long, rootDir: String = "",
-      recoverMode: String = "all"): FileRepairReport = {
+      recoverMode: String = "all",
+      borrowSchema: Boolean = false): FileRepairReport = {
     val path = new Path(pathStr)
     try {
       val fs = path.getFileSystem(conf)
@@ -111,50 +114,114 @@ object RepairPipeline {
       val s = Salvage.salvage(fs, path, Some(tmp), mode = recoverMode)
       if (s.status == "unrepairable") {
         fs.delete(tmp, false)
+        // Opt-in last resort for the one class block salvage can't touch:
+        // an unreadable HEADER. Borrow schema+codec from a same-directory
+        // sibling (same partition ⇒ same writer generation with high
+        // probability) and resync on the file's own trailing marker.
+        if (borrowSchema && s.error != null && s.error.startsWith("header")) {
+          donorHeader(fs, path) match {
+            case Some((donorPath, donorSchema, donorCodec)) =>
+              val s2 = Salvage.salvageBorrowed(fs, path, donorSchema,
+                donorCodec, Some(tmp), recoverMode)
+              if (s2.status != "unrepairable")
+                return commit(fs, path, pathStr, len, tmp, replace,
+                  quarantineDir, rootDir, v.recordsScanned, s2,
+                  limit, samplerate, seed, borrowed = true,
+                  note = s"donor=$donorPath")
+              fs.delete(tmp, false)
+              return FileRepairReport(pathStr, "unrepairable", len,
+                v.recordsScanned, 0L, s2.resyncs,
+                s"${s.error}; ${s2.error}")
+            case None =>
+              return FileRepairReport(pathStr, "unrepairable", len,
+                v.recordsScanned, 0L, s.resyncs,
+                s"${s.error}; borrow: no readable sibling header")
+          }
+        }
         return FileRepairReport(pathStr, "unrepairable", len,
           v.recordsScanned, 0L, s.resyncs, s.error)
       }
-      // A14: the repaired file must itself pass validation before commit.
-      val rv = Salvage.validate(fs, tmp, limit, samplerate, seed)
-      if (!rv.valid) {
-        fs.delete(tmp, false)
-        return FileRepairReport(pathStr, "unrepairable", len,
-          v.recordsScanned, s.recordsRecovered, s.resyncs,
-          s"revalidate failed: ${rv.error}")
-      }
-      if (replace) {
-        // A15 swap, crash-safe: park the original under a .bak name
-        // first so no moment exists where the only copy of the data is
-        // a hidden temp (delete-then-rename would lose the file if the
-        // executor died between the two calls).
-        val bak = new Path(path.getParent, s".bak-${path.getName}")
-        fs.delete(bak, false)
-        fs.rename(path, bak)
-        if (fs.rename(tmp, path)) fs.delete(bak, false)
-        else { fs.rename(bak, path); throw new java.io.IOException(
-          s"swap failed for $pathStr; original restored") }
-        FileRepairReport(pathStr, "repaired_replaced", len,
-          v.recordsScanned, s.recordsRecovered, s.resyncs, null)
-      } else {
-        val dest = quarantineDir match {
-          case Some(q) =>
-            // Mirror the path relative to the scanned root under the
-            // quarantine dir: listing is recursive, so keying by basename
-            // alone would collide (and silently overwrite) when two
-            // corrupt files share a name in different subdirectories —
-            // the same defect the reference has across prefixes (A9).
-            val d = new Path(q, relativeTo(rootDir, path))
-            fs.mkdirs(d.getParent); fs.delete(d, false); fs.rename(tmp, d); d
-          case None => tmp
-        }
-        FileRepairReport(pathStr, "repaired", len, v.recordsScanned,
-          s.recordsRecovered, s.resyncs, s"repaired_copy=$dest")
-      }
+      commit(fs, path, pathStr, len, tmp, replace, quarantineDir, rootDir,
+        v.recordsScanned, s, limit, samplerate, seed, borrowed = false,
+        note = null)
     } catch {
       case e: Exception =>
         FileRepairReport(pathStr, "error", len, 0L, 0L, 0L,
           s"${e.getClass.getSimpleName}: ${e.getMessage}")
     }
+  }
+
+  /** Re-validate (A14) and commit a salvaged temp: in-place swap (A15,
+    * crash-safe via .bak parking) or quarantine mirror — shared by the
+    * block-salvage and borrowed-header paths so the two can't drift. */
+  private def commit(fs: org.apache.hadoop.fs.FileSystem, path: Path,
+      pathStr: String, len: Long, tmp: Path, replace: Boolean,
+      quarantineDir: Option[String], rootDir: String, recordsScanned: Long,
+      s: Salvage.SalvageResult, limit: Long, samplerate: Double, seed: Long,
+      borrowed: Boolean, note: String): FileRepairReport = {
+    val rv = Salvage.validate(fs, tmp, limit, samplerate, seed)
+    if (!rv.valid) {
+      fs.delete(tmp, false)
+      return FileRepairReport(pathStr, "unrepairable", len,
+        recordsScanned, s.recordsRecovered, s.resyncs,
+        s"revalidate failed: ${rv.error}")
+    }
+    val base = if (borrowed) "repaired_borrowed" else "repaired"
+    val prefix = Option(note).map(n => s"$n ").getOrElse("")
+    if (replace) {
+      // A15 swap, crash-safe: park the original under a .bak name
+      // first so no moment exists where the only copy of the data is
+      // a hidden temp (delete-then-rename would lose the file if the
+      // executor died between the two calls).
+      val bak = new Path(path.getParent, s".bak-${path.getName}")
+      fs.delete(bak, false)
+      fs.rename(path, bak)
+      if (fs.rename(tmp, path)) fs.delete(bak, false)
+      else { fs.rename(bak, path); throw new java.io.IOException(
+        s"swap failed for $pathStr; original restored") }
+      FileRepairReport(pathStr, s"${base}_replaced", len,
+        recordsScanned, s.recordsRecovered, s.resyncs,
+        Option(note).orNull)
+    } else {
+      val dest = quarantineDir match {
+        case Some(q) =>
+          // Mirror the path relative to the scanned root under the
+          // quarantine dir: listing is recursive, so keying by basename
+          // alone would collide (and silently overwrite) when two
+          // corrupt files share a name in different subdirectories —
+          // the same defect the reference has across prefixes (A9).
+          val d = new Path(q, relativeTo(rootDir, path))
+          fs.mkdirs(d.getParent); fs.delete(d, false); fs.rename(tmp, d); d
+        case None => tmp
+      }
+      FileRepairReport(pathStr, base, len, recordsScanned,
+        s.recordsRecovered, s.resyncs, s"${prefix}repaired_copy=$dest")
+    }
+  }
+
+  /** First readable sibling header (same directory = same partition):
+    * (path, schema, codec). Bounded probe — dot-temps and the file
+    * itself excluded, deterministic name order, ≤8 attempts. */
+  private def donorHeader(fs: org.apache.hadoop.fs.FileSystem, path: Path)
+      : Option[(Path, org.apache.avro.Schema, String)] = {
+    val sibs =
+      try fs.listStatus(path.getParent).filter(_.isFile).map(_.getPath)
+        .filter(p => p != path && !p.getName.startsWith("."))
+        .sortBy(_.getName).take(8)
+      catch { case _: Exception => Array.empty[Path] }
+    sibs.iterator.flatMap { p =>
+      try {
+        val in = new graft.avro.HadoopSeekableInput(fs, p)
+        try {
+          val r = new org.apache.avro.file.DataFileReader[AnyRef](in,
+            new org.apache.avro.generic.GenericDatumReader[AnyRef]())
+          val h = (p, r.getSchema,
+            Option(r.getMetaString("avro.codec")).getOrElse("null"))
+          r.close()
+          Some(h)
+        } finally in.close()
+      } catch { case _: Exception => None }
+    }.take(1).toList.headOption
   }
 
   /** Path of `path` relative to the scanned root, for mirroring the

@@ -539,6 +539,108 @@ class AvroSubsystemSpec extends AnyFunSuite {
     assert(firstOnly.schema.fieldNames.length == 2)
   }
 
+  test("rename schema evolution: avro aliases map old-name values to the " +
+      "renamed column across generations") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum}
+    import org.apache.spark.sql.types.MetadataBuilder
+    val dir = tmpDir("alias-evolve")
+    // gen-1: (id, qty)
+    (1L to 10L).map(i => (i, i * 2L)).toDF("id", "qty").coalesce(1)
+      .write.format("graft-avro").mode("append").save(dir)
+    // gen-2: qty RENAMED to quantity (Avro-spec alias declares the former
+    // name), plus an added column — the writer embeds the alias in the
+    // container's writer schema via the field's avro.aliases metadata
+    val md = new MetadataBuilder()
+      .putStringArray(SchemaConverter.AliasesKey, Array("qty")).build()
+    (11L to 20L).map(i => (i, i * 2L, s"u$i")).toDF("id", "quantity", "unit")
+      .select(col("id"), col("quantity").as("quantity", md), col("unit"))
+      .coalesce(1).write.format("graft-avro").mode("append").save(dir)
+    val df = spark.read.format("graft-avro").load(dir)
+    // merged inference: ONE column under the new name, never a half-null
+    // (qty, quantity) pair
+    assert(df.schema.fieldNames.toSeq == Seq("id", "quantity", "unit"),
+      s"rename must merge, got ${df.schema.fieldNames.toSeq}")
+    assert(SchemaConverter.aliasesOf(df.schema("quantity")) == Seq("qty"),
+      "merged field must carry the alias for the per-file decoder")
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 20)
+    // gen-1 values surface under the NEW name (not null-filled)
+    assert((0 until 20).forall(i => rows(i).getLong(1) == (i + 1) * 2L),
+      "old-generation qty values must decode into quantity")
+    assert(rows.take(10).forall(_.isNullAt(2)), "added column still null-fills")
+    // projection touching only the renamed column prunes through the alias
+    assert(df.agg(sum(col("quantity"))).head.getLong(0) ==
+      (1L to 20L).map(_ * 2L).sum)
+    // rewrite (compaction path) re-embeds the alias in the new writer schema
+    val dir2 = tmpDir("alias-rewrite")
+    df.coalesce(1).write.format("graft-avro").mode("append").save(dir2)
+    val fs = new Path(dir2).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val avroFile = fs.listStatus(new Path(dir2)).map(_.getPath)
+      .filter(_.getName.endsWith(".avro")).head
+    val in = fs.open(avroFile)
+    val stream = new org.apache.avro.file.DataFileStream(in,
+      new org.apache.avro.generic.GenericDatumReader[Any]())
+    try assert(stream.getSchema.getField("quantity").aliases()
+      .contains("qty"), "rewrite must preserve rename resolvability")
+    finally { stream.close(); in.close() }
+  }
+
+  test("chained rename evolution resolves transitively; ambiguous aliases " +
+      "fail loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.MetadataBuilder
+    val dir = tmpDir("alias-chain")
+    (1L to 5L).map(i => (i, i * 2L)).toDF("id", "qty").coalesce(1)
+      .write.format("graft-avro").mode("append").save(dir)
+    val md1 = new MetadataBuilder()
+      .putStringArray(SchemaConverter.AliasesKey, Array("qty")).build()
+    (6L to 10L).map(i => (i, i * 2L)).toDF("id", "quantity")
+      .select(col("id"), col("quantity").as("quantity", md1)).coalesce(1)
+      .write.format("graft-avro").mode("append").save(dir)
+    // gen-3 renames AGAIN, aliasing only its immediate predecessor — the
+    // merge must chase qty → quantity → amount transitively
+    val md2 = new MetadataBuilder()
+      .putStringArray(SchemaConverter.AliasesKey, Array("quantity")).build()
+    (11L to 15L).map(i => (i, i * 2L)).toDF("id", "amount")
+      .select(col("id"), col("amount").as("amount", md2)).coalesce(1)
+      .write.format("graft-avro").mode("append").save(dir)
+    val df = spark.read.format("graft-avro").option("mergeschema", "all")
+      .load(dir)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "amount"))
+    assert(SchemaConverter.aliasesOf(df.schema("amount")).toSet ==
+      Set("qty", "quantity"), "chain intermediates must survive as aliases")
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 15 &&
+      (0 until 15).forall(i => rows(i).getLong(1) == (i + 1) * 2L),
+      "every generation must decode into the final name")
+    // ambiguity: two live fields both claiming alias 'x' is an error
+    val bad = tmpDir("alias-ambig")
+    val mdx = new MetadataBuilder()
+      .putStringArray(SchemaConverter.AliasesKey, Array("x")).build()
+    Seq((1L, 1L)).toDF("id", "a")
+      .select(col("id"), col("a").as("a", mdx)).coalesce(1)
+      .write.format("graft-avro").mode("append").save(bad)
+    Seq((2L, 2L)).toDF("id", "b")
+      .select(col("id"), col("b").as("b", mdx)).coalesce(1)
+      .write.format("graft-avro").mode("append").save(bad)
+    val ex = intercept[IllegalArgumentException] {
+      spark.read.format("graft-avro").option("mergeschema", "all")
+        .load(bad).schema
+    }
+    assert(ex.getMessage.contains("ambiguous avro alias"))
+    // collision: a generation carrying BOTH the old and new name live
+    val bad2 = tmpDir("alias-live-collision")
+    Seq((1L, 1L, 2L)).toDF("id", "qty", "quantity")
+      .select(col("id"), col("qty"), col("quantity").as("quantity", md1))
+      .coalesce(1).write.format("graft-avro").mode("append").save(bad2)
+    val ex2 = intercept[IllegalArgumentException] {
+      spark.read.format("graft-avro").load(bad2).schema
+    }
+    assert(ex2.getMessage.contains("live field"))
+  }
+
   test("numeric type-promotion evolution: gen-1 int/float columns scan " +
       "as gen-2's long/double, old rows widened at read") {
     import spark.implicits._
@@ -809,6 +911,48 @@ class AvroSubsystemSpec extends AnyFunSuite {
     val sm = RepairPipeline.summary(spark.createDataset(
       report.toSeq)(org.apache.spark.sql.Encoders.product)).collect().toMap
     assert(sm.values.sum == report.length)
+  }
+
+  test("borrowSchema salvage: corrupt-header files recover via a sibling " +
+      "donor; header-only corruption loses zero records") {
+    val dir = tmpDir("borrow")
+    val tax = AvroFixtures.taxonomy("deflate", 1000)
+      .map { case (name, bytes, v, r) => name -> ((bytes, v, r)) }.toMap
+    for (n <- Seq("ok_deflate", "bad_header_deflate", "bad_schema_deflate"))
+      Files.write(Paths.get(dir, s"$n.avro"), tax(n)._1)
+    // default (no flag): header corruption stays terminal
+    val plain = RepairPipeline.run(spark, dir, samplerate = 1.0).collect()
+      .map(r => r.path.split('/').last.stripSuffix(".avro") -> r.status).toMap
+    assert(plain("bad_header_deflate") == "unrepairable" &&
+      plain("bad_schema_deflate") == "unrepairable")
+    // opt-in borrow: schema+codec from the healthy sibling, resync on the
+    // file's own trailing marker — header-only damage recovers EVERY record
+    val qdir = tmpDir("borrow-q")
+    val rep = RepairPipeline.run(spark, dir, quarantineDir = Some(qdir),
+      samplerate = 1.0, borrowSchema = true).collect()
+      .map(r => r.path.split('/').last.stripSuffix(".avro") -> r).toMap
+    assert(rep("ok_deflate").status == "valid")
+    for (n <- Seq("bad_header_deflate", "bad_schema_deflate")) {
+      assert(rep(n).status == "repaired_borrowed", s"$n: ${rep(n)}")
+      assert(rep(n).recordsRecovered == 1000L,
+        s"$n recovered ${rep(n).recordsRecovered}, header-only damage " +
+          "must keep all blocks")
+      assert(rep(n).error.contains("donor="), "report must name the donor")
+      // the quarantined copy is a fully valid container with the donor
+      // schema and all the original values
+      val copy = s"$qdir/$n.avro"
+      assert(spark.read.format("graft-avro").load(copy).count() == 1000L)
+      val ids = spark.read.format("graft-avro").load(copy)
+        .selectExpr("sum(id)").head.getLong(0)
+      assert(ids == (0L until 1000L).sum, s"$n salvaged values drifted")
+    }
+    // no donor in the directory → still unrepairable, explicit reason
+    val lone = tmpDir("borrow-lone")
+    Files.write(Paths.get(lone, "bad.avro"), tax("bad_header_deflate")._1)
+    val loneRep = RepairPipeline.run(spark, lone, samplerate = 1.0,
+      borrowSchema = true).collect()
+    assert(loneRep.head.status == "unrepairable" &&
+      loneRep.head.error.contains("no readable sibling header"))
   }
 
   test("scheme-agnosticism: write, repair (replace+quarantine), and DSv2 " +
