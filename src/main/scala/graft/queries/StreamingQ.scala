@@ -346,7 +346,6 @@ object StreamingQ {
       onBatch: org.apache.spark.sql.streaming.StreamingQuery => Unit =
         _ => ()): DataFrame = {
     import s.implicits._
-    val gapMs = 30L * 60 * 1000
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[Ev](s)
     val name = s"sess_${UUID.randomUUID().toString.replace("-", "")}"
@@ -356,9 +355,31 @@ object StreamingQ {
       // observe() on the input side (the r12 full-outer ledger pattern):
       // the spec closes sessions-created − numRowsRemoved = numRowsTotal
       // against the observed input count per batch.
-      val q = input.toDF()
+      val q = sessionFlatMap(input.toDF()
         .observe("graft_sess_in", count(lit(1)).as("n_rows"))
-        .withWatermark("ts", "10 minutes")
+        .withWatermark("ts", "10 minutes"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        batches.foreach { b =>
+          input.addData(b)
+          q.processAllAvailable(); onBatch(q)
+        }
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(name)
+  }
+
+  /** The fMGWS session-operator BODY, shared by the MemoryStream rig
+    * above and the kill-and-resume durability spec
+    * (StreamingRestartSpec) — the restart test must exercise the
+    * production state logic, not a copy. Input must already carry its
+    * watermark. */
+  private[graft] def sessionFlatMap(watermarked: DataFrame): DataFrame = {
+    val s = watermarked.sparkSession
+    import s.implicits._
+    val gapMs = 30L * 60 * 1000
+    watermarked
         .as[Ev].groupByKey(_.user_id)
         .flatMapGroupsWithState[Sess, (Long, Long, Long, Long, Boolean)](
           OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
@@ -414,16 +435,6 @@ object StreamingQ {
             }
         }
         .toDF("user_id", "s_start", "s_end", "n", "finalized")
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Update()).start()
-      try {
-        batches.foreach { b =>
-          input.addData(b)
-          q.processAllAvailable(); onBatch(q)
-        }
-      } finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    s.table(name)
   }
 
   private def qStreamSessionAgg(s: SparkSession, d: String): DataFrame =
