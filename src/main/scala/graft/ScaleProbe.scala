@@ -150,66 +150,25 @@ object ScaleProbe {
     // report the ×10 growth factor per id. Streaming/multimodal rig ids
     // are excluded by design: their cost is the fixed MemoryStream /
     // binaryFile-ingest rig, not a data-scaled plan.
+    // mode=sf1data: materialize ONLY (no timing) to the given directory,
+    // for the r15 sf1 exact-value oracle campaign — graft.Verify +
+    // tools/check.py then run the DuckDB compare over the same parquet.
+    // Unlike the timing rehearsal, EVENTS are also replicated ×10 here
+    // (disjoint event_id/user_id spaces, same timestamps): daily counts
+    // grow 10×, which is precisely the adversarial direction for the
+    // BIGINT/DECIMAL moment lattices the campaign hunts (the motif v²
+    // wrap class). The rehearsal keeps events verbatim so its timing
+    // rows stay comparable across rounds.
+    if (mode == "sf1data") {
+      val outDir = args.lift(3).getOrElse("/root/repo/target/sf1data")
+      materializeSf1(spark, sfDir, outDir, scaleEvents = true)
+      println(s"""{"probe":"sf1data","out":"$outDir"}""")
+      spark.stop()
+      return
+    }
     if (mode == "sf1") {
       val sf1Dir = graft.queries.Tables.freshDir("sf1")
-      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      (0 until 10).map { i =>
-        li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
-          .withColumn("l_partkey", col("l_partkey") + lit(i * 10000000L))
-          .withColumn("l_suppkey", col("l_suppkey") + lit(i * 1000000L))
-      }.reduce(_ union _)
-        .write.mode("overwrite").parquet(s"$sf1Dir/lineitem.parquet")
-      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
-      (0 until 10).map { i =>
-        ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
-          .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L))
-      }.reduce(_ union _)
-        .write.mode("overwrite").parquet(s"$sf1Dir/orders.parquet")
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      (0 until 10).map { i =>
-        docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-          concat(col("text"), lit(s" v$i")).as("text"),
-          col("lang"), col("source"),
-          (col("n_chars") + (i % 3)).as("n_chars"))
-      }.reduce(_ union _)
-        .write.mode("overwrite").parquet(s"$sf1Dir/documents.parquet")
-      // dimension tables follow the fact tables into the SAME shifted
-      // key spaces (ADVICE r13: verbatim copies left 90% of sf1
-      // lineitems dangling against part/supplier/customer, so any
-      // measured id joining a dimension would time a mostly-empty
-      // join). Graph density still stays constant: co-pair keys are
-      // disjoint per replica either way.
-      val parts = spark.read.parquet(s"$sfDir/part.parquet")
-      (0 until 10).map { i =>
-        parts.withColumn("p_partkey", col("p_partkey") + lit(i * 10000000L))
-      }.reduce(_ union _)
-        .write.mode("overwrite").parquet(s"$sf1Dir/part.parquet")
-      val supp = spark.read.parquet(s"$sfDir/supplier.parquet")
-      (0 until 10).map { i =>
-        supp.withColumn("s_suppkey", col("s_suppkey") + lit(i * 1000000L))
-      }.reduce(_ union _)
-        .write.mode("overwrite").parquet(s"$sf1Dir/supplier.parquet")
-      val cust = spark.read.parquet(s"$sfDir/customer.parquet")
-      (0 until 10).map { i =>
-        cust.withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L))
-      }.reduce(_ union _)
-        .write.mode("overwrite").parquet(s"$sf1Dir/customer.parquet")
-      // embeddings replicate ×10 with the near-dup perturbation (the
-      // mode=embeddings recipe): replicas stay near-duplicates of the
-      // base vectors so IVF cells DENSIFY — the adversarial direction
-      // for the ANN family added to the rehearsal in r14
-      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      (0 until 10).map { i =>
-        emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
-          expr(s"transform(embedding, (x, j) -> x + cast($i as float)" +
-            " * 1e-4f * cast(j % 7 as float))").as("embedding"),
-          col("label"))
-      }.reduce(_ union _)
-        .write.mode("overwrite").parquet(s"$sf1Dir/embeddings.parquet")
-      Seq("region", "nation", "events").foreach { t =>
-        spark.read.parquet(s"$sfDir/$t.parquet")
-          .write.mode("overwrite").parquet(s"$sf1Dir/$t.parquet")
-      }
+      materializeSf1(spark, sfDir, sf1Dir, scaleEvents = false)
       for (d <- Seq(sfDir, sf1Dir)) {
         // drop every dir-hash-keyed cached artifact so each leg pays
         // its own build cost (co-pair graph; IVF index incl. the
@@ -509,5 +468,81 @@ object ScaleProbe {
       s""""$k":{"sec":${f(s)},"rows":$r}""" }.mkString("{", ",", "}")
     println(s"""{"probe":"$mode","rows":$n,"factor":$factor,"ops":$qs}""")
     spark.stop()
+  }
+
+  /** The sf1 corpus recipe (sf0.1 ×10), shared by the timing rehearsal
+    * (`mode=sf1`, events verbatim — rows stay comparable across rounds)
+    * and the exact-value oracle campaign (`mode=sf1data`,
+    * `scaleEvents=true`). Fact tables replicate into DISJOINT key
+    * spaces so graph density stays constant while volume grows 10×;
+    * dimension tables follow their fact keys (ADVICE r13: verbatim
+    * copies left 90% of sf1 lineitems dangling); documents get the
+    * near-dup perturbation (candidate graphs DENSIFY — adversarial);
+    * embeddings get the IVF-cell-densifying perturbation (r14). */
+  private[graft] def materializeSf1(spark: SparkSession, sfDir: String,
+      sf1Dir: String, scaleEvents: Boolean): Unit = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    (0 until 10).map { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * 10000000L))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * 1000000L))
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$sf1Dir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    (0 until 10).map { i =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L))
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$sf1Dir/orders.parquet")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    (0 until 10).map { i =>
+      docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        concat(col("text"), lit(s" v$i")).as("text"),
+        col("lang"), col("source"),
+        (col("n_chars") + (i % 3)).as("n_chars"))
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$sf1Dir/documents.parquet")
+    val parts = spark.read.parquet(s"$sfDir/part.parquet")
+    (0 until 10).map { i =>
+      parts.withColumn("p_partkey", col("p_partkey") + lit(i * 10000000L))
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$sf1Dir/part.parquet")
+    val supp = spark.read.parquet(s"$sfDir/supplier.parquet")
+    (0 until 10).map { i =>
+      supp.withColumn("s_suppkey", col("s_suppkey") + lit(i * 1000000L))
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$sf1Dir/supplier.parquet")
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    (0 until 10).map { i =>
+      cust.withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L))
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$sf1Dir/customer.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    (0 until 10).map { i =>
+      emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        expr(s"transform(embedding, (x, j) -> x + cast($i as float)" +
+          " * 1e-4f * cast(j % 7 as float))").as("embedding"),
+        col("label"))
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$sf1Dir/embeddings.parquet")
+    if (scaleEvents) {
+      // disjoint event_id/user_id spaces, SAME timestamps: per-day
+      // counts grow ×10 — the direction that stresses count-product
+      // lattices (v², cross moments) — while per-user series replicate
+      // (user-keyed state grows in keys, not depth)
+      val evs = spark.read.parquet(s"$sfDir/events.parquet")
+      (0 until 10).map { i =>
+        evs.withColumn("event_id", col("event_id") + lit(i * 1000000000L))
+          .withColumn("user_id", col("user_id") + lit(i * 100000000L))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$sf1Dir/events.parquet")
+    } else {
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .write.mode("overwrite").parquet(s"$sf1Dir/events.parquet")
+    }
+    Seq("region", "nation").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$sf1Dir/$t.parquet")
+    }
   }
 }

@@ -62,8 +62,10 @@ object Analytics96 {
 
   /** Per-user treatment/outcome/stratum table: treated = ever-signup,
     * y = total purchase value on the 9dp lattice, stratum = capped
-    * activity ventile (bounded ≤10 strata at any corpus size). */
-  private def userFrame(s: SparkSession, d: String): DataFrame =
+    * activity ventile (bounded ≤10 strata at any corpus size).
+    * `n_ev` is kept as the covariate the AIPW outcome models
+    * (Analytics103) regress on. */
+  private[queries] def userFrame(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_ev"),
@@ -72,7 +74,7 @@ object Analytics96 {
         coalesce(sum(when(col("event_type") === "purchase",
           expr("CAST(ROUND(value, 9) AS DECIMAL(28,9))"))),
           lit(0).cast("decimal(28,9)")).as("y"))
-      .select(col("user_id"), col("tr"), col("y"),
+      .select(col("user_id"), col("n_ev"), col("tr"), col("y"),
         expr("least(n_ev div 20, 9L)").as("st"))
 
   /** Hájek-normalized IPW ATE over exact stratum propensities.
