@@ -41,7 +41,7 @@ import Tables._
 object Analytics84 {
 
   /** rank lineitems within each order by price DESC, line ASC. */
-  private def ranked(s: SparkSession, d: String): DataFrame = {
+  private[queries] def ranked(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("l_orderkey"))
       .orderBy(desc("l_extendedprice"), col("l_linenumber"))
     t(s, d, "lineitem")
@@ -51,7 +51,7 @@ object Analytics84 {
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
-  private def withPriority(df: DataFrame, s: SparkSession,
+  private[queries] def withPriority(df: DataFrame, s: SparkSession,
       d: String): DataFrame =
     df.join(t(s, d, "orders").select(col("o_orderkey").as("l_orderkey"),
       col("o_orderpriority")), Seq("l_orderkey"))
