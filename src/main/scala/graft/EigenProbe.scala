@@ -45,6 +45,24 @@ object EigenProbe {
         s"top50_set_match=${ids.toSet == ref.toSet} " +
         s"exact_order_match=${ids == ref}")
     }
+    // r15 gate-cadence experiment (VERDICT r14 ask #5): pay the 1-row
+    // L1 gate only every k-th round — ~ (k−1)/k fewer driver jobs at
+    // bounded staleness ≤ k−1 extra rounds. Two timed legs per k after
+    // a warm-up leg, result recorded in SCALE.md.
+    for (k <- Seq(1, 2, 4, 8)) {
+      def leg(): (Int, Double) = {
+        val t0 = System.nanoTime()
+        val (r, rounds) = queries.Analytics94.eigenFixpoint(
+          sym, tol = 1e-6, maxRounds = 128, gateEvery = k)
+        r.count()
+        (rounds, (System.nanoTime() - t0) / 1e9)
+      }
+      leg() // warm-up
+      val (r1, s1) = leg()
+      val (r2, s2) = leg()
+      println(f"[eigenprobe] gate_every=$k rounds=$r1/$r2 " +
+        f"sec=$s1%.1f/$s2%.1f")
+    }
     spark.stop()
   }
 }

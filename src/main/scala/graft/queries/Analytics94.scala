@@ -72,8 +72,17 @@ object Analytics94 {
     * rounds run). `shift = false` gives the pure-A iteration — used
     * only by the spec to demonstrate the bipartite limit cycle the
     * shift exists to break. */
+  /** `gateEvery`: pay the 1-row L1 gate job only every k-th round
+    * (bounded staleness ≤ k−1 extra rounds). The r15 cadence
+    * experiment (EigenProbe, SCALE.md "gate cadence" row) MEASURED
+    * k=4 slower end-to-end than k=1 on the sf0.1 graph — a skipped
+    * gate saves a node-table 1-row aggregate but risks whole extra
+    * rounds (edge join + checkpoint), and the measured overshoot ate
+    * the savings — so production stays at k=1; the knob remains for
+    * graphs whose per-round cost is gate-dominated. */
   private[graft] def eigenFixpoint(sym0: DataFrame, tol: Double = 1e-6,
-      maxRounds: Int = 128, shift: Boolean = true): (DataFrame, Int) = {
+      maxRounds: Int = 128, shift: Boolean = true,
+      gateEvery: Int = 1): (DataFrame, Int) = {
     val e = sym0.repartition(col("u")).persist()
     var r = e.select(col("u")).distinct()
       .select(col("u"), lit(1000000L).as("r"))
@@ -105,10 +114,13 @@ object Analytics94 {
           col("pr"))
       rounds += 1
       // ONE 1-row aggregate over node-sized checkpointed state:
-      // mean normalized movement < tol (n-scaled stopping rule)
-      val l1 = r.agg(sum(abs(col("r") - col("pr"))).as("d"))
-        .head.getLong(0)
-      converged = l1 < tol * 1e6 * nNodes
+      // mean normalized movement < tol (n-scaled stopping rule) —
+      // skipped on off-cadence rounds when gateEvery > 1
+      if (rounds % gateEvery == 0 || rounds == maxRounds) {
+        val l1 = r.agg(sum(abs(col("r") - col("pr"))).as("d"))
+          .head.getLong(0)
+        converged = l1 < tol * 1e6 * nNodes
+      }
     }
     e.unpersist()
     (r.select(col("u"), col("r")), rounds)

@@ -1037,6 +1037,54 @@ class AvroSubsystemSpec extends AnyFunSuite {
       s"stale partitions from the dead attempt survive: ${e9.toSeq}")
   }
 
+  test("CDC upserts through the avro sink: an epoch replay with " +
+      "OVERLAPPING keys neither drops nor doubles them; latest-per-key " +
+      "readback resolves the overlap (VERDICT r14 #8)") {
+    import org.apache.spark.sql.types._
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = tmpDir("sink-cdc")
+    val schema = new StructType().add("k", LongType).add("v", StringType)
+      .add("epoch", LongType)
+    val avroSchema = SchemaConverter.toAvroRecord(schema, "graft_record")
+    val sw = AvroStreamingWrite(schema, dir, "null",
+      AvroContainerSource.serializableConfEntries())
+    val fs = new Path(dir).getFileSystem(AvroContainerSource.hadoopConf())
+    def attempt(epoch: Long, rows: Seq[(Long, String)])
+        : graft.avro.AvroEpochMessage = {
+      val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}.avro")
+      val os = fs.create(tmp, true)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](avroSchema))
+      w.create(avroSchema, os)
+      rows.foreach { case (k, v) =>
+        val r = new GenericData.Record(avroSchema)
+        r.put("k", k); r.put("v", v); r.put("epoch", epoch)
+        w.append(r)
+      }
+      w.close()
+      graft.avro.AvroEpochMessage(tmp.toString,
+        new Path(dir, f"part-e$epoch%d-p00000.avro").toString)
+    }
+    // epoch 10: k=1,2; epoch 11 UPSERTS k=2 and inserts k=3 — and the
+    // epoch-11 commit is REPLAYED (the crash-recovery path)
+    sw.commit(10L, Array(attempt(10L, Seq(1L -> "a1", 2L -> "b1"))))
+    sw.commit(11L, Array(attempt(11L, Seq(2L -> "b2", 3L -> "c1"))))
+    sw.commit(11L, Array(attempt(11L, Seq(2L -> "b2", 3L -> "c1"))))
+    val log = spark.read.format("graft-avro").load(dir)
+    // the append log holds each epoch exactly once: 4 rows, k=2 twice
+    assert(log.count() == 4L, s"replay duplicated rows: ${log.count()}")
+    assert(log.filter("k = 2").count() == 2L)
+    // CDC readback: latest epoch wins per key
+    val latest = log.groupBy("k")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct("epoch", "v")).as("s"))
+      .selectExpr("k", "s.v AS v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(latest == Map(1L -> "a1", 2L -> "b2", 3L -> "c1"),
+      s"latest-per-key wrong: $latest")
+  }
+
   test("replay sweep fires when the lowest replayed partition is missing") {
     // A crashed REPLAY commit can delete-but-not-re-rename partition 0
     // (rename = delete old + rename temp), so the next replay must not

@@ -33,8 +33,14 @@ def compare_one(sf, out, name, sql):
     import duckdb
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata ships single files; Spark-materialized corpora
+        # (the sf1 campaign) are directories of part files
+        src = f"{sf}/{t}.parquet"
+        import os
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sf}/{t}.parquet')")
+                    f"read_parquet('{src}')")
     try:
         got = con.execute(
             f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").df()
