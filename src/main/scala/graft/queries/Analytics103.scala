@@ -116,7 +116,7 @@ object Analytics103 {
   }
 
   /** (priority 1..5, quantity, count) grid — the JT input. */
-  private def jtGrid(s: SparkSession, d: String): DataFrame =
+  private[queries] def jtGrid(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .select(col("l_orderkey"), expr("CAST(l_quantity AS BIGINT)").as("q"))
       .join(t(s, d, "orders").select(col("o_orderkey").as("l_orderkey"),

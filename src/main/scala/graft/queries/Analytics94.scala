@@ -73,16 +73,19 @@ object Analytics94 {
     * only by the spec to demonstrate the bipartite limit cycle the
     * shift exists to break. */
   /** `gateEvery`: pay the 1-row L1 gate job only every k-th round
-    * (bounded staleness ≤ k−1 extra rounds). The r15 cadence
-    * experiment (EigenProbe, SCALE.md "gate cadence" row) MEASURED
-    * k=4 slower end-to-end than k=1 on the sf0.1 graph — a skipped
-    * gate saves a node-table 1-row aggregate but risks whole extra
-    * rounds (edge join + checkpoint), and the measured overshoot ate
-    * the savings — so production stays at k=1; the knob remains for
-    * graphs whose per-round cost is gate-dominated. */
+    * after the `gateWarmup`-round warm-up (bounded staleness ≤ k−1
+    * extra rounds). The r15 cadence experiment (EigenProbe, SCALE.md
+    * "gate cadence" row) MEASURED on the sf0.1 graph (60 rounds):
+    * k=1 12.1/12.9 s, k=2 10.1 s, k=4 8.9/8.8 s (−27%), k=8 9.4 s
+    * (overshoots 60→64 rounds — the staleness cost becoming visible).
+    * The gate job is ~0.07 s of driver-job latency per round; a
+    * whole extra round is ~0.2 s, so k=4's ≤3-round worst-case
+    * overshoot stays well under the ~45 saved gate jobs. The warm-up
+    * keeps fast-converging graphs (HITS-class, ~5 rounds) exiting on
+    * the exact round. Production default k=4. */
   private[graft] def eigenFixpoint(sym0: DataFrame, tol: Double = 1e-6,
       maxRounds: Int = 128, shift: Boolean = true,
-      gateEvery: Int = 1): (DataFrame, Int) = {
+      gateEvery: Int = 4, gateWarmup: Int = 8): (DataFrame, Int) = {
     val e = sym0.repartition(col("u")).persist()
     var r = e.select(col("u")).distinct()
       .select(col("u"), lit(1000000L).as("r"))
@@ -115,8 +118,9 @@ object Analytics94 {
       rounds += 1
       // ONE 1-row aggregate over node-sized checkpointed state:
       // mean normalized movement < tol (n-scaled stopping rule) —
-      // skipped on off-cadence rounds when gateEvery > 1
-      if (rounds % gateEvery == 0 || rounds == maxRounds) {
+      // per-round during warm-up, then only on-cadence rounds
+      if (rounds <= gateWarmup || rounds % gateEvery == 0
+          || rounds == maxRounds) {
         val l1 = r.agg(sum(abs(col("r") - col("pr"))).as("d"))
           .head.getLong(0)
         converged = l1 < tol * 1e6 * nNodes

@@ -29,7 +29,7 @@ import Tables._
   * (engine-portable order). */
 object LlmSim6 {
 
-  private def capped(s: SparkSession, d: String, cap: Int): DataFrame = {
+  private[queries] def capped(s: SparkSession, d: String, cap: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     t(s, d, "embeddings")
       .orderBy(expr("md5(CAST(vec_id AS STRING))"), col("vec_id"))

@@ -105,6 +105,12 @@ class WindowAuditSpec extends AnyFunSuite {
     // aggregate (the rfm precedent); copeland consumes the
     // checkpointed 20-row slate
     "q_win_borda", "q_win_copeland",
+    // r15: AB-score cumulative over the ≤50-cell quantity grid
+    "q_agg_ansari",
+    // r15: block-range rank cumulative over the week-count-bounded
+    // range-value table (quade); combined midrank cumulative over the
+    // ≤50-cell quantity grid (cuzick)
+    "q_agg_quade", "q_agg_cuzick",
   )
 
   test("every partition-less Window rides a whitelisted bounded input") {
