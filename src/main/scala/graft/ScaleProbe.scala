@@ -351,7 +351,9 @@ object ScaleProbe {
           // r12: cap-bounded kNN-graph / energy-distance reports
           "q_embed_knngraph", "q_embed_energy",
           // r13: 16-dim moment-grid representation similarity
-          "q_embed_cka")
+          "q_embed_cka",
+          // r15: cap-bounded kNN in-degree skew + TwoNN ID estimate
+          "q_embed_hubness", "q_embed_twonn")
       else if (mode == "customer")
         // r9 late wave: the k-anonymity audit rides the same inflation
         // (classes deepen, class COUNT stays QI-bounded)
@@ -361,7 +363,9 @@ object ScaleProbe {
           "q_agg_fdr", "q_agg_conformal", "q_agg_ebayes",
           // r13 late waves: stratified 2x2 + allocation design off
           // the bounded per-nation tables
-          "q_agg_cmh", "q_sample_neyman")
+          "q_agg_cmh", "q_sample_neyman",
+          // r15: one grouping-sets scan, QI-bounded class tables
+          "q_quality_uniqueness")
       else if (mode == "events")
         Seq("q_join_nearest", "q_win_attribution", "q_win_churn",
           "q_win_cohort", "q_win_session", "q_win_concurrency",
@@ -407,7 +411,10 @@ object ScaleProbe {
           // the score line grows with users), one-broadcast robust
           // location, day-grid series mining
           "q_agg_ipw", "q_agg_psmatch", "q_agg_huber",
-          "q_time_motif", "q_time_yulewalker")
+          "q_time_motif", "q_time_yulewalker",
+          // r15: doubly-robust AIPW (two user-keyed scans) and the
+          // range-weighted blocked rank test on the weeks-types grid
+          "q_agg_aipw", "q_agg_quade")
       else if (mode == "lineitem")
         Seq("q_graph_sssp", "q_graph_sssp_tree", "q_agg_tdigest",
           "q_agg_tdigest_rollup",
@@ -431,7 +438,9 @@ object ScaleProbe {
           // r14: one-scan regression family (moments only) + the
           // quantity-grid minimax isotonic fit
           "q_agg_isotonic", "q_agg_logistic", "q_agg_ridge",
-          "q_agg_sobel", "q_agg_ancova", "q_agg_wls")
+          "q_agg_sobel", "q_agg_ancova", "q_agg_wls",
+          // r15: AB dispersion scores on the <=50-cell quantity grid
+          "q_agg_ansari")
       else
         Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
           "q_dedup_ngram", "q_dedup_span", "q_dedup_url", "q_text_ngrams",
@@ -457,7 +466,9 @@ object ScaleProbe {
           // r13 late wave: source-bounded importance-weight ESS
           "q_sample_ess",
           // r14: sources×30-grid stylometry over one token-count scan
-          "q_text_burrows")
+          "q_text_burrows",
+          // r15: O(L)-per-doc moving-average TTR (lag + clamp ranges)
+          "q_text_mattr")
     val times = ops.map { id =>
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(id)(spark, probeDir).count()
