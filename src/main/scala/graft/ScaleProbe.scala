@@ -414,7 +414,9 @@ object ScaleProbe {
           "q_time_motif", "q_time_yulewalker",
           // r15: doubly-robust AIPW (two user-keyed scans) and the
           // range-weighted blocked rank test on the weeks-types grid
-          "q_agg_aipw", "q_agg_quade")
+          "q_agg_aipw", "q_agg_quade",
+          // r15 late wave: bucket-grid BM test, weeks-4-daypart Page L
+          "q_agg_brunnermunzel", "q_agg_pagetrend")
       else if (mode == "lineitem")
         Seq("q_graph_sssp", "q_graph_sssp_tree", "q_agg_tdigest",
           "q_agg_tdigest_rollup",

@@ -104,6 +104,45 @@ class DegenerateInput9Spec extends AnyFunSuite {
     assert(r.getAs[Double]("mean_in") === 3.0)
   }
 
+  test("quade: a single week-block makes A = B exactly — T3 gates NULL") {
+    val r = run("q_agg_quade")(0)
+    assert(r.getAs[Long]("n_blocks") === 1L)
+    assert(r.isNullAt(r.fieldIndex("t3")))
+  }
+
+  test("cuzick: one priority group has zero grade variance — z NULL") {
+    val r = run("q_agg_cuzick")(0)
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
+  test("brunnermunzel: views-only corpus (empty click sample) yields " +
+      "NULL statistics, never an ANSI divide-by-zero") {
+    val r = run("q_agg_brunnermunzel")(0)
+    assert(r.getAs[Long]("n1") === 0L)
+    assert(r.isNullAt(r.fieldIndex("p_hat")))
+    assert(r.isNullAt(r.fieldIndex("w_stat")))
+    assert(r.isNullAt(r.fieldIndex("df")))
+  }
+
+  test("pagetrend: a single 3-day window means one block — z stays " +
+      "finite (classical Var > 0 for n = 1), no throw") {
+    val r = run("q_agg_pagetrend")(0)
+    assert(r.getAs[Long]("n_blocks") >= 1L)
+    assert(!r.isNullAt(r.fieldIndex("z")))
+  }
+
+  test("welchanova: constant totalprice (zero variance in every group) " +
+      "drops all groups — empty result, no throw") {
+    assert(run("q_agg_welchanova").isEmpty)
+  }
+
+  test("twonn: identical vectors (all pair distances zero) leave no " +
+      "usable ratio — n_used 0 and NULL estimate, no throw") {
+    val r = run("q_embed_twonn")(0)
+    assert(r.getAs[Long]("n_used") === 0L)
+    assert(r.isNullAt(r.fieldIndex("id_twonn")))
+  }
+
   test("uniqueness: every row unique under the full QI → share 1.0 " +
       "for it, drop-one subsets still report") {
     // flatDir has no customer table; the audit runs on the standard one

@@ -107,6 +107,9 @@ class WindowAuditSpec extends AnyFunSuite {
     "q_win_borda", "q_win_copeland",
     // r15: AB-score cumulative over the ≤50-cell quantity grid
     "q_agg_ansari",
+    // r15: combined+within midrank cumulatives over the bounded
+    // value-bucket grid (the mannwhitney precedent)
+    "q_agg_brunnermunzel",
     // r15: block-range rank cumulative over the week-count-bounded
     // range-value table (quade); combined midrank cumulative over the
     // ≤50-cell quantity grid (cuzick)
