@@ -106,7 +106,10 @@ object Analytics10 {
           |         THEN CAST(1.0 AS DOUBLE)
           |         ELSE CAST(-1.0 AS DOUBLE) END)),
           |  CAST(0.0 AS DOUBLE), (acc, p) -> acc + p) * 0.25""".stripMargin), 6)
-        .as("y"))
+        // + 0.0 canonicalizes IEEE -0.0 (a fold can land exactly on
+        // negative zero at volume — caught by the r15 sf1 campaign;
+        // the covariance op's precedent)
+        .plus(lit(0.0)).as("y"))
       .orderBy(col("vec_id"), col("j"))
   }
 
@@ -173,7 +176,7 @@ object Analytics10 {
         |              IN ('0','1','2','3','4','5','6','7')
         |           THEN CAST(1.0 AS DOUBLE)
         |           ELSE CAST(-1.0 AS DOUBLE) END))),
-        |    (acc, p) -> acc + p) * 0.25, 6) AS y
+        |    (acc, p) -> acc + p) * 0.25, 6) + 0.0 AS y
         |FROM embeddings CROSS JOIN j16
         |ORDER BY vec_id, j""".stripMargin,
   )

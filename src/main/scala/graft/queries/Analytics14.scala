@@ -106,9 +106,14 @@ object Analytics14 {
       sum(col("sg")).as("s"), sum(col("ssg")).as("ss"),
       sum(col("t")).as("st"))
       .select(col("k"), col("n"),
-        round(dbl(col("st")) - dbl(col("s")) * dbl(col("s")) / dbl(col("n")), 6)
-          .as("ssb"),
-        round(dbl(col("ss")) - dbl(col("st")), 6).as("ssw"),
+        // SS reported in THOUSANDS: at sf1 the raw ~1.25e9 values land
+        // exactly on 6dp round midpoints where Spark (half-up) and
+        // DuckDB (half-even) split — the q_agg_chow SSR class, caught
+        // by the r15 sf1 value campaign; /1000 moves the lattice three
+        // decades off the midpoints (4e-10 relative margin)
+        round((dbl(col("st")) - dbl(col("s")) * dbl(col("s"))
+          / dbl(col("n"))) / 1000.0, 6).as("ssb_k"),
+        round((dbl(col("ss")) - dbl(col("st"))) / 1000.0, 6).as("ssw_k"),
         // k=1 (no between-variance) or SSW=0 (constant data) ⇒ F
         // undefined → NULL, not an ANSI divide-by-zero
         when(col("k") > 1 && col("n") > col("k") &&
@@ -203,10 +208,11 @@ object Analytics14 {
         |    CAST(sum(t) AS DECIMAL(38,9)) AS st
         |  FROM terms)
         |SELECT k, n,
-        |  round(CAST(st AS DOUBLE)
-        |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
-        |    AS ssb,
-        |  round(CAST(ss AS DOUBLE) - CAST(st AS DOUBLE), 6) AS ssw,
+        |  round((CAST(st AS DOUBLE)
+        |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / 1000.0, 6) AS ssb_k,
+        |  round((CAST(ss AS DOUBLE) - CAST(st AS DOUBLE)) / 1000.0, 6)
+        |    AS ssw_k,
         |  round(((CAST(st AS DOUBLE)
         |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
         |      / (CAST(k AS DOUBLE) - 1.0))

@@ -158,7 +158,10 @@ object Analytics2 {
       .groupBy(col("doc_id"))
       .agg(sum(col("lp")).as("sw"), count(lit(1)).as("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("sw").cast("double") / col("n_tokens"), 6).as("dsir_w"))
+        // + 0.0 canonicalizes IEEE -0.0 (a zero-sum doc rounds to
+        // negative zero in one engine at volume — r15 sf1 campaign)
+        (round(col("sw").cast("double") / col("n_tokens"), 6) + lit(0.0))
+          .as("dsir_w"))
       .orderBy("doc_id")
   }
 
@@ -171,7 +174,7 @@ object Analytics2 {
     * no 2,080-row explode per vector — then the tiny per-partition
     * partials (≤ #partitions rows) explode and merge in a dim²-bounded
     * hash agg. cov = E[xᵢxⱼ] − E[xᵢ]E[xⱼ], round-6dp finals as before. */
-  private def qEmbedCovariance(s: SparkSession, d: String): DataFrame = {
+  private[queries] def qEmbedCovariance(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val partials = t(s, d, "embeddings")
       .select(col("embedding")).as[Array[Float]]
@@ -314,28 +317,28 @@ object Analytics2 {
         |  min(deg) AS min_deg, max(deg) AS max_deg
         |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_graph_triangles" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem),
-        |e AS (SELECT a.pk AS u, b.pk AS v
+        |e AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v
         |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
         |      GROUP BY 1, 2 HAVING count(*) >= 2),
-        |sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
-        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+        |sym AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS deg
         |        FROM sym GROUP BY u),
-        |ed AS (SELECT e.u, e.v, du.deg AS du, dv.deg AS dv
+        |ed AS MATERIALIZED (SELECT e.u, e.v, du.deg AS du, dv.deg AS dv
         |       FROM e JOIN deg du ON e.u = du.u
         |              JOIN deg dv ON e.v = dv.u),
-        |o AS (SELECT
+        |o AS MATERIALIZED (SELECT
         |  CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
         |  CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst,
         |  CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS dd
         |  FROM ed),
-        |w AS (SELECT o1.src, o1.dst AS b, o2.dst AS c
+        |w AS MATERIALIZED (SELECT o1.src, o1.dst AS b, o2.dst AS c
         |      FROM o o1 JOIN o o2 ON o1.src = o2.src
         |      AND (o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst))),
-        |tri AS (SELECT w.src AS a, w.b, w.c
+        |tri AS MATERIALIZED (SELECT w.src AS a, w.b, w.c
         |        FROM w JOIN o ON w.b = o.src AND w.c = o.dst),
-        |nodes AS (SELECT a AS part FROM tri
+        |nodes AS MATERIALIZED (SELECT a AS part FROM tri
         |          UNION ALL SELECT b FROM tri
         |          UNION ALL SELECT c FROM tri)
         |SELECT part, CAST(count(*) AS BIGINT) AS n_tri
@@ -368,7 +371,7 @@ object Analytics2 {
         |agg AS (SELECT doc_id, SUM(lp) AS sw, COUNT(*) AS n
         |        FROM lp GROUP BY doc_id)
         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-        |  ROUND(CAST(sw AS DOUBLE) / n, 6) AS dsir_w
+        |  ROUND(CAST(sw AS DOUBLE) / n, 6) + 0.0 AS dsir_w
         |FROM agg ORDER BY doc_id""".stripMargin,
     "q_embed_covariance" ->
       """WITH idx AS (

@@ -107,15 +107,15 @@ object Analytics22 {
 
   val sql: Map[String, String] = Map(
     "q_agg_lift" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem),
-        |pairs AS (SELECT a.pk AS u, b.pk AS v,
+        |pairs AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v,
         |            CAST(count(*) AS BIGINT) AS cn
         |          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
         |          GROUP BY 1, 2 HAVING count(*) >= 3),
-        |marg AS (SELECT pk, CAST(count(*) AS BIGINT) AS cnt
+        |marg AS MATERIALIZED (SELECT pk, CAST(count(*) AS BIGINT) AS cnt
         |         FROM li GROUP BY pk),
-        |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS total FROM li)
+        |n AS MATERIALIZED (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS total FROM li)
         |SELECT u, v, cn AS support_n,
         |  round(CAST(cn AS DOUBLE) / CAST(mu.cnt AS DOUBLE), 6)
         |    AS confidence,

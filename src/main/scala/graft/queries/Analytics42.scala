@@ -316,33 +316,33 @@ object Analytics42 {
         |FROM l4 GROUP BY lbl ORDER BY n_nodes DESC, component""".stripMargin,
     // One relaxation run, 3 sources: state rows carry the landmark.
     "q_graph_landmarks" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem),
-        |e AS (SELECT a.pk AS u, b.pk AS v, count(*) AS cn
+        |e AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v, count(*) AS cn
         |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
         |      GROUP BY 1, 2 HAVING count(*) >= 2),
-        |sym AS (SELECT u, v, 1000000 // cn AS w FROM e
+        |sym AS MATERIALIZED (SELECT u, v, 1000000 // cn AS w FROM e
         |        UNION ALL
         |        SELECT v AS u, u AS v, 1000000 // cn AS w FROM e),
-        |deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
-        |src AS (SELECT u AS l, u, CAST(0 AS BIGINT) AS dist
+        |deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+        |src AS MATERIALIZED (SELECT u AS l, u, CAST(0 AS BIGINT) AS dist
         |        FROM deg ORDER BY deg DESC, u LIMIT 3),
-        |d1 AS (SELECT l, u, min(dist) AS dist FROM (
+        |d1 AS MATERIALIZED (SELECT l, u, min(dist) AS dist FROM (
         |         SELECT l, u, dist FROM src
         |         UNION ALL
         |         SELECT p.l, s.v AS u, p.dist + s.w AS dist
         |         FROM src p JOIN sym s ON s.u = p.u) GROUP BY l, u),
-        |d2 AS (SELECT l, u, min(dist) AS dist FROM (
+        |d2 AS MATERIALIZED (SELECT l, u, min(dist) AS dist FROM (
         |         SELECT l, u, dist FROM d1
         |         UNION ALL
         |         SELECT p.l, s.v AS u, p.dist + s.w AS dist
         |         FROM d1 p JOIN sym s ON s.u = p.u) GROUP BY l, u),
-        |d3 AS (SELECT l, u, min(dist) AS dist FROM (
+        |d3 AS MATERIALIZED (SELECT l, u, min(dist) AS dist FROM (
         |         SELECT l, u, dist FROM d2
         |         UNION ALL
         |         SELECT p.l, s.v AS u, p.dist + s.w AS dist
         |         FROM d2 p JOIN sym s ON s.u = p.u) GROUP BY l, u),
-        |d4 AS (SELECT l, u, min(dist) AS dist FROM (
+        |d4 AS MATERIALIZED (SELECT l, u, min(dist) AS dist FROM (
         |         SELECT l, u, dist FROM d3
         |         UNION ALL
         |         SELECT p.l, s.v AS u, p.dist + s.w AS dist
@@ -352,37 +352,37 @@ object Analytics42 {
     // Struct-min argmin relaxations: min(struct_pack(d, p)) is the
     // lexicographic (dist, parent) pick in both engines.
     "q_graph_sssp_tree" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem),
-        |e AS (SELECT a.pk AS u, b.pk AS v, count(*) AS cn
+        |e AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v, count(*) AS cn
         |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
         |      GROUP BY 1, 2 HAVING count(*) >= 2),
-        |sym AS (SELECT u, v, 1000000 // cn AS w FROM e
+        |sym AS MATERIALIZED (SELECT u, v, 1000000 // cn AS w FROM e
         |        UNION ALL
         |        SELECT v AS u, u AS v, 1000000 // cn AS w FROM e),
-        |deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
-        |src AS (SELECT u, CAST(0 AS BIGINT) AS dist,
+        |deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+        |src AS MATERIALIZED (SELECT u, CAST(0 AS BIGINT) AS dist,
         |          CAST(NULL AS BIGINT) AS par
         |        FROM deg ORDER BY deg DESC, u LIMIT 1),
-        |d1 AS (SELECT u, min(struct_pack(d := dist, p := par)) AS s FROM (
+        |d1 AS MATERIALIZED (SELECT u, min(struct_pack(d := dist, p := par)) AS s FROM (
         |         SELECT u, dist, par FROM src
         |         UNION ALL
         |         SELECT s.v AS u, p.dist + s.w AS dist, p.u AS par
         |         FROM src p JOIN sym s ON s.u = p.u) GROUP BY u),
-        |d1f AS (SELECT u, s.d AS dist, s.p AS par FROM d1),
-        |d2 AS (SELECT u, min(struct_pack(d := dist, p := par)) AS s FROM (
+        |d1f AS MATERIALIZED (SELECT u, s.d AS dist, s.p AS par FROM d1),
+        |d2 AS MATERIALIZED (SELECT u, min(struct_pack(d := dist, p := par)) AS s FROM (
         |         SELECT u, dist, par FROM d1f
         |         UNION ALL
         |         SELECT s.v AS u, p.dist + s.w AS dist, p.u AS par
         |         FROM d1f p JOIN sym s ON s.u = p.u) GROUP BY u),
-        |d2f AS (SELECT u, s.d AS dist, s.p AS par FROM d2),
-        |d3 AS (SELECT u, min(struct_pack(d := dist, p := par)) AS s FROM (
+        |d2f AS MATERIALIZED (SELECT u, s.d AS dist, s.p AS par FROM d2),
+        |d3 AS MATERIALIZED (SELECT u, min(struct_pack(d := dist, p := par)) AS s FROM (
         |         SELECT u, dist, par FROM d2f
         |         UNION ALL
         |         SELECT s.v AS u, p.dist + s.w AS dist, p.u AS par
         |         FROM d2f p JOIN sym s ON s.u = p.u) GROUP BY u),
-        |d3f AS (SELECT u, s.d AS dist, s.p AS par FROM d3),
-        |d4 AS (SELECT u, min(struct_pack(d := dist, p := par)) AS s FROM (
+        |d3f AS MATERIALIZED (SELECT u, s.d AS dist, s.p AS par FROM d3),
+        |d4 AS MATERIALIZED (SELECT u, min(struct_pack(d := dist, p := par)) AS s FROM (
         |         SELECT u, dist, par FROM d3f
         |         UNION ALL
         |         SELECT s.v AS u, p.dist + s.w AS dist, p.u AS par
@@ -393,33 +393,33 @@ object Analytics42 {
     // Same four Bellman-Ford relaxations as unrolled CTEs; integer
     // weights keep every distance an exact BIGINT in both engines.
     "q_graph_sssp" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem),
-        |e AS (SELECT a.pk AS u, b.pk AS v, count(*) AS cn
+        |e AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v, count(*) AS cn
         |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
         |      GROUP BY 1, 2 HAVING count(*) >= 2),
-        |sym AS (SELECT u, v, 1000000 // cn AS w FROM e
+        |sym AS MATERIALIZED (SELECT u, v, 1000000 // cn AS w FROM e
         |        UNION ALL
         |        SELECT v AS u, u AS v, 1000000 // cn AS w FROM e),
-        |deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
-        |src AS (SELECT u, CAST(0 AS BIGINT) AS dist
+        |deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+        |src AS MATERIALIZED (SELECT u, CAST(0 AS BIGINT) AS dist
         |        FROM deg ORDER BY deg DESC, u LIMIT 1),
-        |d1 AS (SELECT u, min(dist) AS dist FROM (
+        |d1 AS MATERIALIZED (SELECT u, min(dist) AS dist FROM (
         |         SELECT u, dist FROM src
         |         UNION ALL
         |         SELECT s.v AS u, p.dist + s.w AS dist
         |         FROM src p JOIN sym s ON s.u = p.u) GROUP BY u),
-        |d2 AS (SELECT u, min(dist) AS dist FROM (
+        |d2 AS MATERIALIZED (SELECT u, min(dist) AS dist FROM (
         |         SELECT u, dist FROM d1
         |         UNION ALL
         |         SELECT s.v AS u, p.dist + s.w AS dist
         |         FROM d1 p JOIN sym s ON s.u = p.u) GROUP BY u),
-        |d3 AS (SELECT u, min(dist) AS dist FROM (
+        |d3 AS MATERIALIZED (SELECT u, min(dist) AS dist FROM (
         |         SELECT u, dist FROM d2
         |         UNION ALL
         |         SELECT s.v AS u, p.dist + s.w AS dist
         |         FROM d2 p JOIN sym s ON s.u = p.u) GROUP BY u),
-        |d4 AS (SELECT u, min(dist) AS dist FROM (
+        |d4 AS MATERIALIZED (SELECT u, min(dist) AS dist FROM (
         |         SELECT u, dist FROM d3
         |         UNION ALL
         |         SELECT s.v AS u, p.dist + s.w AS dist

@@ -129,33 +129,33 @@ object Analytics44 {
     // per-node integer reduction; 10^12 // dist and the distance sums
     // are exact BIGINTs in both engines.
     "q_graph_closeness" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem),
-        |e AS (SELECT a.pk AS u, b.pk AS v, count(*) AS cn
+        |e AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v, count(*) AS cn
         |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
         |      GROUP BY 1, 2 HAVING count(*) >= 2),
-        |sym AS (SELECT u, v, 1000000 // cn AS w FROM e
+        |sym AS MATERIALIZED (SELECT u, v, 1000000 // cn AS w FROM e
         |        UNION ALL
         |        SELECT v AS u, u AS v, 1000000 // cn AS w FROM e),
-        |deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
-        |src AS (SELECT u AS l, u, CAST(0 AS BIGINT) AS dist
+        |deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+        |src AS MATERIALIZED (SELECT u AS l, u, CAST(0 AS BIGINT) AS dist
         |        FROM deg ORDER BY deg DESC, u LIMIT 3),
-        |d1 AS (SELECT l, u, min(dist) AS dist FROM (
+        |d1 AS MATERIALIZED (SELECT l, u, min(dist) AS dist FROM (
         |         SELECT l, u, dist FROM src
         |         UNION ALL
         |         SELECT p.l, s.v AS u, p.dist + s.w AS dist
         |         FROM src p JOIN sym s ON s.u = p.u) GROUP BY l, u),
-        |d2 AS (SELECT l, u, min(dist) AS dist FROM (
+        |d2 AS MATERIALIZED (SELECT l, u, min(dist) AS dist FROM (
         |         SELECT l, u, dist FROM d1
         |         UNION ALL
         |         SELECT p.l, s.v AS u, p.dist + s.w AS dist
         |         FROM d1 p JOIN sym s ON s.u = p.u) GROUP BY l, u),
-        |d3 AS (SELECT l, u, min(dist) AS dist FROM (
+        |d3 AS MATERIALIZED (SELECT l, u, min(dist) AS dist FROM (
         |         SELECT l, u, dist FROM d2
         |         UNION ALL
         |         SELECT p.l, s.v AS u, p.dist + s.w AS dist
         |         FROM d2 p JOIN sym s ON s.u = p.u) GROUP BY l, u),
-        |d4 AS (SELECT l, u, min(dist) AS dist FROM (
+        |d4 AS MATERIALIZED (SELECT l, u, min(dist) AS dist FROM (
         |         SELECT l, u, dist FROM d3
         |         UNION ALL
         |         SELECT p.l, s.v AS u, p.dist + s.w AS dist

@@ -136,25 +136,25 @@ object Analytics6 {
 
   val sql: Map[String, String] = Map(
     "q_graph_khop" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem),
-        |e AS (SELECT a.pk AS u, b.pk AS v
+        |e AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v
         |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
         |      GROUP BY 1, 2 HAVING count(*) >= 2),
-        |sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
-        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+        |sym AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS deg
         |        FROM sym GROUP BY u),
-        |f0 AS (SELECT u FROM deg ORDER BY deg DESC, u LIMIT 1),
-        |v0 AS (SELECT u FROM f0),
-        |f1 AS (SELECT DISTINCT s.v AS u FROM sym s JOIN f0 ON s.u = f0.u
+        |f0 AS MATERIALIZED (SELECT u FROM deg ORDER BY deg DESC, u LIMIT 1),
+        |v0 AS MATERIALIZED (SELECT u FROM f0),
+        |f1 AS MATERIALIZED (SELECT DISTINCT s.v AS u FROM sym s JOIN f0 ON s.u = f0.u
         |       EXCEPT SELECT u FROM v0),
-        |v1 AS (SELECT u FROM v0 UNION SELECT u FROM f1),
-        |f2 AS (SELECT DISTINCT s.v AS u FROM sym s JOIN f1 ON s.u = f1.u
+        |v1 AS MATERIALIZED (SELECT u FROM v0 UNION SELECT u FROM f1),
+        |f2 AS MATERIALIZED (SELECT DISTINCT s.v AS u FROM sym s JOIN f1 ON s.u = f1.u
         |       EXCEPT SELECT u FROM v1),
-        |v2 AS (SELECT u FROM v1 UNION SELECT u FROM f2),
-        |f3 AS (SELECT DISTINCT s.v AS u FROM sym s JOIN f2 ON s.u = f2.u
+        |v2 AS MATERIALIZED (SELECT u FROM v1 UNION SELECT u FROM f2),
+        |f3 AS MATERIALIZED (SELECT DISTINCT s.v AS u FROM sym s JOIN f2 ON s.u = f2.u
         |       EXCEPT SELECT u FROM v2),
-        |v3 AS (SELECT u FROM v2 UNION SELECT u FROM f3)
+        |v3 AS MATERIALIZED (SELECT u FROM v2 UNION SELECT u FROM f3)
         |SELECT 0 AS hop, (SELECT CAST(count(*) AS BIGINT) FROM f0)
         |    AS frontier, (SELECT CAST(count(*) AS BIGINT) FROM v0)
         |    AS reached

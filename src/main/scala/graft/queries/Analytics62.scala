@@ -109,33 +109,33 @@ object Analytics62 {
 
   val sql: Map[String, String] = Map(
     "q_graph_clustcoef" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem),
-        |e AS (SELECT a.pk AS u, b.pk AS v
+        |e AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v
         |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
         |      GROUP BY 1, 2 HAVING count(*) >= 2),
-        |sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
-        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+        |sym AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS deg
         |        FROM sym GROUP BY u),
-        |ed AS (SELECT e.u, e.v, du.deg AS du, dv.deg AS dv
+        |ed AS MATERIALIZED (SELECT e.u, e.v, du.deg AS du, dv.deg AS dv
         |       FROM e JOIN deg du ON e.u = du.u
         |              JOIN deg dv ON e.v = dv.u),
-        |o AS (SELECT
+        |o AS MATERIALIZED (SELECT
         |  CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
         |  CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst,
         |  CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS dd
         |  FROM ed),
-        |w AS (SELECT o1.src, o1.dst AS b, o2.dst AS c
+        |w AS MATERIALIZED (SELECT o1.src, o1.dst AS b, o2.dst AS c
         |      FROM o o1 JOIN o o2 ON o1.src = o2.src
         |      AND (o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst))),
-        |tri AS (SELECT w.src AS a, w.b, w.c
+        |tri AS MATERIALIZED (SELECT w.src AS a, w.b, w.c
         |        FROM w JOIN o ON w.b = o.src AND w.c = o.dst),
-        |tpn AS (
+        |tpn AS MATERIALIZED (
         |  SELECT u, CAST(count(*) AS BIGINT) AS tri FROM (
         |    SELECT a AS u FROM tri
         |    UNION ALL SELECT b FROM tri
         |    UNION ALL SELECT c FROM tri) GROUP BY u),
-        |lcc AS (
+        |lcc AS MATERIALIZED (
         |  SELECT d.u, d.deg, COALESCE(t.tri, 0) AS tri,
         |    CAST(ROUND(2.0 * CAST(COALESCE(t.tri, 0) AS DOUBLE)
         |      / (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0)),

@@ -145,7 +145,10 @@ object Analytics70 {
         |  SELECT event_type, day, v,
         |    count(*) OVER win AS cnt,
         |    sum(v) OVER win AS sv,
-        |    sum(v * v) OVER win AS s2
+        |    -- widened: DECIMAL(18)² overflows DuckDB's int64 backing at
+        |    -- sf1 daily sums (r15 campaign); the wider type forces the
+        |    -- int128 path, values unchanged
+        |    sum(CAST(v AS DECIMAL(28,4)) * v) OVER win AS s2
         |  FROM g
         |  WINDOW win AS (PARTITION BY event_type ORDER BY day
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))

@@ -161,17 +161,17 @@ object Analytics86 {
     "q_graph_eigen" -> (head +
       """r0 AS (SELECT u, CAST(1000000 AS BIGINT) AS r
         |       FROM (SELECT DISTINCT u FROM sym)),
-        |m1 AS (SELECT s.v AS u, CAST(sum(r) AS BIGINT) AS s
+        |m1 AS MATERIALIZED (SELECT s.v AS u, CAST(sum(r) AS BIGINT) AS s
         |       FROM sym s JOIN r0 ON s.u = r0.u GROUP BY s.v),
-        |r1 AS (SELECT u, CAST(s * 1000000 // (SELECT max(s) FROM m1)
+        |r1 AS MATERIALIZED (SELECT u, CAST(s * 1000000 // (SELECT max(s) FROM m1)
         |         AS BIGINT) AS r FROM m1),
-        |m2 AS (SELECT s.v AS u, CAST(sum(r) AS BIGINT) AS s
+        |m2 AS MATERIALIZED (SELECT s.v AS u, CAST(sum(r) AS BIGINT) AS s
         |       FROM sym s JOIN r1 ON s.u = r1.u GROUP BY s.v),
-        |r2 AS (SELECT u, CAST(s * 1000000 // (SELECT max(s) FROM m2)
+        |r2 AS MATERIALIZED (SELECT u, CAST(s * 1000000 // (SELECT max(s) FROM m2)
         |         AS BIGINT) AS r FROM m2),
-        |m3 AS (SELECT s.v AS u, CAST(sum(r) AS BIGINT) AS s
+        |m3 AS MATERIALIZED (SELECT s.v AS u, CAST(sum(r) AS BIGINT) AS s
         |       FROM sym s JOIN r2 ON s.u = r2.u GROUP BY s.v),
-        |r3 AS (SELECT u, CAST(s * 1000000 // (SELECT max(s) FROM m3)
+        |r3 AS MATERIALIZED (SELECT u, CAST(s * 1000000 // (SELECT max(s) FROM m3)
         |         AS BIGINT) AS r FROM m3)
         |SELECT u AS node, r AS score FROM r3
         |ORDER BY score DESC, node LIMIT 50""".stripMargin),

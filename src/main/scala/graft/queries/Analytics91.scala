@@ -56,7 +56,11 @@ object Analytics91 {
         """ROUND(CAST(tp + tn AS DOUBLE)
           |  / CAST(tp + fp + fn + tn AS DOUBLE), 6) AS accuracy"""
           .stripMargin,
-        """CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) > 0
+        // the guard product rides DOUBLE: four ~n/2 BIGINT margins
+        // multiply past 2^63 at sf1 (ANSI overflow on one side, DuckDB
+        // INT64 error on the other — r15 sf1 campaign)
+        """CASE WHEN CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+          |    * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE) > 0
           |  THEN ROUND((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
           |    - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
           |  / sqrt(CAST((tp + fp) AS DOUBLE) * CAST((tp + fn) AS DOUBLE)
@@ -179,7 +183,8 @@ object Analytics91 {
         |      / CAST(2 * tp + fp + fn AS DOUBLE), 6) END AS f1,
         |  ROUND(CAST(tp + tn AS DOUBLE)
         |    / CAST(tp + fp + fn + tn AS DOUBLE), 6) AS accuracy,
-        |  CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) > 0
+        |  CASE WHEN CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+        |      * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE) > 0
         |    THEN ROUND((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
         |      - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
         |    / sqrt(CAST((tp + fp) AS DOUBLE) * CAST((tp + fn) AS DOUBLE)

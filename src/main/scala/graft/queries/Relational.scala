@@ -194,10 +194,17 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dbl(sum(dec(col("l_quantity")))).as("sum_qty"),
-        dbl(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
-        dbl(sum(dec(col("l_extendedprice") * (lit(1.0) -
-          col("l_discount"))))).as("sum_disc_price"),
-        dbl(sum(chargeExact)).as("sum_charge"),
+        // money totals ROUND IN DECIMAL to their natural 2dp BEFORE the
+        // double cast: past 2^53 micro-units (sf≈1) DuckDB's
+        // int128-decimal→double two-part conversion is off by ulps
+        // where Spark's BigDecimal is correctly rounded — the
+        // q_agg_chow class, caught by the r15 sf1 value campaign; the
+        // 2dp decimal keeps the final cast sub-2^53 (exact) to sf≈1000
+        dbl(round(sum(dec(col("l_extendedprice"))), 2))
+          .as("sum_base_price"),
+        dbl(round(sum(dec(col("l_extendedprice") * (lit(1.0) -
+          col("l_discount")))), 2)).as("sum_disc_price"),
+        dbl(round(sum(chargeExact), 2)).as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -470,9 +477,9 @@ object Relational {
     "q_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
         |  COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2002-09-02'
         |GROUP BY l_returnflag, l_linestatus

@@ -46,7 +46,7 @@ class DegenerateInput9Spec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     // embeddings: four IDENTICAL vectors (pure-tie kNN)
-    (1 to 4).map(i => (i.toLong, Array.fill(8)(0.5f), i % 2))
+    (1 to 4).map(i => (i.toLong, Array.fill(64)(0.5f), i % 2))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     // events: views only — no signup ⇒ no treated arm for AIPW
@@ -141,6 +141,24 @@ class DegenerateInput9Spec extends AnyFunSuite {
     val r = run("q_embed_twonn")(0)
     assert(r.getAs[Long]("n_used") === 0L)
     assert(r.isNullAt(r.fieldIndex("id_twonn")))
+  }
+
+  test("effrank: identical vectors have an all-zero covariance — " +
+      "tr(C²) = 0 gates the estimate to NULL") {
+    val r = run("q_embed_effrank")(0)
+    assert(r.isNullAt(r.fieldIndex("eff_rank")))
+  }
+
+  test("seasonalmk: one day per weekday season means zero comparable " +
+      "pairs — empty result (the mannkendall inner-join precedent), " +
+      "no throw") {
+    assert(run("q_time_seasonalmk").isEmpty)
+  }
+
+  test("cvar: constant totals — VaR equals ES equals the constant") {
+    val r = run("q_agg_cvar")(0)
+    assert(r.getAs[Double]("var95") === 100.0)
+    assert(r.getAs[Double]("es95") === 100.0)
   }
 
   test("uniqueness: every row unique under the full QI → share 1.0 " +
