@@ -150,6 +150,37 @@ object ScaleProbe {
     // report the ×10 growth factor per id. Streaming/multimodal rig ids
     // are excluded by design: their cost is the fixed MemoryStream /
     // binaryFile-ingest rig, not a data-scaled plan.
+    // mode=r15growth: time the r15-wave ids at sfDir AND at an
+    // already-materialized sf1 corpus (args(3)) — the ×10 growth rows
+    // SCALE.md publishes for ops whose inputs join fact tables (the
+    // single-table probe modes can't inflate lineitem and orders
+    // coherently; the sf1 corpus does).
+    if (mode == "r15growth") {
+      val bigDir = args.lift(3).getOrElse("/root/repo/target/sf1data")
+      val ids = Seq("q_agg_aipw", "q_agg_jonckheere", "q_agg_ansari",
+        "q_agg_cuzick", "q_agg_quade", "q_agg_pagetrend",
+        "q_agg_brunnermunzel", "q_agg_welchanova", "q_agg_cvar",
+        "q_win_err", "q_win_rbp", "q_text_mattr", "q_time_seasonalmk",
+        "q_embed_hubness", "q_embed_twonn", "q_embed_effrank",
+        "q_quality_uniqueness")
+      def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      val rows = ids.map { id =>
+        def run(dir: String): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val n = SparkEntry.queries(id)(spark, dir).count()
+          spark.catalog.clearCache()
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        run(sfDir) // untimed warm-up (JIT + FS cache, the r14 fix)
+        val (s01, _) = run(sfDir)
+        val (s1, n1) = run(bigDir)
+        s""""$id":{"sf01_sec":${f(s01)},"sf1_sec":${f(s1)},""" +
+          s""""rows":$n1,"x10_factor":${f(s1 / s01)}}"""
+      }
+      println(s"""{"probe":"r15growth","ops":${rows.mkString("{", ",", "}")}}""")
+      spark.stop()
+      return
+    }
     // mode=sf1data: materialize ONLY (no timing) to the given directory,
     // for the r15 sf1 exact-value oracle campaign — graft.Verify +
     // tools/check.py then run the DuckDB compare over the same parquet.

@@ -63,7 +63,8 @@ class Analytics14Spec extends AnyFunSuite {
   }
 
   test("anova: two 3-value groups reproduce the hand-computed " +
-      "SSB=13.5, SSW=4, F=13.5") {
+      "SSB=13.5, SSW=4, F=13.5 (SS surfaced in thousands since r15 — " +
+      "the sf1 round-midpoint fix)") {
     import spark.implicits._
     val dir = Tables.freshDir("a14_anova")
     writeLineitem(dir,
@@ -71,7 +72,7 @@ class Analytics14Spec extends AnyFunSuite {
         ("B", 4.0, 0.0), ("B", 5.0, 0.0), ("B", 6.0, 0.0)))
     val out = SparkEntry.queries("q_agg_anova")(spark, dir)
       .as[(Long, Long, Double, Double, Double)].collect().toSeq
-    assert(out == Seq((2L, 6L, 13.5, 4.0, 13.5)), s"anova: $out")
+    assert(out == Seq((2L, 6L, 0.0135, 0.004, 13.5)), s"anova: $out")
   }
 
   test("nearest join: picks the closer side, breaks exact-distance " +
