@@ -162,7 +162,12 @@ object ScaleProbe {
         "q_agg_brunnermunzel", "q_agg_welchanova", "q_agg_cvar",
         "q_win_err", "q_win_rbp", "q_text_mattr", "q_time_seasonalmk",
         "q_embed_hubness", "q_embed_twonn", "q_embed_effrank",
-        "q_quality_uniqueness")
+        "q_quality_uniqueness",
+        // sixth–ninth waves
+        "q_embed_silhouette", "q_embed_calinski", "q_embed_daviesbouldin",
+        "q_agg_cochranarmitage", "q_agg_gameshowell", "q_agg_breslowday",
+        "q_time_kpss", "q_time_bartels", "q_time_coxstuart",
+        "q_text_yulek")
       def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
       val rows = ids.map { id =>
         def run(dir: String): (Double, Long) = {
