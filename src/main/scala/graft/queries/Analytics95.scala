@@ -43,7 +43,7 @@ import Tables._
 object Analytics95 {
 
   /** Exact decimal moments of (x=quantity, y=extendedprice). */
-  private def liMoments(s: SparkSession, d: String): DataFrame =
+  private[graft] def liMoments(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .select(dec(col("l_quantity")).as("x"),
         dec(col("l_extendedprice")).as("y"))

@@ -53,6 +53,13 @@ class DegenerateInput10Spec extends AnyFunSuite {
     (1 to 5).map(i => (i.toLong, "alpha beta gamma", "en", "web", 16L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // lineitem: CONSTANT quantity → zero x-variance for the OLS family
+    (1 to 12).map(i => (i.toLong, 1, i.toLong, i.toLong, 4.0,
+        1000.0 + i * 10, 0.05, 0.03, ts(i % 9 + 1), "R"))
+      .toDF("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_shipdate", "l_returnflag")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     dir
   }
 
@@ -118,6 +125,23 @@ class DegenerateInput10Spec extends AnyFunSuite {
     assert(r.getAs[Long]("s_plus") === 0L)
     assert(r.getAs[Long]("s_minus") === 0L)
     assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
+  test("white / reset: constant quantity (zero x-variance) propagates " +
+      "a NULL slope through the residual lattice — statistics NULL, " +
+      "never a singular normal-equation division") {
+    val w = run("q_agg_white")(0)
+    assert(w.isNullAt(w.fieldIndex("lm")))
+    val r = run("q_agg_reset")(0)
+    assert(r.isNullAt(r.fieldIndex("f_reset")))
+  }
+
+  test("neweywest: a flat daily series has zero residuals — se_ols is " +
+      "exactly 0, se_hac and the ratio gate to NULL") {
+    val r = run("q_agg_neweywest")(0)
+    assert(r.getAs[Double]("se_ols") === 0.0)
+    assert(r.isNullAt(r.fieldIndex("se_hac")))
+    assert(r.isNullAt(r.fieldIndex("hac_over_ols")))
   }
 
   test("yulek: closed 3-type vocabulary — exact spectrum constants " +
