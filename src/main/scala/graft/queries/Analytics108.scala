@@ -40,8 +40,12 @@ import Tables._
 object Analytics108 {
 
   /** Per-vector nearest/second-nearest seed distances:
-    * (vec_id, embedding, cluster j, d2 own, d2 next). */
-  private def assigned(s: SparkSession, d: String): DataFrame = {
+    * (vec_id, [embedding], cluster j, d2 own, d2 next). The 64-float
+    * array is carried through the window shuffle only when the
+    * consumer needs it (silhouette doesn't — dropping it halves the
+    * shuffled row width). */
+  private def assigned(s: SparkSession, d: String,
+      needEmbedding: Boolean = true): DataFrame = {
     val emb = t(s, d, "embeddings")
     val c = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("j"), col("embedding").as("cemb"))
@@ -53,17 +57,19 @@ object Analytics108 {
         |        - CAST(element_at(cemb, i) AS DOUBLE))), 0D,
         |  (acc, p) -> acc + p)""".stripMargin)
     val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("j"))
-    emb.crossJoin(broadcast(c)).withColumn("d2", d2)
+    val ranked = emb.crossJoin(broadcast(c)).withColumn("d2", d2)
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
-      .groupBy(col("vec_id"))
-      .agg(max(col("embedding")).as("embedding"),
-        max(when(col("rn") === 1, col("j"))).as("cluster"),
-        max(when(col("rn") === 1, col("d2"))).as("a2"),
-        max(when(col("rn") === 2, col("d2"))).as("b2"))
+    val aggs = Seq(
+      max(when(col("rn") === 1, col("j"))).as("cluster"),
+      max(when(col("rn") === 1, col("d2"))).as("a2"),
+      max(when(col("rn") === 2, col("d2"))).as("b2"))
+    val withEmb = if (needEmbedding)
+      max(col("embedding")).as("embedding") +: aggs else aggs
+    ranked.groupBy(col("vec_id")).agg(withEmb.head, withEmb.tail: _*)
   }
 
   private def qEmbedSilhouette(s: SparkSession, d: String): DataFrame =
-    assigned(s, d)
+    assigned(s, d, needEmbedding = false)
       .select(col("cluster"),
         expr("""CAST(ROUND(CASE
                |  WHEN greatest(sqrt(a2), sqrt(b2)) > 0 THEN

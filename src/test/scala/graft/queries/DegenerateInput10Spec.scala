@@ -144,6 +144,27 @@ class DegenerateInput10Spec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("hac_over_ols")))
   }
 
+  test("gehan: views-only corpus (no purchase events anywhere) leaves " +
+      "no event times — U and z NULL over the empty term table") {
+    val r = run("q_agg_gehan")(0)
+    assert(r.getAs[Long]("n_times") === 0L)
+    assert(r.isNullAt(r.fieldIndex("u_gehan")))
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
+  test("wkappa: every document in one ordinal cell — zero expected " +
+      "disagreement, both kappas gate to NULL") {
+    val r = run("q_agg_wkappa")(0)
+    assert(r.isNullAt(r.fieldIndex("kappa_linear")))
+    assert(r.isNullAt(r.fieldIndex("kappa_quadratic")))
+  }
+
+  test("cindex: no conversions → no usable pairs — NULL, not 0/0") {
+    val r = run("q_agg_cindex")(0)
+    assert(r.isNullAt(r.fieldIndex("pairs")))
+    assert(r.isNullAt(r.fieldIndex("c_index")))
+  }
+
   test("yulek: closed 3-type vocabulary — exact spectrum constants " +
       "(K from m = 5 types only, no hapax, Honoré still defined)") {
     val r = run("q_text_yulek")(0)
