@@ -169,7 +169,8 @@ object ScaleProbe {
         "q_time_kpss", "q_time_bartels", "q_time_coxstuart",
         "q_text_yulek",
         "q_agg_white", "q_agg_reset", "q_agg_neweywest",
-        "q_agg_gehan", "q_agg_wkappa", "q_agg_cindex")
+        "q_agg_gehan", "q_agg_wkappa", "q_agg_cindex",
+        "q_time_haar", "q_text_keyness", "q_agg_blomqvist")
       def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
       val rows = ids.map { id =>
         def run(dir: String): (Double, Long) = {

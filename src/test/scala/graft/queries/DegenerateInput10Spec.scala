@@ -165,6 +165,30 @@ class DegenerateInput10Spec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("c_index")))
   }
 
+  test("haar: a 3-day flat series has one full scale-2 block with a " +
+      "zero detail — zero total energy, share gates to NULL") {
+    val r = run("q_time_haar")
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("scale_days") === 2L)
+    assert(r(0).getAs[Long]("energy") === 0L)
+    assert(r(0).isNullAt(r(0).fieldIndex("share")))
+  }
+
+  test("keyness: a single-source corpus (rest side empty) gives " +
+      "G² ≡ 0 for every token — no ln(0), no division throw") {
+    val r = run("q_text_keyness")
+    assert(r.length === 3)
+    assert(r.forall(_.getAs[Double]("g2") === 0.0))
+  }
+
+  test("blomqvist: no clicks or purchases — every day sits ON both " +
+      "medians, beta gates to NULL") {
+    val r = run("q_agg_blomqvist")(0)
+    assert(r.getAs[Long]("conc") === 0L)
+    assert(r.getAs[Long]("disc") === 0L)
+    assert(r.isNullAt(r.fieldIndex("beta")))
+  }
+
   test("yulek: closed 3-type vocabulary — exact spectrum constants " +
       "(K from m = 5 types only, no hapax, Honoré still defined)") {
     val r = run("q_text_yulek")(0)
