@@ -57,13 +57,31 @@ object Analytics {
     // (the 100-TB side) is shuffled exactly once for the whole run.
     val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       .repartition(col("u")).persist()
+    // Checkpoint the degree table FIRST (r15): the old shape derived the
+    // node count via crossJoin(broadcast(deg.agg(count))) — a broadcast
+    // SUBQUERY whose future raced the main job to materialize the
+    // not-yet-cached edge lineage, so the orders⋈lineitem→distinct→
+    // union→repartition derivation ran 3× concurrently (StageProbe:
+    // three ~12.5 s-runMs scan+shuffle stages for one logical scan).
+    // One eager checkpoint materializes the edge cache exactly once;
+    // the node count then comes off the checkpointed (node-sized) deg
+    // and folds into the init/teleport literals — bit-identical values
+    // (same IEEE-754 divisions), one scan in the plan.
     val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    val nn = deg.agg(count(lit(1)).as("nn"))
-    var r = deg.crossJoin(broadcast(nn))
-      .select(col("u"), expr("CAST(1 AS DOUBLE) / CAST(nn AS DOUBLE)")
-        .as("r"), col("deg"), col("nn"))
+      .localCheckpoint(true)
+    val nn = deg.count()
+    var r = deg.select(col("u"), lit(1.0 / nn).as("r"), col("deg"))
+    // shuffle_hash on the node-sized side (r15, guide §3.1): the planner
+    // defaulted every round's edge⋈rank join to SortMergeJoin, re-sorting
+    // the CACHED 1.2M-row edge relation per round (plan audit: Sort over
+    // InMemoryTableScan inside each round's stage). Hash-building the
+    // node table per partition streams the edge cache unsorted — A/B on
+    // this loop (ScratchDebug, 5 rounds): SMJ 9.30 s vs SHJ 5.16 s.
+    // Scale-safe: the build side is the per-partition slice of the node
+    // state table, bounded by nodes/partitions, while the streamed side
+    // is the 100-TB edge relation that must not be re-sorted per round.
     for (_ <- 1 to 3) {
-      val contrib = e.join(r, "u")
+      val contrib = e.join(r.hint("shuffle_hash"), "u")
         .select(col("v").as("u"),
           expr("CAST(floor(r * 1000000000000000.0 / CAST(deg AS DOUBLE))" +
             " AS BIGINT)").as("c"))
@@ -71,12 +89,10 @@ object Analytics {
       // Eager checkpoint per round (node-sized, tiny): truncates lineage
       // AND lets the edge cache be dropped before the result is consumed,
       // so repeated invocations in one session don't stack cache entries.
-      r = sums.join(r.select(col("u"), col("deg"), col("nn")), "u")
-        .select(col("u"), expr(
-          """CAST(0.15 AS DOUBLE) / CAST(nn AS DOUBLE)
-            |+ CAST(0.85 AS DOUBLE)
-            |  * (CAST(s AS DOUBLE) / 1000000000000000.0)""".stripMargin)
-          .as("r"), col("deg"), col("nn"))
+      r = sums.join(r.select(col("u"), col("deg")).hint("shuffle_hash"), "u")
+        .select(col("u"), (lit(0.15 / nn)
+          + lit(0.85) * (col("s").cast("double") / lit(1000000000000000.0)))
+          .as("r"), col("deg"))
         .localCheckpoint(true)
     }
     e.unpersist()

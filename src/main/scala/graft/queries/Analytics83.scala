@@ -66,29 +66,36 @@ object Analytics83 {
       tol: Double = 1e-6, maxRounds: Int = 128,
       gateEvery: Int = 4, gateWarmup: Int = 8): (DataFrame, Int) = {
     val e = sym0.repartition(col("u")).persist()
+    // Degree table checkpointed FIRST (r15, the qGraphPagerank fix): the
+    // old crossJoin(broadcast(deg.agg(count))) init raced its broadcast-
+    // subquery future against the main checkpoint job to materialize the
+    // cold edge cache, re-running the caller's whole edge derivation
+    // concurrently. One eager checkpoint = one materialization; the node
+    // count folds into init/teleport literals (bit-identical doubles)
+    // and the per-round state drops the constant nn column.
     val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    val nn = deg.agg(count(lit(1)).as("nn"))
-    var r = deg.crossJoin(broadcast(nn))
-      .select(col("u"),
-        expr("CAST(1 AS DOUBLE) / CAST(nn AS DOUBLE)").as("r"),
-        lit(Double.MaxValue).as("pr"), col("deg"), col("nn"))
       .localCheckpoint(true)
-    val nNodes = r.agg(count(lit(1))).head.getLong(0)
+    val nNodes = deg.count()
+    var r = deg.select(col("u"), lit(1.0 / nNodes).as("r"),
+      lit(Double.MaxValue).as("pr"), col("deg"))
     var rounds = 0
     var converged = false
+    // shuffle_hash on the node-sized side (r15, guide §3.1): without it
+    // every round's edge⋈rank join is a SortMergeJoin that re-sorts the
+    // cached edge relation; hash-building the node table streams the
+    // edge cache unsorted (A/B in the qGraphPagerank loop: 9.30 s SMJ →
+    // 5.16 s SHJ over 5 rounds; values bit-identical).
     while (!converged && rounds < maxRounds) {
-      val contrib = e.join(r, "u")
+      val contrib = e.join(r.hint("shuffle_hash"), "u")
         .select(col("v").as("u"),
           expr("CAST(floor(r * 1000000000000000.0 / CAST(deg AS DOUBLE))" +
             " AS BIGINT)").as("c"))
       val sums = contrib.groupBy(col("u")).agg(sum(col("c")).as("s"))
-      r = sums.join(r.select(col("u"), col("r").as("pr"), col("deg"),
-          col("nn")), "u")
-        .select(col("u"), expr(
-          """CAST(0.15 AS DOUBLE) / CAST(nn AS DOUBLE)
-            |+ CAST(0.85 AS DOUBLE)
-            |  * (CAST(s AS DOUBLE) / 1000000000000000.0)""".stripMargin)
-          .as("r"), col("pr"), col("deg"), col("nn"))
+      r = sums.join(r.select(col("u"), col("r").as("pr"), col("deg"))
+          .hint("shuffle_hash"), "u")
+        .select(col("u"), (lit(0.15 / nNodes)
+          + lit(0.85) * (col("s").cast("double") / lit(1000000000000000.0)))
+          .as("r"), col("pr"), col("deg"))
         .localCheckpoint(true)
       rounds += 1
       // ONE 1-row aggregate over the node-sized checkpointed state —

@@ -174,6 +174,12 @@ object Analytics94 {
       h = hs.crossJoin(broadcast(hmx))
         .select(col("c"), expr("(s * 1000000L) div mx").as("h"))
       rounds += 1
+      // r15 cadence note: the k=4 gate cadence was A/B'd here too and
+      // measured a WASH (11.69 vs 11.46 s, identical job counts) — HITS
+      // converges in few, individually expensive rounds, so skipped
+      // gates buy nothing and overshoot costs whole rounds. Kept on the
+      // per-round gate (unlike eigen/katz, where rounds are cheap and
+      // numerous).
       val l1 = aNew.agg(sum(abs(col("a") - col("pa"))).as("d"))
         .head.getLong(0)
       a = aNew.select(col("p"), col("a"))
@@ -213,7 +219,8 @@ object Analytics94 {
     * gate stops on zero movement (~log₂(1e12) ≈ 40 rounds worst
     * case). Returns ((u, x) lattice scores, dmax, rounds). */
   private[graft] def katzAdaptive(sym0: DataFrame, tol: Double = 0.0,
-      maxRounds: Int = 64): (DataFrame, Long, Int) = {
+      maxRounds: Int = 64,
+      gateEvery: Int = 4, gateWarmup: Int = 8): (DataFrame, Long, Int) = {
     val e = sym0.repartition(col("u")).persist()
     val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val dmaxRow = deg.agg(max(col("deg"))).head
@@ -241,10 +248,17 @@ object Analytics94 {
       rounds += 1
       // monotone-increasing in exact integers ⇒ zero movement IS the
       // exact fixpoint (tol=0 default); tol>0 gives the n-scaled
-      // early-stop for callers that want it
-      val d1 = x.agg(sum(col("x") - col("px")).as("d"))
-        .head.getLong(0)
-      converged = d1 <= tol * 1e12 * nNodes
+      // early-stop for callers that want it. Gate cadence (r15, the
+      // EigenProbe k=4 result): because the fixpoint is EXACT, rounds
+      // run past convergence recompute the identical x, so the k-gate
+      // returns bit-identical scores — only the (unreported) round
+      // counter can overshoot by ≤ k−1.
+      if (rounds <= gateWarmup || rounds % gateEvery == 0
+          || rounds == maxRounds) {
+        val d1 = x.agg(sum(col("x") - col("px")).as("d"))
+          .head.getLong(0)
+        converged = d1 <= tol * 1e12 * nNodes
+      }
     }
     e.unpersist()
     (x.select(col("u"), col("x")), dmax, rounds)
