@@ -51,11 +51,19 @@ object Analytics51 {
   /** Greedy k-center selection (k = 4, seed = smallest vec_id):
     * selection order, selection distance, and final covering radius. */
   private def qSampleCoreset(s: SparkSession, d: String): DataFrame = {
+    // Eager checkpoint of the (≤4-row) center set per pick (r15): the
+    // old `centers = centers.union(next)` lineage embedded the previous
+    // centers plan TWICE per iteration (once under broadcast inside
+    // `next`, once as the union branch), doubling the plan per pick and
+    // re-scanning embeddings for every historical pick on each new one.
+    // Materializing 4 rows kills the re-scans; picks are deterministic
+    // argmaxes — values unchanged.
     val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
     val seed = e.agg(min(col("vec_id")).as("sid"))
     var centers = e.join(broadcast(seed), col("vec_id") === col("sid"))
       .select(lit(1L).as("pick"), col("vec_id"),
         col("embedding").as("cemb"), lit(null).cast("double").as("sel_d"))
+      .localCheckpoint(true)
     for (k <- 2L to 4L) {
       // min distance of every point to the current center set, then a
       // deterministic farthest pick (9-dp round, ties → smallest id) as
@@ -72,7 +80,7 @@ object Analytics51 {
         .join(e, Seq("vec_id"))
         .select(lit(k).as("pick"), col("vec_id"),
           col("embedding").as("cemb"), col("mind").as("sel_d"))
-      centers = centers.union(next)
+      centers = centers.union(next).localCheckpoint(true)
     }
     val radius = e.crossJoin(broadcast(
         centers.select(col("cemb"), col("vec_id").as("cid"))))

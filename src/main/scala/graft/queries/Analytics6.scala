@@ -39,9 +39,16 @@ object Analytics6 {
       .localCheckpoint(true)
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val f0 = deg.orderBy(desc("deg"), col("u")).limit(1).select(col("u"))
+      .localCheckpoint(true)
+    // Eager checkpoint per hop (r15): each frontier is referenced by the
+    // next hop's join AND except AND its own count branch, and the final
+    // plan unions 8 count branches — unmaterialized, the hop lineage
+    // re-evaluates multiplicatively across references. Frontiers are
+    // node-sized; BFS sets are exact — values unchanged.
     def step(frontier: DataFrame, visited: DataFrame): DataFrame =
       sym.join(frontier, Seq("u")).select(col("v").as("u")).distinct()
         .except(visited)
+        .localCheckpoint(true)
     val v0 = f0
     val f1 = step(f0, v0);  val v1 = v0.union(f1)
     val f2 = step(f1, v1);  val v2 = v1.union(f2)

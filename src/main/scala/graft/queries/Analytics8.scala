@@ -77,6 +77,13 @@ object Analytics8 {
     val e0 = coPairCounts(s, d).filter(col("cn") >= 2) // materialized (Tables)
       .select(col("u"), col("v"))
       .localCheckpoint(true)
+    // Eager checkpoint per peel round (r15): each surviving edge set is
+    // referenced by the next peel (×3: the sym union reads e twice plus
+    // the filtered join) AND by its own stats branch, and the two semi
+    // joins key on u and v respectively — differently-keyed exchanges,
+    // so nothing is reused and the unmaterialized 3-level nesting
+    // re-evaluates lower peels multiplicatively. Edge sets are exact —
+    // values unchanged.
     def peel(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val keep = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
@@ -84,6 +91,7 @@ object Analytics8 {
       e.join(keep, Seq("u"), "left_semi")
         .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
+        .localCheckpoint(true)
     }
     val e1 = peel(e0); val e2 = peel(e1); val e3 = peel(e2)
     def stats(round: Int, e: DataFrame): DataFrame = {

@@ -64,10 +64,17 @@ object Analytics86 {
     val sym = symEdges(s, d).localCheckpoint(true)
     val r0 = sym.select(col("u")).distinct()
       .select(col("u"), lit(1000000L).as("r"))
+    // Eager checkpoint of each round's message table (r15 — the
+    // eigenFixpoint discipline applied to the oracled unroll): the max
+    // subquery and the next round otherwise re-evaluate m's whole
+    // join+agg lineage, compounding across the 3 nested rounds. The
+    // 1-row max broadcasts OFF the checkpoint; exact integer lattice —
+    // values unchanged.
     def round1(rk: DataFrame): DataFrame = {
       val m = sym.join(rk, Seq("u"))
         .groupBy(col("v")).agg(sum(col("r")).as("s"))
         .select(col("v").as("u"), col("s"))
+        .localCheckpoint(true)
       val mx = m.agg(max(col("s")).as("mx"))
       m.crossJoin(broadcast(mx))
         .select(col("u"), expr("(s * 1000000L) div mx").as("r"))

@@ -54,10 +54,16 @@ object Analytics99 {
         expr("CAST(ROUND(value, 2) AS DECIMAL(12,2))").as("v"))
 
   private def qAggAssocrules(s: SparkSession, d: String): DataFrame = {
+    // Checkpoint the distinct pair table once (r15): the old
+    // crossJoin(broadcast(li.agg(countDistinct))) raced its broadcast
+    // subquery against the main job, re-running the lineitem scan +
+    // distinct ~3× (nOrders future, partCnt, and again for each). One
+    // order×part-bounded checkpoint feeds both marginals, and the order
+    // count folds into a literal — identical doubles, one scan.
     val li = t(s, d, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val nOrders = li.agg(countDistinct(col("ok")).as("no"))
+      .distinct().localCheckpoint(true)
+    val no = li.agg(countDistinct(col("ok"))).head.getLong(0)
     val partCnt = li.groupBy(col("pk")).agg(count(lit(1)).as("pc"))
     val pairs = coPairCounts(s, d).filter(col("cn") >= 5)
     // both rule directions from the u<v pair table
@@ -69,11 +75,10 @@ object Analytics99 {
         Seq("a"))
       .join(partCnt.select(col("pk").as("b"), col("pc").as("cb")),
         Seq("b"))
-      .crossJoin(broadcast(nOrders))
       .select(col("a").as("antecedent"), col("b").as("consequent"),
         col("cn").as("support_orders"),
         round(dbl(col("cn")) / dbl(col("ca")), 6).as("confidence"),
-        round(dbl(col("no")) * dbl(col("cn"))
+        round(lit(no).cast("double") * dbl(col("cn"))
           / (dbl(col("ca")) * dbl(col("cb"))), 6).as("lift"))
       .orderBy(desc("lift"), desc("confidence"), col("antecedent"),
         col("consequent"))

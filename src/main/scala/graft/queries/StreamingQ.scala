@@ -78,7 +78,7 @@ object StreamingQ {
     // partition; 32 stores for a 7-event feed is pure scheduling
     // overhead. Narrow while the stream runs, restore after.
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", "1")
     try {
       val q = transform(input.toDF())
         .writeStream.format("memory").queryName(name).outputMode(mode).start()
@@ -123,7 +123,7 @@ object StreamingQ {
       .MemoryStream[Ev](s)
     val name = s"wmsink_${UUID.randomUUID().toString.replace("-", "")}"
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", "1")
     try {
       val q = input.toDF()
         .observe("graft_input", count(lit(1)).as("n_rows"))
@@ -350,7 +350,7 @@ object StreamingQ {
       .MemoryStream[Ev](s)
     val name = s"sess_${UUID.randomUUID().toString.replace("-", "")}"
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", "1")
     try {
       // observe() on the input side (the r12 full-outer ledger pattern):
       // the spec closes sessions-created − numRowsRemoved = numRowsTotal
@@ -449,7 +449,7 @@ object StreamingQ {
     val schema = t(s, d, "events").schema
     val name = s"fsink_${UUID.randomUUID().toString.replace("-", "")}"
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", "1")
     try {
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
@@ -477,7 +477,7 @@ object StreamingQ {
       .MemoryStream[Ev](s)
     val name = s"jsink_${UUID.randomUUID().toString.replace("-", "")}"
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", "1")
     try {
       val impDf = imp.toDF().select(col("event_id").as("ad_id"),
         col("ts").as("imp_ts")).withWatermark("imp_ts", "10 minutes")
@@ -534,7 +534,7 @@ object StreamingQ {
       .MemoryStream[Ev](s)
     val name = s"josink_${UUID.randomUUID().toString.replace("-", "")}"
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", "1")
     try {
       val impDf = imp.toDF().select(col("event_id").as("ad_id"),
         col("ts").as("imp_ts")).withWatermark("imp_ts", "10 minutes")
@@ -596,7 +596,7 @@ object StreamingQ {
       .MemoryStream[Ev](s)
     val name = s"jfsink_${UUID.randomUUID().toString.replace("-", "")}"
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", "1")
     try {
       // observe() on BOTH input sides (the runWatermarkObserved pattern,
       // r12): every input row enters join state, so observed-in minus
@@ -656,7 +656,7 @@ object StreamingQ {
     val schema = t(s, d, "events").schema
     val name = s"ssj_${UUID.randomUUID().toString.replace("-", "")}"
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", "1")
     try {
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
@@ -679,7 +679,7 @@ object StreamingQ {
     val schema = t(s, d, "events").schema
     val outDir = freshDir(s"feb_${math.abs(d.hashCode)}")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", "1")
     try {
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)

@@ -94,7 +94,7 @@ object StreamingQ2 {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[Ev](s)
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", "1")
     try {
       val hist = input.toDF()
         .select(least(lit(9L), greatest(lit(0L),

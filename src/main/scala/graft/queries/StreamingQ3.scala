@@ -93,7 +93,7 @@ object StreamingQ3 {
     val name = s"ttl_${java.util.UUID.randomUUID().toString
       .replace("-", "")}"
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", "1")
     try {
       val q = input.toDF()
         .observe("graft_ttl_in", count(lit(1)).as("n_rows"))
