@@ -23,7 +23,8 @@ object StageProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_SHUFFLE", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
@@ -69,8 +70,18 @@ object StageProbe {
         val wall = (System.nanoTime() - t0) / 1e9
         best = math.min(best, wall)
         spark.catalog.clearCache()
-        // let the async listener bus drain before reading the queue
-        Thread.sleep(500)
+        // Drain the async listener bus before reading the queue (ADVICE
+        // r15: a fixed sleep races under load). listenerBus.waitUntilEmpty
+        // is private[spark], so poll until the stage count is stable for
+        // two consecutive 100 ms samples (2 s cap).
+        locally {
+          var last = -1; var stable = 0; var waited = 0
+          while (stable < 2 && waited < 2000) {
+            Thread.sleep(100); waited += 100
+            val n = stages.size()
+            if (n == last) stable += 1 else { stable = 0; last = n }
+          }
+        }
         spark.sparkContext.removeSparkListener(listener)
         import scala.jdk.CollectionConverters._
         val ss = stages.asScala.toSeq.sortBy(-_.runMs)

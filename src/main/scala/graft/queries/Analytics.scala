@@ -44,7 +44,11 @@ object Analytics {
     * customer–part interaction graph (who ordered what), undirected.
     * Node encoding: custkey·2 / partkey·2+1. No dangling nodes by
     * construction (every node enters via an edge). */
-  private def qGraphPagerank(s: SparkSession, d: String): DataFrame = {
+  private def qGraphPagerank(s: SparkSession,
+      d: String): DataFrame = withLoopParallelism(s, d) {
+    // loop-sized shuffle width (r16, Tables.loopPartitions): the whole
+    // body is plan construction + eager per-round checkpoints, so the
+    // wrapper covers every unrolled round — oracled, results identical
     val e0 = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
         col("o_orderkey") === col("l_orderkey"))
@@ -76,7 +80,7 @@ object Analytics {
     // the CACHED 1.2M-row edge relation per round (plan audit: Sort over
     // InMemoryTableScan inside each round's stage). Hash-building the
     // node table per partition streams the edge cache unsorted — A/B on
-    // this loop (ScratchDebug, 5 rounds): SMJ 9.30 s vs SHJ 5.16 s.
+    // this loop (r15 dev A/B, 5 rounds): SMJ 9.30 s vs SHJ 5.16 s.
     // Scale-safe: the build side is the per-partition slice of the node
     // state table, bounded by nodes/partitions, while the streamed side
     // is the 100-TB edge relation that must not be re-sorted per round.

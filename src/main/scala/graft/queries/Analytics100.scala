@@ -64,15 +64,25 @@ object Analytics100 {
       // prev-labels (and prev-prev when it exists) computes both change
       // counts in one aggregate — same stopping decisions, same rounds,
       // same labels, ~one fewer job per round.
+      // Node-set invariant the merged gate relies on (ADVICE r15): sym
+      // is symmetric, so every node has ≥1 neighbor and every round's
+      // label table covers the IDENTICAL node set — the next⋈lab join
+      // is total. The prev-prev side is a LEFT join with null counted
+      // as "changed" so cycle detection stays independent of prev
+      // coverage, and the sums are coalesced so an empty state table
+      // reads 0 (both are no-ops under the invariant: values and
+      // stopping decisions identical).
       val gj = next.join(lab.select(col("u"), col("lbl").as("pl")),
         Seq("u"))
       val gRow = (if (prev != null)
-          gj.join(prev.select(col("u"), col("lbl").as("pp")), Seq("u"))
+          gj.join(prev.select(col("u"), col("lbl").as("pp")), Seq("u"),
+            "left")
         else gj.withColumn("pp", col("pl")))
-        .agg(sum(when(col("lbl") =!= col("pl"), 1L).otherwise(0L))
-            .as("chg"),
-          sum(when(col("lbl") =!= col("pp"), 1L).otherwise(0L))
-            .as("cyc")).head
+        .agg(coalesce(sum(when(col("lbl") =!= col("pl"), 1L)
+            .otherwise(0L)), lit(0L)).as("chg"),
+          coalesce(sum(when(col("pp").isNull
+              || col("lbl") =!= col("pp"), 1L)
+            .otherwise(0L)), lit(0L)).as("cyc")).head
       if (gRow.getLong(0) == 0L) done = true
       else if (prev != null && gRow.getLong(1) == 0L) {
         done = true; cycled = true
@@ -87,8 +97,11 @@ object Analytics100 {
   /** Top-20 converged communities with the termination facts. */
   private def qGraphLabelpropFixpoint(s: SparkSession,
       d: String): DataFrame = {
-    val (lab, rounds, cycled) = labelpropFixpoint(
-      Analytics10.lpSymEdges(s, d))
+    // loop-sized shuffle width (r16, Tables.loopPartitions): sf0.1/32c
+    // 4.0 → 2.3 s min-of-3
+    val (lab, rounds, cycled) = withLoopParallelism(s, d) {
+      labelpropFixpoint(Analytics10.lpSymEdges(s, d))
+    }
     lab.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
       .orderBy(desc("sz"), col("lbl")).limit(20)
       .select(col("lbl"), col("sz"), lit(rounds).as("rounds"),

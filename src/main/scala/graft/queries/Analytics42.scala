@@ -152,14 +152,18 @@ object Analytics42 {
   }
 
   private def qGraphComponents(s: SparkSession, d: String): DataFrame = {
-    val e = coPairCounts(s, d).filter(col("cn") >= 2)
-    val sym = e.select(col("u"), col("v"))
-      .union(e.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
-    val init = sym.select(col("u")).distinct()
-      .select(col("u"), col("u").as("lbl"))
-    def round(st: DataFrame): DataFrame = ccRound(sym, st, ckptM = true)
-    val fin = round(round(round(round(init))))
+    // loop-sized shuffle width (r16, Tables.loopPartitions) — the 4
+    // unrolled rounds checkpoint eagerly inside the wrapper
+    val fin = withLoopParallelism(s, d) {
+      val e = coPairCounts(s, d).filter(col("cn") >= 2)
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint(true)
+      val init = sym.select(col("u")).distinct()
+        .select(col("u"), col("u").as("lbl"))
+      def round(st: DataFrame): DataFrame = ccRound(sym, st, ckptM = true)
+      round(round(round(round(init))))
+    }
     fin.groupBy(col("lbl")).agg(count(lit(1)).as("n_nodes"))
       .select(col("lbl").as("component"), col("n_nodes"))
       .orderBy(desc("n_nodes"), col("component"))
@@ -185,9 +189,17 @@ object Analytics42 {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      st = ccRound(sym, st).localCheckpoint(true)
+      // label-sum gate fused into the checkpoint job via observe()
+      // (r16, guide §2 job-count reduction — the eigenFixpoint pattern,
+      // read synchronously off the pre-checkpoint queryExecution):
+      // exact BIGINT sum, identical stopping decisions, one fewer
+      // node-sized job per round.
+      val stPre = ccRound(sym, st)
+        .observe("cc_sum", sum(col("lbl")).as("sl"))
+      st = stPre.localCheckpoint(true)
       rounds += 1
-      val cur = st.agg(sum(col("lbl"))).head.getLong(0)
+      val cur = stPre.queryExecution.observedMetrics("cc_sum")
+        .getAs[Long]("sl")
       converged = cur == prev
       prev = cur
     }
@@ -206,7 +218,8 @@ object Analytics42 {
     val e = coPairCounts(s, d).filter(col("cn") >= 2)
     val sym = e.select(col("u"), col("v"))
       .union(e.select(col("v").as("u"), col("u").as("v")))
-    val (fin, _) = ccFixpoint(sym)
+    // loop-sized shuffle width (r16, Tables.loopPartitions)
+    val (fin, _) = withLoopParallelism(s, d) { ccFixpoint(sym) }
     fin.groupBy(col("lbl")).agg(count(lit(1)).as("n_nodes"))
       .select(col("lbl").as("component"), col("n_nodes"))
       .orderBy(desc("n_nodes"), col("component"))

@@ -91,19 +91,28 @@ object Analytics83 {
           expr("CAST(floor(r * 1000000000000000.0 / CAST(deg AS DOUBLE))" +
             " AS BIGINT)").as("c"))
       val sums = contrib.groupBy(col("u")).agg(sum(col("c")).as("s"))
-      r = sums.join(r.select(col("u"), col("r").as("pr"), col("deg"))
-          .hint("shuffle_hash"), "u")
+      // the L1 gate Σ|r − pr| uses only columns OF the checkpoint, so it
+      // rides the checkpoint job as an observe() metric (r16, guide §2
+      // job-count reduction) instead of a separate node-sized job; read
+      // SYNCHRONOUSLY off the pre-checkpoint queryExecution (the
+      // async-listener Observation.get adds bus-drain latency per
+      // round). The READ stays on the exact r15 cadence (warm-up
+      // per-round, then every k-th): the gate compares a tol-scaled
+      // DOUBLE, so reading it more often could stop on a different
+      // round and change the 12dp-rounded declared output — decisions
+      // must stay identical.
+      val rPre = sums.join(r.select(col("u"), col("r").as("pr"),
+          col("deg")).hint("shuffle_hash"), "u")
         .select(col("u"), (lit(0.15 / nNodes)
           + lit(0.85) * (col("s").cast("double") / lit(1000000000000000.0)))
           .as("r"), col("pr"), col("deg"))
-        .localCheckpoint(true)
+        .observe("pr_l1", sum(abs(col("r") - col("pr"))).as("d"))
+      r = rPre.localCheckpoint(true)
       rounds += 1
-      // ONE 1-row aggregate over the node-sized checkpointed state —
-      // warm-up per-round, then on-cadence only (see scaladoc)
       if (rounds <= gateWarmup || rounds % gateEvery == 0
           || rounds == maxRounds) {
-        val l1 = r.agg(sum(abs(col("r") - col("pr"))).as("d"))
-          .head.getDouble(0)
+        val l1 = rPre.queryExecution.observedMetrics("pr_l1")
+          .getAs[Double]("d")
         converged = l1 < tol * nNodes
       }
     }
@@ -129,7 +138,10 @@ object Analytics83 {
         (col("l_partkey") * 2 + 1).as("v"))
       .distinct()
     val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-    val (r, _) = pagerankFixpoint(sym)
+    // loop-sized shuffle width (r16, Tables.loopPartitions): every round
+    // shuffles node-sized state, so the loop runs at the fact-derived
+    // width instead of the session width — sf0.1/32c: 9.2 → 5.1 s
+    val (r, _) = withLoopParallelism(s, d) { pagerankFixpoint(sym) }
     r.select(col("u").as("node"), round(col("r"), 12).as("rank"))
       .orderBy(desc("rank"), col("node")).limit(100)
   }
@@ -253,7 +265,8 @@ object Analytics83 {
   private def qGraphKtrussFixpoint(s: SparkSession, d: String): DataFrame = {
     val e0 = coPairCounts(s, d).filter(col("cn") >= 2)
       .select(col("u"), col("v"))
-    val (fin, _) = ktrussDecremental(e0)
+    // loop-sized shuffle width (r16, Tables.loopPartitions)
+    val (fin, _) = withLoopParallelism(s, d) { ktrussDecremental(e0) }
     fin.orderBy(col("u"), col("v"))
   }
 

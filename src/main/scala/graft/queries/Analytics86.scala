@@ -60,7 +60,10 @@ object Analytics86 {
   }
 
   /** Eigenvector centrality: 3 max-normalized power rounds, BIGINT. */
-  private def qGraphEigen(s: SparkSession, d: String): DataFrame = {
+  private def qGraphEigen(s: SparkSession,
+      d: String): DataFrame = withLoopParallelism(s, d) {
+    // loop-sized shuffle width (r16, Tables.loopPartitions)
+    import s.implicits._
     val sym = symEdges(s, d).localCheckpoint(true)
     val r0 = sym.select(col("u")).distinct()
       .select(col("u"), lit(1000000L).as("r"))
@@ -68,15 +71,19 @@ object Analytics86 {
     // eigenFixpoint discipline applied to the oracled unroll): the max
     // subquery and the next round otherwise re-evaluate m's whole
     // join+agg lineage, compounding across the 3 nested rounds. The
-    // 1-row max broadcasts OFF the checkpoint; exact integer lattice —
-    // values unchanged.
+    // 1-row max is FUSED into the checkpoint job via observe() (r16,
+    // the eigenFixpoint pattern) and re-enters as a 1-row broadcast
+    // local relation — one fewer job per round, exact integer lattice,
+    // values unchanged (oracle-checked).
     def round1(rk: DataFrame): DataFrame = {
-      val m = sym.join(rk, Seq("u"))
+      val mPre = sym.join(rk, Seq("u"))
         .groupBy(col("v")).agg(sum(col("r")).as("s"))
         .select(col("v").as("u"), col("s"))
-        .localCheckpoint(true)
-      val mx = m.agg(max(col("s")).as("mx"))
-      m.crossJoin(broadcast(mx))
+        .observe("eig_mx", max(col("s")).as("mx"))
+      val m = mPre.localCheckpoint(true)
+      val mx = mPre.queryExecution.observedMetrics("eig_mx")
+        .getAs[Long]("mx")
+      m.crossJoin(broadcast(Seq(mx).toDF("mx")))
         .select(col("u"), expr("(s * 1000000L) div mx").as("r"))
     }
     val r3 = round1(round1(round1(r0)))
@@ -85,7 +92,9 @@ object Analytics86 {
   }
 
   /** Personalized PageRank from the top-degree seed, 3 rounds. */
-  private def qGraphPpr(s: SparkSession, d: String): DataFrame = {
+  private def qGraphPpr(s: SparkSession,
+      d: String): DataFrame = withLoopParallelism(s, d) {
+    // loop-sized shuffle width (r16, Tables.loopPartitions)
     val sym = symEdges(s, d).localCheckpoint(true)
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val seed = deg.orderBy(desc("deg"), col("u")).limit(1)

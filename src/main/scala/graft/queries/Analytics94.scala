@@ -86,6 +86,8 @@ object Analytics94 {
   private[graft] def eigenFixpoint(sym0: DataFrame, tol: Double = 1e-6,
       maxRounds: Int = 128, shift: Boolean = true,
       gateEvery: Int = 4, gateWarmup: Int = 8): (DataFrame, Int) = {
+    val sess = sym0.sparkSession
+    import sess.implicits._
     val e = sym0.repartition(col("u")).persist()
     var r = e.select(col("u")).distinct()
       .select(col("u"), lit(1000000L).as("r"))
@@ -97,22 +99,31 @@ object Analytics94 {
       val nbr = e.join(r.select(col("u"), col("r")), "u")
         .groupBy(col("v")).agg(sum(col("r")).as("ns"))
         .select(col("v").as("u"), col("ns"))
-      // checkpoint the message table FIRST, then broadcast the 1-row
-      // max OFF THE CHECKPOINT — the original form broadcast an
-      // aggregate of the un-materialized plan, re-running the whole
-      // join+agg a second time per round (the r14 bench caught it at
-      // 18.5 s). NOT a driver-literal division: a per-round literal
-      // changes the generated code's source every round and forces a
-      // janino recompile per stage (measured SLOWER than the double
-      // compute); the crossJoin keeps one stable codegen shape
-      val m = r.select(col("u"), col("r").as("pr"))
+      // checkpoint the message table FIRST; the 1-row max is FUSED into
+      // the checkpoint job via observe() (r16, guide §2 job-count
+      // reduction): the r15 form broadcast m.agg(max) OFF the
+      // checkpoint, which still paid a separate 1-row job per execution
+      // consuming r (up to 2× per round — the gate AND the next round
+      // each re-materialize the BroadcastExchange). CollectMetrics
+      // accumulates the max during materialization instead; the value
+      // is read SYNCHRONOUSLY off the pre-checkpoint Dataset's
+      // queryExecution (Observation.get waits on the ASYNC listener
+      // bus — measured +4 s over 60 rounds). It then enters the plan
+      // as a 1-row broadcast LOCAL relation — no job, and NOT a driver
+      // literal: a per-round literal changes the generated source and
+      // forces a janino recompile per round (measured SLOWER in r14);
+      // the broadcast keeps one stable codegen shape. Same
+      // (s * 1e6) div mx lattice — values bit-identical.
+      val mPre = r.select(col("u"), col("r").as("pr"))
         .join(nbr, Seq("u"), "left")
         .select(col("u"), col("pr"),
           (coalesce(col("ns"), lit(0L)) +
             (if (shift) col("pr") else lit(0L))).as("s"))
-        .localCheckpoint(true)
-      val mx = m.agg(max(col("s")).as("mx"))
-      r = m.crossJoin(broadcast(mx))
+        .observe("eig_mx", max(col("s")).as("mx"))
+      val m = mPre.localCheckpoint(true)
+      val mx = mPre.queryExecution.observedMetrics("eig_mx")
+        .getAs[Long]("mx")
+      r = m.crossJoin(broadcast(Seq(mx).toDF("mx")))
         .select(col("u"), expr("(s * 1000000L) div mx").as("r"),
           col("pr"))
       rounds += 1
@@ -139,7 +150,9 @@ object Analytics94 {
     * demonstrates the pure-A bipartite limit cycle the shift
     * breaks. */
   private def qGraphEigenFixpoint(s: SparkSession, d: String): DataFrame = {
-    val (r, _) = eigenFixpoint(symEdges(s, d))
+    // loop-sized shuffle width (r16, Tables.loopPartitions): sf0.1/32c
+    // 11.1 → 10.1 s min-of-3
+    val (r, _) = withLoopParallelism(s, d) { eigenFixpoint(symEdges(s, d)) }
     r.select(col("u").as("node"), col("r").as("score"))
       .orderBy(desc("score"), col("node")).limit(50)
   }
@@ -148,6 +161,8 @@ object Analytics94 {
     * ((p, a) authority lattice, (c, h) hub lattice, rounds). */
   private[graft] def hitsFixpoint(e0: DataFrame, tol: Double = 1e-6,
       maxRounds: Int = 128): (DataFrame, DataFrame, Int) = {
+    val sess = e0.sparkSession
+    import sess.implicits._
     val e = e0.select(col("c"), col("p")).repartition(col("c")).persist()
     var h = e.select(col("c")).distinct()
       .select(col("c"), lit(1000000L).as("h")).localCheckpoint(true)
@@ -157,31 +172,46 @@ object Analytics94 {
     var rounds = 0
     var converged = nAuth == 0L
     while (!converged && rounds < maxRounds) {
-      // same pattern as eigenFixpoint: checkpoint each half-round's
-      // message table ONCE, broadcast its max OFF THE CHECKPOINT
-      // (stable codegen shape — see the eigen comment)
-      val as = e.join(h, "c").groupBy(col("p")).agg(sum(col("h")).as("s"))
+      // same pattern as eigenFixpoint (r16): each half-round's 1-row max
+      // is FUSED into its checkpoint job via observe() and read
+      // synchronously off the pre-checkpoint queryExecution (never the
+      // async-listener Observation.get), re-entering as a 1-row
+      // broadcast local relation (no job, stable codegen shape — see
+      // the eigen comment). Was 2 extra jobs/round.
+      val asPre = e.join(h, "c").groupBy(col("p"))
+        .agg(sum(col("h")).as("s"))
         .join(a.select(col("p"), col("a").as("pa")), "p")
-        .localCheckpoint(true)
-      val amx = as.agg(max(col("s")).as("mx"))
-      val aNew = as.crossJoin(broadcast(amx))
+        .observe("hits_amx", max(col("s")).as("mx"))
+      val as = asPre.localCheckpoint(true)
+      val amx = asPre.queryExecution.observedMetrics("hits_amx")
+        .getAs[Long]("mx")
+      val aNew = as.crossJoin(broadcast(Seq(amx).toDF("mx")))
         .select(col("p"), expr("(s * 1000000L) div mx").as("a"),
           col("pa"))
-      val hs = e.join(aNew.select(col("p"), col("a")), "p")
+      // the per-round L1 gate rides the hub half-round's checkpoint job
+      // too (r16): hs scans every aNew row (inner join above the metric
+      // node; CollectMetrics is a pushdown barrier, so no filter can
+      // drop rows beneath it), so sum|a − pa| accumulates for free
+      // where it used to be a separate node-sized job per round. Same
+      // gate value, same stopping decisions. `a` for the next round is
+      // re-selected WITHOUT the metric node so the observation never
+      // re-fires in later lineage.
+      val aGate = aNew.observe("hits_l1",
+        sum(abs(col("a") - col("pa"))).as("l1"))
+      val hsPre = e.join(aGate.select(col("p"), col("a")), "p")
         .groupBy(col("c")).agg(sum(col("a")).as("s"))
-        .localCheckpoint(true)
-      val hmx = hs.agg(max(col("s")).as("mx"))
-      h = hs.crossJoin(broadcast(hmx))
+        .observe("hits_hmx", max(col("s")).as("mx"))
+      val hs = hsPre.localCheckpoint(true)
+      val hmx = hsPre.queryExecution.observedMetrics("hits_hmx")
+        .getAs[Long]("mx")
+      h = hs.crossJoin(broadcast(Seq(hmx).toDF("mx")))
         .select(col("c"), expr("(s * 1000000L) div mx").as("h"))
       rounds += 1
-      // r15 cadence note: the k=4 gate cadence was A/B'd here too and
-      // measured a WASH (11.69 vs 11.46 s, identical job counts) — HITS
-      // converges in few, individually expensive rounds, so skipped
-      // gates buy nothing and overshoot costs whole rounds. Kept on the
-      // per-round gate (unlike eigen/katz, where rounds are cheap and
-      // numerous).
-      val l1 = aNew.agg(sum(abs(col("a") - col("pa"))).as("d"))
-        .head.getLong(0)
+      // r15 cadence note: the k=4 gate cadence was A/B'd here and
+      // measured a WASH — HITS converges in few, individually expensive
+      // rounds, so the gate reads per-round (it is free now anyway).
+      val l1 = hsPre.queryExecution.observedMetrics("hits_l1")
+        .getAs[Long]("l1")
       a = aNew.select(col("p"), col("a"))
       converged = l1 < tol * 1e6 * nAuth
     }
@@ -203,7 +233,9 @@ object Analytics94 {
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")),
         Seq("ok"))
       .select(col("c"), col("p")).distinct()
-    val (a, h, _) = hitsFixpoint(e)
+    // loop-sized shuffle width (r16, Tables.loopPartitions): sf0.1/32c
+    // 7.8 → 6.3 s min-of-3
+    val (a, h, _) = withLoopParallelism(s, d) { hitsFixpoint(e) }
     val maxHub = e.join(h, "c").groupBy(col("p"))
       .agg(max(col("h")).as("max_hub"))
     a.join(maxHub, Seq("p"))
@@ -219,8 +251,7 @@ object Analytics94 {
     * gate stops on zero movement (~log₂(1e12) ≈ 40 rounds worst
     * case). Returns ((u, x) lattice scores, dmax, rounds). */
   private[graft] def katzAdaptive(sym0: DataFrame, tol: Double = 0.0,
-      maxRounds: Int = 64,
-      gateEvery: Int = 4, gateWarmup: Int = 8): (DataFrame, Long, Int) = {
+      maxRounds: Int = 64): (DataFrame, Long, Int) = {
     val e = sym0.repartition(col("u")).persist()
     val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val dmaxRow = deg.agg(max(col("deg"))).head
@@ -236,7 +267,16 @@ object Analytics94 {
       val m = e.join(x.select(col("u"), col("x")), "u")
         .groupBy(col("v")).agg(sum(col("x")).as("s"))
         .select(col("v").as("u"), col("s"))
-      x = x.select(col("u"), col("x").as("px"))
+      // the movement gate Σ(x − px) uses only columns OF the checkpoint,
+      // so it rides the checkpoint job as an observe() metric (r16) —
+      // the r15 k=4 cadence existed to amortize a separate 1-row gate
+      // job per round; with the gate free, it reads EVERY round again.
+      // Output-identical: the iterate is a monotone EXACT integer
+      // fixpoint, so stopping at the first zero-movement round returns
+      // the same x as any later gated round — and the rounds counter no
+      // longer overshoots (ADVICE r15: ScaleProbe/SCALE.md growth rows
+      // read it as rounds-to-convergence).
+      val xPre = x.select(col("u"), col("x").as("px"))
         .join(m, Seq("u"), "left")
         .select(col("u"),
           // integer div keeps the lattice exact (Spark's `/` on
@@ -244,21 +284,12 @@ object Analytics94 {
           expr(s"1000000000000L + coalesce(s, 0L) div ${2L * dmax}L")
             .as("x"),
           col("px"))
-        .localCheckpoint(true)
+        .observe("katz_d", sum(col("x") - col("px")).as("d"))
+      x = xPre.localCheckpoint(true)
       rounds += 1
-      // monotone-increasing in exact integers ⇒ zero movement IS the
-      // exact fixpoint (tol=0 default); tol>0 gives the n-scaled
-      // early-stop for callers that want it. Gate cadence (r15, the
-      // EigenProbe k=4 result): because the fixpoint is EXACT, rounds
-      // run past convergence recompute the identical x, so the k-gate
-      // returns bit-identical scores — only the (unreported) round
-      // counter can overshoot by ≤ k−1.
-      if (rounds <= gateWarmup || rounds % gateEvery == 0
-          || rounds == maxRounds) {
-        val d1 = x.agg(sum(col("x") - col("px")).as("d"))
-          .head.getLong(0)
-        converged = d1 <= tol * 1e12 * nNodes
-      }
+      val d1 = xPre.queryExecution.observedMetrics("katz_d")
+        .getAs[Long]("d")
+      converged = d1 <= tol * 1e12 * nNodes
     }
     e.unpersist()
     (x.select(col("u"), col("x")), dmax, rounds)
@@ -271,7 +302,11 @@ object Analytics94 {
     * Analytics94Spec pins closed-form path/star fixtures and the
     * monotone-convergence contract. */
   private def qGraphKatzAdaptive(s: SparkSession, d: String): DataFrame = {
-    val (x, dmax, _) = katzAdaptive(symEdges(s, d))
+    // loop-sized shuffle width (r16, Tables.loopPartitions): sf0.1/32c
+    // 4.3 → 2.7 s min-of-3
+    val (x, dmax, _) = withLoopParallelism(s, d) {
+      katzAdaptive(symEdges(s, d))
+    }
     x.select(col("u").as("node"),
         round(col("x").cast("decimal(38,0)")
           / lit(1000000000000L).cast("decimal(13,0)"), 9)
@@ -283,7 +318,11 @@ object Analytics94 {
   /** Personalized PageRank from the top-5-degree seed SET (teleport
     * mass 1/5 to each seed), 3 unrolled rounds on the q_graph_ppr
     * contribution lattice — oracled. */
-  private def qGraphPprMultiseed(s: SparkSession, d: String): DataFrame = {
+  private def qGraphPprMultiseed(s: SparkSession,
+      d: String): DataFrame = withLoopParallelism(s, d) {
+    // loop-sized shuffle width (r16, Tables.loopPartitions); the whole
+    // body is plan construction + eager checkpoints, so the wrapper
+    // covers every unrolled round — oracled, results identical
     val sym = symEdges(s, d).localCheckpoint(true)
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val seeds = deg.orderBy(desc("deg"), col("u")).limit(5)

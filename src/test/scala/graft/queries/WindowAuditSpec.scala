@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LogicalPlan, Window => LWindow}
+import org.apache.spark.sql.execution.LogicalRDD
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkEntry
@@ -116,6 +117,36 @@ class WindowAuditSpec extends AnyFunSuite {
     "q_agg_quade", "q_agg_cuzick",
   )
 
+  /** The audit rule, factored out so negative cases can exercise it
+    * directly: returns the offence string for (id, optimized plan), or
+    * None. A global window is legal only when (a) the id is whitelisted
+    * AND (b) every global window has a bounded-input witness beneath
+    * it: an Aggregate (grid/sketch/collapsed table), a GlobalLimit
+    * (top-k / capped sample), or a LogicalRDD — the eager-checkpoint-
+    * of-a-bounded-aggregate pattern (r16; localCheckpoint(true)
+    * truncates the plan to a LogicalRDD leaf, hiding the Aggregate the
+    * window actually rides — q_win_borda). The LogicalRDD escape is
+    * only reachable FOR WHITELISTED ids, whose comment must name the
+    * bounded table the checkpoint materializes; an unwhitelisted
+    * global window still fails regardless of what sits beneath it. */
+  private def audit(id: String, plan: LogicalPlan): Option[String] = {
+    val globals = plan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    if (globals.isEmpty) None
+    else if (!whitelist.contains(id))
+      Some(s"$id (${globals.size} global window(s), not whitelisted)")
+    else if (!globals.forall(_.child.exists {
+        case _: Aggregate => true    // grid/sketch/collapsed table
+        case _: GlobalLimit => true  // top-k / capped sample
+        case _: LogicalRDD => true   // eager checkpoint of a bounded aggregate
+        case _ => false
+      }))
+      Some(s"$id (whitelisted but a global window has no " +
+        "Aggregate/Limit/checkpoint beneath it — unbounded input)")
+    else None
+  }
+
   test("every partition-less Window rides a whitelisted bounded input") {
     val offenders = scala.collection.mutable.ListBuffer[String]()
     val ids = SparkEntry.queries.keys.toSeq.sorted
@@ -127,23 +158,51 @@ class WindowAuditSpec extends AnyFunSuite {
           case e: Exception =>
             fail(s"$id: failed to build/optimize at $sf: ${e.getMessage}")
         }
-      val globals = plan.collect {
-        case w: LWindow if w.partitionSpec.isEmpty => w
-      }
-      if (globals.nonEmpty) {
-        if (!whitelist.contains(id))
-          offenders += s"$id (${globals.size} global window(s), not whitelisted)"
-        else if (!globals.forall(_.child.exists {
-            case _: Aggregate => true   // grid/sketch/collapsed table
-            case _: GlobalLimit => true // top-k / capped sample
-            case _ => false
-          }))
-          offenders += s"$id (whitelisted but a global window has no " +
-            "Aggregate/Limit beneath it — unbounded input)"
-      }
+      audit(id, plan).foreach(offenders += _)
     }
     assert(offenders.isEmpty,
       "partition-less WindowExec on a non-whitelisted query:\n  " +
         offenders.mkString("\n  "))
+  }
+
+  test("negative: an unwhitelisted global window over a raw stream fails") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // a global rank directly over the raw fact scan — the exact shape
+    // the gate exists to stop
+    val bad = spark.read.parquet(s"$sf/lineitem.parquet")
+      .withColumn("rk", row_number().over(Window.orderBy(col("l_orderkey"))))
+    val off = audit("q__not_whitelisted", bad.queryExecution.optimizedPlan)
+    assert(off.exists(_.contains("not whitelisted")),
+      s"expected the unwhitelisted global window to be flagged, got $off")
+  }
+
+  test("negative: a whitelisted id with a global window on a raw stream fails") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // same raw-stream window, but under a whitelisted id: the witness
+    // check (Aggregate/Limit/checkpoint beneath) must still fire — the
+    // whitelist alone is not a pass
+    val bad = spark.read.parquet(s"$sf/lineitem.parquet")
+      .withColumn("rk", row_number().over(Window.orderBy(col("l_orderkey"))))
+    val off = audit("q_win_borda", bad.queryExecution.optimizedPlan)
+    assert(off.exists(_.contains("no Aggregate/Limit/checkpoint")),
+      s"expected the raw-input global window to be flagged, got $off")
+  }
+
+  test("positive: checkpoint-of-aggregate satisfies the witness for a whitelisted id") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the q_win_borda shape: global rank over an eagerly-checkpointed
+    // aggregate (plan truncated to LogicalRDD)
+    val agg = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_suppkey")).agg(sum(col("l_quantity")).as("q"))
+      .localCheckpoint(true)
+    val good = agg.withColumn("rk",
+      row_number().over(Window.orderBy(desc("q"), col("l_suppkey"))))
+    assert(audit("q_win_borda", good.queryExecution.optimizedPlan).isEmpty)
+    // ... but the same shape under an UNwhitelisted id still fails
+    assert(audit("q__not_whitelisted", good.queryExecution.optimizedPlan)
+      .exists(_.contains("not whitelisted")))
   }
 }
