@@ -32,6 +32,11 @@ object Analytics6 {
     * co-purchase graph: frontier and cumulative sizes for hops 0..3 —
     * the neighborhood-growth profile (how fast the graph closes over
     * its hub). */
+  /** NOT loop-width-wrapped (r16): unlike the node-state fixpoints,
+    * every hop joins the full edge-sized relation (the frontier closes
+    * over the hub in 2 hops), so narrowing the shuffle serializes real
+    * CPU work — measured 2.29 s session-width vs 3.89 s at loop width
+    * (min-of-4, sf0.1/32c). */
   private def qGraphKhop(s: SparkSession, d: String): DataFrame = {
     val e = coPairCounts(s, d).filter(col("cn") >= 2) // materialized (Tables)
       .select(col("u"), col("v"))

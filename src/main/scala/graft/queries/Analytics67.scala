@@ -62,7 +62,10 @@ object Analytics67 {
     var converged = false
     val wCum = Window.partitionBy(col("u")).orderBy(col("cv").desc)
     while (!converged && rounds < maxRounds) {
-      st = sym
+      // core-sum gate fused into the checkpoint job via observe()
+      // (r16, the eigenFixpoint pattern): exact BIGINT sum, identical
+      // stopping decisions, one fewer node-sized job per round.
+      val stPre = sym
         .join(st.select(col("u").as("v"), col("core").as("cv")),
           Seq("v"))
         .groupBy(col("u"), col("cv"))
@@ -70,9 +73,11 @@ object Analytics67 {
         .withColumn("ge", sum(col("cnt")).over(wCum))
         .groupBy(col("u"))
         .agg(max(least(col("cv"), col("ge"))).as("core"))
-        .localCheckpoint(true)
+        .observe("core_sum", sum(col("core")).as("sc"))
+      st = stPre.localCheckpoint(true)
       rounds += 1
-      val cur = st.agg(sum(col("core"))).head.getLong(0)
+      val cur = stPre.queryExecution.observedMetrics("core_sum")
+        .getAs[Long]("sc")
       converged = cur == prev
       prev = cur
     }
@@ -84,7 +89,8 @@ object Analytics67 {
     val e = coPairCounts(s, d).filter(col("cn") >= 2)
     val sym = e.select(col("u"), col("v"))
       .union(e.select(col("v").as("u"), col("u").as("v")))
-    val (fin, _) = coreFixpoint(sym)
+    // loop-sized shuffle width (r16, Tables.loopPartitions)
+    val (fin, _) = withLoopParallelism(s, d) { coreFixpoint(sym) }
     fin.groupBy(col("core")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("core"))
   }

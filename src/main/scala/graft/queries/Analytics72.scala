@@ -93,7 +93,10 @@ object Analytics72 {
   }
 
   /** 4-truss, two unrolled peel rounds; (round, n_edges) report. */
-  private def qGraphKtruss(s: SparkSession, d: String): DataFrame = {
+  private def qGraphKtruss(s: SparkSession,
+      d: String): DataFrame = withLoopParallelism(s, d) {
+    // loop-sized shuffle width (r16, Tables.loopPartitions): both peel
+    // rounds checkpoint eagerly inside the wrapper
     val e0 = coPairCounts(s, d).filter(col("cn") >= 2)
       .select(col("u"), col("v")).localCheckpoint(true)
     val e1 = support(e0).filter(col("sup") >= 2)

@@ -34,14 +34,20 @@ object Analytics78 {
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
-      val next = sym
+      // frontier-emptiness gate fused into the checkpoint job via
+      // observe() (r16, the eigenFixpoint pattern): count==0 is the
+      // same decision the old limit(1).count() job made, one fewer
+      // job per BFS level.
+      val nextPre = sym
         .join(frontier.select(col("u"), col("d")), Seq("u"))
         .select(col("v").as("u"), (col("d") + 1).as("d"))
         .groupBy(col("u")).agg(min(col("d")).as("d"))
         .join(dist.select(col("u")), Seq("u"), "left_anti")
-        .localCheckpoint(true)
+        .observe("bfs_n", count(lit(1)).as("n"))
+      val next = nextPre.localCheckpoint(true)
       rounds += 1
-      if (next.limit(1).count() == 0) done = true
+      if (nextPre.queryExecution.observedMetrics("bfs_n")
+          .getAs[Long]("n") == 0L) done = true
       else {
         dist = dist.union(next).localCheckpoint(true)
         frontier = next
@@ -64,7 +70,9 @@ object Analytics78 {
     * midpoint makes it tight (exact on trees: ecc(center) = ⌈diam/2⌉).
     * lb is also lifted to ecc(w). Degenerate input (no support-≥2
     * co-pair edges) returns an empty frame instead of throwing. */
-  private def qGraphDiameter(s: SparkSession, d: String): DataFrame = {
+  private def qGraphDiameter(s: SparkSession,
+      d: String): DataFrame = withLoopParallelism(s, d) {
+    // loop-sized shuffle width (r16, Tables.loopPartitions)
     import s.implicits._
     val e = coPairCounts(s, d).filter(col("cn") >= 2)
     val sym = e.select(col("u"), col("v"))

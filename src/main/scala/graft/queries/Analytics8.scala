@@ -73,7 +73,9 @@ object Analytics8 {
     * rounds of drop-nodes-with-degree-<3 + induced-subgraph, reporting
     * surviving node/edge counts per round — the dense-core extraction
     * that separates structural products from the periphery. */
-  private def qGraphKcore(s: SparkSession, d: String): DataFrame = {
+  private def qGraphKcore(s: SparkSession,
+      d: String): DataFrame = withLoopParallelism(s, d) {
+    // loop-sized shuffle width (r16, Tables.loopPartitions)
     val e0 = coPairCounts(s, d).filter(col("cn") >= 2) // materialized (Tables)
       .select(col("u"), col("v"))
       .localCheckpoint(true)

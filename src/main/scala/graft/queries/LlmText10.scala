@@ -202,6 +202,27 @@ object LlmText10 {
     * LSH candidates / pooled truth. xxhash-based index → no SQL
     * oracle; the spec pins the floors. */
   private def qDedupEval(s: SparkSession, d: String): DataFrame = {
+    // r16 (guide §2.5, StageProbe evidence): the exact-verification
+    // stage (array_intersect/array_union over every pooled candidate
+    // pair) is CPU-heavy but tiny in BYTES (~1 MB of compressed shuffle
+    // at sf0.1), so AQE's bytes-only coalescing folded it to ONE task
+    // — 1.43 s of single-core work in a 4.4 s query (32% of wall).
+    // Lower the coalescing floor for THIS query's eager checkpoints so
+    // the verification stage keeps parallelism; restored in finally.
+    // Scale story: at real volume the same stage carries GBs and the
+    // floor is irrelevant — the knob only corrects AQE's cost model
+    // where bytes mis-price CPU.
+    val prevMinPart =
+      s.conf.get("spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      "64KB")
+    try qDedupEvalBody(s, d)
+    finally s.conf.set(
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      prevMinPart)
+  }
+
+  private def qDedupEvalBody(s: SparkSession, d: String): DataFrame = {
     // index-definition shingles (LlmText.shingled: 3-word shingles
     // over split(text, ' ')) — evaluating against a different
     // similarity definition would measure the definition gap, not the

@@ -525,8 +525,17 @@ object StreamingQ {
     * is O(window), not O(stream)). No SQL oracle (stateful streaming;
     * SURVEY §2.C rule 4); StreamingLlmSpec pins the phase behavior and
     * exactly-once emission. */
+  /** `consolidated` (r16): the registered no-callback query feeds all
+    * three phases' events up front and runs ONE processAllAvailable —
+    * the final watermark is the same min-of-sides max-event-time−delay
+    * either way, so the emitted/evicted/buffered FINAL set is
+    * identical (oracle-checked); what changes is only per-micro-batch
+    * planning paid 3× for a sink nobody reads between phases. The
+    * spec keeps the 3-phase schedule (default) to pin WHEN each null
+    * row appears. */
   private[graft] def runStreamJoinOuter(s: SparkSession,
-      onPhase: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+      onPhase: (Int, DataFrame) => Unit = (_, _) => (),
+      consolidated: Boolean = false): DataFrame = {
     import s.implicits._
     val imp = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[Ev](s)
@@ -548,22 +557,29 @@ object StreamingQ {
       val q = joined.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       try {
-        imp.addData(Seq(ev(1, 0), ev(2, 60), ev(3, 120)))
-        clk.addData(Seq(ev(1, 300),  // 5 min later → matches ad 1
-          ev(4, 200)))               // click with no impression → dropped
-        q.processAllAvailable(); onPhase(1, s.table(name))
-        imp.addData(Seq(ev(9, 4000)))
-        clk.addData(Seq(ev(9, 4200))) // watermark → 4200s − 10min = 3600s
-        q.processAllAvailable(); onPhase(2, s.table(name))
-        imp.addData(Seq(ev(10, 4600))) // flush; own window not yet closed
-        q.processAllAvailable(); onPhase(3, s.table(name))
+        if (consolidated) {
+          imp.addData(Seq(ev(1, 0), ev(2, 60), ev(3, 120), ev(9, 4000),
+            ev(10, 4600)))
+          clk.addData(Seq(ev(1, 300), ev(4, 200), ev(9, 4200)))
+          q.processAllAvailable()
+        } else {
+          imp.addData(Seq(ev(1, 0), ev(2, 60), ev(3, 120)))
+          clk.addData(Seq(ev(1, 300),  // 5 min later → matches ad 1
+            ev(4, 200)))               // click with no impression → dropped
+          q.processAllAvailable(); onPhase(1, s.table(name))
+          imp.addData(Seq(ev(9, 4000)))
+          clk.addData(Seq(ev(9, 4200))) // watermark → 4200s − 10min = 3600s
+          q.processAllAvailable(); onPhase(2, s.table(name))
+          imp.addData(Seq(ev(10, 4600))) // flush; own window not yet closed
+          q.processAllAvailable(); onPhase(3, s.table(name))
+        }
       } finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.table(name)
   }
 
   private def qStreamJoinOuter(s: SparkSession, d: String): DataFrame =
-    runStreamJoinOuter(s).orderBy("ad_id")
+    runStreamJoinOuter(s, consolidated = true).orderBy("ad_id")
 
   /** Watermarked stream-stream FULL OUTER join — completes the outer
     * matrix (inner / left r10 / full r11). Beyond the left-outer rig
@@ -585,10 +601,14 @@ object StreamingQ {
     * State on both sides stays O(window) — every evicted row leaves
     * its store. No SQL oracle (stateful streaming; SURVEY §2.C rule
     * 4); StreamingLlmSpec pins both null-pad directions + exactly-once. */
+  /** `consolidated` (r16): see runStreamJoinOuter — same argument,
+    * both eviction directions included (final watermark identical, so
+    * both sides' evict-and-emit sets are identical; oracle-checked). */
   private[graft] def runStreamJoinFull(s: SparkSession,
       onPhase: (Int, DataFrame) => Unit = (_, _) => (),
       onQueryPhase: (Int, org.apache.spark.sql.streaming.StreamingQuery)
-        => Unit = (_, _) => ()): DataFrame = {
+        => Unit = (_, _) => (),
+      consolidated: Boolean = false): DataFrame = {
     import s.implicits._
     val imp = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[Ev](s)
@@ -622,26 +642,34 @@ object StreamingQ {
       val q = joined.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       try {
-        imp.addData(Seq(ev(1, 0), ev(2, 60), ev(3, 120)))
-        clk.addData(Seq(ev(1, 300),  // 5 min later → matches ad 1
-          ev(4, 200)))               // orphan click → must null-pad later
-        q.processAllAvailable(); onPhase(1, s.table(name))
-        onQueryPhase(1, q)
-        imp.addData(Seq(ev(9, 4000)))
-        clk.addData(Seq(ev(9, 4200))) // global wm → min(3400, 3600) s
-        q.processAllAvailable(); onPhase(2, s.table(name))
-        onQueryPhase(2, q)
-        imp.addData(Seq(ev(10, 4600))) // flush both sides; own windows
-        clk.addData(Seq(ev(11, 4700))) // still open → must stay buffered
-        q.processAllAvailable(); onPhase(3, s.table(name))
-        onQueryPhase(3, q)
+        if (consolidated) {
+          imp.addData(Seq(ev(1, 0), ev(2, 60), ev(3, 120), ev(9, 4000),
+            ev(10, 4600)))
+          clk.addData(Seq(ev(1, 300), ev(4, 200), ev(9, 4200),
+            ev(11, 4700)))
+          q.processAllAvailable()
+        } else {
+          imp.addData(Seq(ev(1, 0), ev(2, 60), ev(3, 120)))
+          clk.addData(Seq(ev(1, 300),  // 5 min later → matches ad 1
+            ev(4, 200)))               // orphan click → must null-pad later
+          q.processAllAvailable(); onPhase(1, s.table(name))
+          onQueryPhase(1, q)
+          imp.addData(Seq(ev(9, 4000)))
+          clk.addData(Seq(ev(9, 4200))) // global wm → min(3400, 3600) s
+          q.processAllAvailable(); onPhase(2, s.table(name))
+          onQueryPhase(2, q)
+          imp.addData(Seq(ev(10, 4600))) // flush both sides; own windows
+          clk.addData(Seq(ev(11, 4700))) // still open → must stay buffered
+          q.processAllAvailable(); onPhase(3, s.table(name))
+          onQueryPhase(3, q)
+        }
       } finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.table(name)
   }
 
   private def qStreamJoinFull(s: SparkSession, d: String): DataFrame =
-    runStreamJoinFull(s).orderBy("ad_id", "c_ad_id")
+    runStreamJoinFull(s, consolidated = true).orderBy("ad_id", "c_ad_id")
 
   /** Stream-static join: the streaming event feed enriched against a
     * small static dimension (event_type → funnel stage) and aggregated —

@@ -547,6 +547,25 @@ class StreamingLlmSpec extends AnyFunSuite {
     assert(fin.distinct.size == fin.size, s"duplicate emission: $fin")
   }
 
+  test("consolidated feed schedule (the registered bench path) emits the " +
+      "identical final table to the 3-phase schedule for both outer rigs " +
+      "(r16: same events, same final watermark => same emit/evict sets)") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val outer3 = rows(StreamingQ.runStreamJoinOuter(spark)
+      .orderBy("ad_id"))
+    val outer1 = rows(StreamingQ.runStreamJoinOuter(spark,
+      consolidated = true).orderBy("ad_id"))
+    assert(outer1 == outer3 && outer1.nonEmpty,
+      s"outer diverged: consolidated=$outer1 phased=$outer3")
+    val full3 = rows(StreamingQ.runStreamJoinFull(spark)
+      .orderBy("ad_id", "c_ad_id"))
+    val full1 = rows(StreamingQ.runStreamJoinFull(spark,
+      consolidated = true).orderBy("ad_id", "c_ad_id"))
+    assert(full1 == full3 && full1.nonEmpty,
+      s"full diverged: consolidated=$full1 phased=$full3")
+  }
+
   test("full-outer join observability: observe() input counters and the " +
       "state store's removed-rows metrics reconcile — both sides evict, " +
       "and final state size equals rows-in minus rows-removed") {
